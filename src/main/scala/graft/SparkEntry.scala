@@ -13,7 +13,10 @@ object SparkEntry {
 
   /** All query sets, in SURVEY §2 inventory order. */
   def sets: Seq[QuerySet] = Seq(
-    Tpch
+    Tpch,
+    Aggregates,
+    Joins,
+    SetOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

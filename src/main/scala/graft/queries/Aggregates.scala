@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Aggregation inventory (SURVEY §2.1 aggregate/minBy/maxBy, §2.5 built-in
+  * aggregate functions, §2.4 DataSetAggregate / GROUPING SETS).
+  *
+  * Reference: `AggregateUtil.transformToAggregateFunctions`
+  * (`flink-table/.../runtime/aggregate/AggregateUtil.scala:1120-1360`) —
+  * COUNT/SUM/AVG/MIN/MAX/COLLECT + STDDEV/VAR rewritten to SUM/COUNT
+  * arithmetic by Calcite's `AggregateReduceFunctionsRule`
+  * (`FlinkRuleSets.scala:95`). We apply the same rewrite explicitly for
+  * STDDEV/VAR so the result is decimal-exact and engine-independent (float
+  * accumulation order would otherwise break oracle hash parity).
+  * GROUPING SETS: `DecomposeGroupingSetRule` (`FlinkRuleSets.scala:153`) →
+  * Spark `Expand` via SQL GROUPING SETS / DataFrame cube/rollup.
+  */
+object Aggregates extends QuerySet {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // count/min/max/countDistinct — exact types, no float accumulation
+    "agg_basic" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("first_ship"))),
+
+    // minBy/maxBy (reference DataSet.minBy/maxBy): arg-min/max with a
+    // composite double key making the winner unique (price, then orderkey)
+    "agg_minmax_by" -> ((s, dir) => {
+      val key = col("l_extendedprice") + col("l_orderkey") * lit(1e-9)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_orderkey"), key).as("max_price_order"),
+             min_by(col("l_orderkey"), key).as("min_price_order"))
+    }),
+
+    // STDDEV/VAR via the reference's own SUM/COUNT decomposition, exact
+    "agg_stats_exact" -> ((s, dir) => {
+      val d = dec2(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_quantity")).as("n"),
+             sum(d).cast("double").as("s1"),
+             sum(d * d).cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("var_pop"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("stddev_pop"))
+    }),
+
+    // COLLECT (reference CollectAggFunction → multiset): sorted for
+    // deterministic cross-engine compare
+    "agg_collect_sorted" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+             sort_array(collect_set(col("l_suppkey"))).as("suppliers"))),
+
+    // string_agg analog: ordered concatenation of grouped values
+    "agg_string_concat" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))),
+
+    // median (percentile-cont semantics, linear interpolation in both engines)
+    "agg_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"))),
+
+    // FILTER-style conditional aggregation (pivot-shaped output)
+    "agg_conditional" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          sum(when(col("event_type") === "purchase", dec2(col("value"))))
+            .cast("double").as("purchase_value"))),
+
+    // GROUPING SETS through the SQL entry point (Spark Expand)
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               |  ${sqlDsum("l_quantity")} AS sum_qty,
+               |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+               |FROM lineitem
+               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+               |                        (l_returnflag), ())""".stripMargin)
+    }),
+
+    // ROLLUP via the DataFrame API
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // CUBE via the DataFrame API
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "agg_basic" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MAX(l_extendedprice) AS max_price, MIN(l_shipdate) AS first_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS max_price_order,
+        |  arg_min(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS min_price_order
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_stats_exact" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag, COUNT(l_quantity) AS n,
+         |    CAST(SUM(${sqlDec2("l_quantity")}) AS DOUBLE) AS s1,
+         |    CAST(SUM(${sqlDec2("l_quantity")} * ${sqlDec2("l_quantity")}) AS DOUBLE) AS s2
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (s2 - s1 * s1 / n) / n AS var_pop,
+         |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+         |  SQRT((s2 - s1 * s1 / n) / n) AS stddev_pop
+         |FROM s""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  list_sort(list(DISTINCT l_suppkey)) AS suppliers
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "agg_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_conditional" ->
+      s"""SELECT user_id,
+         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+         |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+         |  CAST(SUM(${sqlDec2("value")}) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+         |FROM events GROUP BY user_id""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), ())""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+  )
+}
