@@ -16,7 +16,11 @@ object SparkEntry {
     Tpch,
     Aggregates,
     Joins,
-    SetOps
+    SetOps,
+    ScalarFuncs,
+    WindowOver,
+    TimeWindows,
+    Correlate
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

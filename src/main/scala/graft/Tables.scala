@@ -29,7 +29,8 @@ object Tables {
   private def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+        // integer division — (ts / 1000) via Double loses ulps at ~1.7e18 ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
 

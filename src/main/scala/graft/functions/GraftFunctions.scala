@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Library-surface scalar helpers that the reference exposes but Spark does
+  * not ship verbatim (SURVEY §2.6). Everything here composes built-in
+  * Catalyst expressions — fully codegen'd, no UDFs — so the 100 TB plan keeps
+  * whole-stage codegen across these calls.
+  */
+object GraftFunctions {
+
+  /** SQL `(s1, e1) OVERLAPS (s2, e2)` — the one reference scalar with no
+    * direct Spark function (reference FunctionCatalog `temporalOverlaps`,
+    * `flink-table/.../validate/FunctionCatalog.scala:236`). Standard SQL
+    * semantics: inclusive start, exclusive ordering by `<`/`>` on swapped
+    * bounds; handles unordered (start, end) pairs per spec.
+    */
+  def temporalOverlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column = {
+    val lo1 = least(s1, e1); val hi1 = greatest(s1, e1)
+    val lo2 = least(s2, e2); val hi2 = greatest(s2, e2)
+    lo1 <= hi2 && lo2 <= hi1
+  }
+
+  /** Reference `charLength` (FunctionCatalog.scala:181). */
+  def charLength(c: Column): Column = length(c)
+
+  /** Reference `position(needle IN haystack)` — 1-based, 0 when absent. */
+  def position(needle: Column, haystack: Column): Column = locate_col(needle, haystack)
+  private def locate_col(n: Column, h: Column): Column =
+    call_function("locate", n, h)
+
+  /** 64-bit-safe stable token hash shared with the DuckDB oracles: the first
+    * 15 hex chars of md5 as a non-negative bigint (60 bits). md5 is
+    * bit-identical across engines, unlike murmur/xxhash builtins.
+    */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** stableHash reduced mod m (m small enough that downstream products stay
+    * inside 64-bit signed range). */
+  def stableHashMod(c: Column, m: Long): Column = stableHash(c) % m
+
+  /** Whitespace tokenizer used by the text/dedup operators — same regex on
+    * the oracle side (`string_split_regex(lower(text), '\s+')`). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles of a token array (n >= 1): concatenated with a
+    * single space, positions 0..len-n. Uses higher-order array functions —
+    * stays inside codegen, no UDF. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Order-sensitive document fingerprint: SUM(h(tok) * position) in exact
+    * integer arithmetic. h is stableHash mod 1e12+39 so the positional
+    * product of a ~1e4-token document stays far below 2^63. Deterministic,
+    * associative (integer sum) → identical on any partitioning/order. */
+  val FpMod = 1000000000039L
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => (stableHash(t) % FpMod) * i),
+      lit(0L), (acc, x) => acc + x)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Group-window inventory on the event-time column (SURVEY §2.2 window
+  * assigners, §2.3 group windows `Tumble/Slide/Session`, §2.4
+  * DataSetWindowAggregate / DataStreamGroupWindowAggregate).
+  *
+  * Batch semantics here (same window functions drive the streaming suite —
+  * `F.window`/`F.session_window` are identical in `readStream` plans; the
+  * streaming side is exercised in StreamingSpec with watermarks). Oracles
+  * reproduce Spark's epoch-aligned window math in DuckDB arithmetic.
+  */
+object TimeWindows extends QuerySet {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1h windows: per-window traffic + exact value sum
+    "window_tumble" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // sliding 1h windows every 15min: each event lands in 4 windows
+    "window_slide" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("n"), col("sum_value"))),
+
+    // session windows per user, 30min inactivity gap
+    "window_session" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("user_id"), col("n"), col("sum_value"))),
+
+    // tumbling window + per-window ranking (window agg feeding OVER)
+    "window_tumble_topusers" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("user_id"), col("n"))
+      val byDay = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w_start")).orderBy(col("n").desc, col("user_id"))
+      perUser.withColumn("rk", row_number().over(byDay)).filter(col("rk") <= 3)
+    })
+  )
+
+  // DuckDB mirrors of Spark's epoch-aligned window arithmetic.
+  private val tumble1h =
+    "to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))::TIMESTAMP"
+  private val tumble1d =
+    "to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))::TIMESTAMP"
+
+  override def oracle: Map[String, String] = Map(
+    "window_tumble" ->
+      s"""SELECT $tumble1h AS w_start,
+         |  $tumble1h + INTERVAL 1 HOUR AS w_end,
+         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "window_slide" ->
+      s"""WITH slid AS (
+         |  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900
+         |           - g.i * 900 AS BIGINT))::TIMESTAMP AS w_start, value, ts
+         |  FROM events, generate_series(0, 3) g(i)
+         |  WHERE event_type = 'purchase')
+         |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM slid
+         |WHERE ts < w_start + INTERVAL 1 HOUR AND ts >= w_start
+         |GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands: session = maximal run with gap < 30min; Spark's
+    // session end = last event + gap
+    "window_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+         |  user_id, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "window_tumble_topusers" ->
+      s"""WITH per_user AS (
+         |  SELECT $tumble1d AS w_start, user_id, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY w_start
+         |    ORDER BY n DESC, user_id) AS rk
+         |  FROM per_user)
+         |SELECT w_start, user_id, n, rk FROM ranked WHERE rk <= 3""".stripMargin
+  )
+}
