@@ -20,7 +20,10 @@ object SparkEntry {
     ScalarFuncs,
     WindowOver,
     TimeWindows,
-    Correlate
+    Correlate,
+    TextAnalysis,
+    Dedup,
+    Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

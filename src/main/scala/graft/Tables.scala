@@ -19,6 +19,7 @@ object Tables {
 
   /** Read one fixture table. `dir` is e.g. /root/testdata/sf0.01 */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEvents(df) else df
   }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * Why a custom Catalyst expression (SURVEY §7.4 escalation path (b)):
+  *  - `aggregate`/`zip_with` higher-order functions are CodegenFallback —
+  *    interpreted per row;
+  *  - a statically unrolled 64-term `Add` chain generates a method past
+  *    HotSpot's HugeMethodLimit, so the JIT refuses it and the whole join
+  *    stage runs in the bytecode interpreter (measured 80 s for a 12.5M-pair
+  *    nested-loop join at sf0.1).
+  * `doGenCode` emits a compact counted loop instead: JIT-hot, fully inside
+  * whole-stage codegen.
+  *
+  * Determinism: ascending-index summation == the left fold used by the
+  * DuckDB oracles (`list_aggregate(..., 'sum')`) — IEEE-identical results.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  val info = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+}
+
+/** Integer-quantized dot product: Σ round(a[i]·1e6) · w[i] over
+  * (`array<double>`, `array<bigint>`), result `bigint`.
+  *
+  * Used for LSH hyperplane sign tests: the quantization makes the sum pure
+  * integer arithmetic — associative, partition-order-free, cross-engine
+  * exact. Rounding is half-away-from-zero, matching both Spark's `round`
+  * and DuckDB's `round` for doubles.
+  */
+case class IntQuantDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_iqdot expects (array<double>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_iqdot"
+
+  @inline private def q(v: Double): Long =
+    if (v < 0) -Math.floor(-v * 1000000.0 + 0.5).toLong
+    else Math.floor(v * 1000000.0 + 0.5).toLong
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += q(x.getDouble(i)) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i) * 1000000.0d;
+         |  long q = $v < 0 ? -(long) java.lang.Math.floor(-$v + 0.5d)
+         |                  : (long) java.lang.Math.floor($v + 0.5d);
+         |  $s += q * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntQuantDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntQuantDot {
+  val info = new ExpressionInfo(classOf[IntQuantDot].getName, "graft_iqdot")
+}

@@ -65,4 +65,28 @@ object GraftFunctions {
       zip_with(toks, sequence(lit(1), size(toks)),
         (t, i) => (stableHash(t) % FpMod) * i),
       lit(0L), (acc, x) => acc + x)
+
+  // ---- vector primitives (embeddings: array<float>) -----------------------
+
+  /** Ordered ascending-index dot product in double precision — the native
+    * [[DotProduct]] Catalyst expression (codegen'd counted loop; HOF folds
+    * are interpreted and unrolled Add-chains exceed the JIT method limit).
+    * Summation order matches DuckDB's `list_aggregate(..,'sum')` left fold,
+    * so results are bit-identical cross-engine. Requires
+    * [[GraftExtensions.install]] (done by Tables.load). */
+  def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** L2 norm, same fold-order guarantee as [[dot]]. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float vectors (double math, ordered folds). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Integer-quantized view of a float vector: round(x*1e6) per element.
+    * Integer sums are associative, so aggregations over arbitrary partition /
+    * shuffle order stay exact and cross-engine deterministic. */
+  def quantize(a: Column): Column =
+    transform(a.cast("array<double>"),
+      x => round(x * 1000000).cast("long"))
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for large-scale corpora.
+  *
+  * Design for 100 TB:
+  *  - every candidate-generation step is a hash-partitioned groupBy/join on a
+  *    SMALL key (digest / band signature / shingle), never an all-pairs
+  *    product;
+  *  - signatures are computed row-local with codegen'd higher-order array
+  *    functions (single map stage, no UDFs);
+  *  - all signature arithmetic is 64-bit integer (md5-derived), so results
+  *    are independent of partitioning, shuffle order, and engine.
+  *
+  * The reference engine (a Flink fork) has no dedup library; these are the
+  * LLM-pipeline operators from BASELINE.json's north star.
+  */
+object DedupOps {
+
+  /** MinHash parameters: K permutations split into B bands of R rows.
+    * P(candidate | jaccard=j) = 1 - (1 - j^R)^B — with 16/4/4 the usual
+    * S-curve centered near j≈0.55. */
+  val NumPerm = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val MinHashP = 1000000007L
+
+  /** Exact dedup: digest-groupBy. Returns the input plus `is_kept`
+    * (true for the lowest doc_id of each identical-text group) and
+    * `group_size`. One shuffle on the 128-bit digest — the digest is tiny
+    * and uniformly distributed, so this scales linearly. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_kept", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** Per-permutation MinHash over word `n`-gram shingles:
+    * sig[i] = min over shingles s of ((H(s) mod P)·(2i+1) + i·12582917) mod P.
+    * Row-local, integer-exact. */
+  /** NOTE: Catalyst higher-order lambdas inline their argument expressions —
+    * the outer K-permutation transform re-evaluates the md5 pipeline K times
+    * per row. Fine for ad-hoc column use; the pipeline operator
+    * [[minhashLshPairs]] uses the relational formulation below instead. */
+  def minhashSignature(text: Column, n: Int = 3): Column = {
+    val hs = transform(array_distinct(shingles(tokens(text), n)),
+      s => stableHash(s) % MinHashP)
+    transform(sequence(lit(1), lit(NumPerm)), i =>
+      array_min(transform(hs, h =>
+        (h * (i * 2 + 1) + i * lit(12582917L)) % MinHashP)))
+  }
+
+  /** Relational MinHash: one md5 pass over exploded distinct shingles, then
+    * K codegen'd `min` aggregates with map-side combine — the 100 TB form
+    * (cost: one shuffle of (id, h) pairs; no interpreted HOF loops). */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val hs = docs.select(col(idCol).as("id"),
+      explode(transform(array_distinct(shingles(tokens(col(textCol)), n)),
+        s => stableHash(s) % MinHashP)).as("h"))
+    hs.groupBy(col("id")).agg(
+      array((1 to NumPerm).map(i =>
+        min((col("h") * (2 * i + 1) + lit(i) * 12582917L) % MinHashP)): _*)
+        .as("sig"))
+  }
+
+  /** LSH band signatures: the K-wide signature cut into B bands of R values,
+    * each band serialized to a join key. */
+  def bandSignatures(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), b =>
+      array_join(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)), "-"))
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    * Output: (id1, id2, n_bands, est_jaccard) for pairs colliding in ≥1 band.
+    * est_jaccard = fraction of equal signature positions (exact k/16 rational
+    * — deterministic). The only shuffles are the band-key self-join and the
+    * pair groupBy, both on small uniformly-hashed keys. */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    // the aggregation barrier in minhashSignatures materializes the
+    // signatures once — the band explode + self-join below reference plain
+    // attributes instead of re-evaluating the md5 pipeline per branch
+    val sigs = minhashSignatures(docs, textCol, idCol, n)
+    val bands = sigs.select(col("id"),
+      posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_bands"))
+    // join the (small) signature table back per side — cheaper than carrying
+    // both arrays through the band join + groupBy
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"), col("n_bands"),
+        ((1 to NumPerm).map(i =>
+          when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+            .otherwise(0)).reduceLeft(_ + _)
+          .cast("double") / NumPerm).as("est_jaccard"))
+  }
+
+  /** SimHash bits per document, relational formulation: explode tokens ×
+    * bit positions, one md5 per (token, bit), majority vote per bit.
+    * `width` ≤ 62 keeps the packed value in a signed 64-bit long.
+    * Scales as a pair of map-side-combining groupBys on doc_id. */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", width: Int = 48): DataFrame = {
+    // dictionary-encode: hash each DISTINCT token once (md5 dominates; real
+    // corpora are zipf-distributed, so |vocab| << |occurrences|), then join
+    // the per-token bit votes back weighted by occurrence count
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tokCounts = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocabVotes = toks.select(col("tok")).distinct()
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(width - 1))).as("bit"))
+      // ±1 vote: bit b of token t = parity of an independent stable hash
+      .withColumn("vote",
+        stableHash(concat(col("tok"), lit("#"), col("bit"))) % 2 * 2 - 1)
+    tokCounts.join(vocabVotes, "tok")
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("vote") * col("cnt")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on `chunks` sub-signatures (a pair within
+    * hamming d of each other collides on ≥1 chunk when d < chunks), then
+    * exact hamming via bit_count(xor). */
+  def simhashPairs(sims: DataFrame, width: Int = 48, chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    val cw = width / chunks
+    // static unroll: shift amounts must be literals for shiftrightunsigned
+    val chunkVals = array((0 until chunks).map(c =>
+      shiftrightunsigned(col("simhash"), c * cw) % (1L << cw)): _*)
+    val chunked = sims.select(col("id"), col("simhash"),
+      posexplode(chunkVals).as(Seq("chunk", "cval")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.cval") === col("b.cval") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    * inter/union are integers, the division is a single rational→double step
+    * — deterministic. The shingle self-join is the classic
+    * inverted-index pattern: shuffle on shingle, never all-pairs. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3,
+                        minJaccard: Double = 0.2): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicates above `minCos`. Brute-force all-pairs
+    * — the exact baseline; use [[SimilarityOps.lshBuckets]] blocking for the
+    * 100 TB path. Norms are precomputed once per row before the join. */
+  def embeddingCosinePairs(embs: DataFrame, vecCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           minCos: Double = 0.4): DataFrame = {
+    // materialize the double-cast vector + norm BEHIND AN EXCHANGE: the
+    // non-equi join otherwise (a) runs the nested loop on the input's
+    // (often single) file partitions and (b) re-inlines the cast pipeline
+    // into the pushed-down join condition — 128 array casts per candidate
+    // pair instead of 0
+    val withNorm = embs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        l2norm(col(vecCol)).as("nrm"))
+      .repartition(col("id"))
+    val a = withNorm.as("a"); val b = withNorm.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+      .filter(col("cos") > minCos)
+  }
+}

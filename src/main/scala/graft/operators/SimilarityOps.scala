@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with a broadcast query set (one scan of
+  * the corpus, no shuffle of the corpus side). Scale path: random-hyperplane
+  * LSH bucketing — corpus is bucketed once (a narrow map), queries probe only
+  * their own bucket, so the join fan-out is corpus/2^bits per query.
+  *
+  * Determinism: hyperplane dot products use integer-quantized vectors and
+  * integer hyperplane weights (md5-derived), so bucket assignment is exact on
+  * any engine; cosine scores are ordered double folds rounded to 6 dp.
+  */
+object SimilarityOps {
+
+  val LshBits = 8
+  val Dim = 64
+
+  /** Brute-force cosine top-k: every query row against the full corpus.
+    * `queries` is expected to be small — it is broadcast, making the join a
+    * map-side nested loop over corpus partitions (no corpus shuffle; the only
+    * shuffle is the final per-query top-k, which AQE keeps tiny). */
+  def topKBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    // cast + norm behind an exchange: spreads the nested-loop scan over all
+    // cores and keeps the (pushed-down) join condition on plain attributes
+    val c = corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("cv"),
+        l2norm(col(vecCol)).as("cn"))
+      .repartition(col("nid"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * integer in [-1000, 1000], derived from md5("p_d") exactly like the
+    * oracle SQL (and [[graft.functions.GraftFunctions.stableHash]]) — the
+    * weights are constants, so they are computed once driver-side and baked
+    * into the expression as literals. */
+  private[operators] def planeWeightValue(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** Random-hyperplane LSH bucket id (sign pattern of `LshBits` integer dot
+    * products, packed big-endian). Row-local and integer-exact: the native
+    * [[graft.functions.IntQuantDot]] expression quantizes each element to
+    * round(x·1e6) and sums in 64-bit integers, so the sign test never
+    * depends on float summation order. The per-plane weight vectors are
+    * md5-derived constants baked in as array literals. */
+  def lshBucket(vec: Column): Column = {
+    val ad = vec.cast("array<double>")
+    (0 until LshBits).map { p =>
+      val weights = lit((0 until Dim).map(d => planeWeightValue(p, d)).toArray)
+      when(call_function("graft_iqdot", ad, weights) > 0,
+        1L << (LshBits - 1 - p)).otherwise(0L)
+    }.reduceLeft(_ + _)
+  }
+
+  /** Bucket the corpus: one narrow map, persistable/bucketable by `bucket`
+    * for repeated probes. */
+  def lshBuckets(corpus: DataFrame, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("cv"),
+      l2norm(col(vecCol)).as("cn"), lshBucket(col(vecCol)).as("bucket"))
+
+  /** ANN top-k: probe only the query's own bucket. Recall trades off with
+    * bucket count (2^LshBits); multi-probe = union over neighbor buckets. */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val c = lshBuckets(corpus, vecCol, idCol).repartition(col("bucket"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"),
+      l2norm(col(vecCol)).as("qn"), lshBucket(col(vecCol)).as("qbucket"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("qbucket").as("bucket"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-label centroids in exact integer arithmetic: dims are quantized
+    * (×1e6, round) so the cross-row sum is associative, then the mean is
+    * surfaced as a rounded double. Output one row per (label, dim) —
+    * relational form, mirrors 1:1 into SQL engines. */
+  def labelCentroids(embs: DataFrame, vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame =
+    embs
+      .select(col(labelCol).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)) / 1000000.0, 6)
+        .as("centroid"))
+}

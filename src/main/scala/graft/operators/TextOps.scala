@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything is built from codegen'd Catalyst expressions (no UDFs): each
+  * operator is a narrow per-row map, so plans stay inside one
+  * WholeStageCodegen span and scale embarrassingly parallel — no shuffle is
+  * introduced by any function here.
+  *
+  * The reference has no text pipeline (it is a Flink fork —
+  * `flink-core/.../api/common/io/GenericCsvInputFormat.java:40` is its text
+  * surface); these operators are the LLM-pipeline extension named in
+  * BASELINE.json's north star.
+  */
+object TextOps {
+
+  /** Stopword list shared verbatim with the DuckDB oracles. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+    * Same RE2/Java-compatible pattern used on the oracle side. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Whitespace-token statistics: count, distinct count, mean token length
+    * (exact integer sum, then one double division). */
+  def tokenStats(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    Seq(
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)).as("mean_tok_len"))
+  }
+
+  /** Byte-pair-style subword count via regex matches on the lowercased text. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Quality signals: ratios are integer-count / integer-count divisions so
+    * they are exactly reproducible on any engine. */
+  def qualitySignals(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val stopCnt = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val punctCnt = nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val digitCnt = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val nonAscii = nChars - length(regexp_replace(text, "[^ -~]", ""))
+    Seq(
+      (stopCnt.cast("double") / size(toks)).as("stopword_ratio"),
+      (punctCnt.cast("double") / nChars).as("punct_ratio"),
+      (digitCnt.cast("double") / nChars).as("digit_ratio"),
+      (nonAscii.cast("double") / nChars).as("non_ascii_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: heavily stopworded, low-punctuation,
+    * ASCII text with a sane mean word length scores high. Deterministic
+    * (rational arithmetic over integer counts). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val stopCnt = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val nChars = length(text)
+    val punctCnt = nChars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopCnt.cast("double") * 10.0 / size(toks), lit(1.0))
+    val punctScore = lit(1.0) - least(punctCnt.cast("double") * 5.0 / nChars, lit(1.0))
+    round((lenScore + stopScore + punctScore) / 3.0, 6)
+  }
+
+  /** n-gram-heuristic language ID: English iff the text is ASCII-dominated
+    * and carries a minimum density of English stopwords. (A full model would
+    * score character n-gram profiles per language; the decision surface —
+    * deterministic per-row classification — is identical.) */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val stopCnt = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val nChars = length(text)
+    val nonAscii = nChars - length(regexp_replace(text, "[^ -~]", ""))
+    when(nonAscii * 10 > nChars, "non_latin")
+      .when(stopCnt * 50 >= size(toks), "en")
+      .otherwise("unk")
+  }
+
+  /** Order-sensitive positional document fingerprint (rolling-hash family):
+    * Σ h(tok_i)·i in exact integer arithmetic — see
+    * [[graft.functions.GraftFunctions.fingerprint]]. */
+  def docFingerprint(text: Column): Column = fingerprint(tokens(text))
+
+  /** Convenience: annotate a documents frame with the full signal set. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      (col("doc_id") +: (tokenStats(t) ++ qualitySignals(t) ++ Seq(
+        bpeTokenCount(t).as("n_bpe_tokens"),
+        qualityScore(t).as("quality"),
+        langId(t).as("lang_pred"),
+        docFingerprint(t).as("fp")))): _*)
+  }
+}

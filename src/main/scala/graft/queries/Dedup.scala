@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.DedupOps
+
+/** Deduplication inventory over `documents` / `embeddings` (LLM-pipeline
+  * extension — BASELINE.json north star). Oracles re-derive the md5-based
+  * integer signatures in DuckDB, so every comparison is exact.
+  */
+object Dedup extends QuerySet {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      DedupOps.exact(docs(s, dir))
+        .select(col("doc_id"), col("group_size"), col("is_kept"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(docs(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(docs(s, dir))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(DedupOps.simhash(docs(s, dir)))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(docs(s, dir))),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      DedupOps.embeddingCosinePairs(embs(s, dir)))
+  )
+
+  // ---- shared DuckDB fragments --------------------------------------------
+  private val T = raw"string_split_regex(lower(text), '\s+')"
+  private def H(e: String) =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+  /** distinct 3-gram shingles with the <3-token fallback of
+    * GraftFunctions.shingles */
+  private val Sh =
+    s"""CASE WHEN len($T) >= 3
+       | THEN list_distinct(list_transform(range(len($T) - 2),
+       |   i -> $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3]))
+       | ELSE [array_to_string($T, ' ')] END""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+        |FROM documents""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(1, 17), i ->
+         |      list_aggregate(list_transform($Sh, s ->
+         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+         |          % 1000000007), 'min')) AS sig
+         |  FROM documents),
+         |bands AS (
+         |  SELECT id,
+         |    CAST(unnest(range(4)) AS INT) AS band,
+         |    unnest(list_transform(range(4), b ->
+         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+         |  FROM sig),
+         |pairs AS (
+         |  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT id1, id2, n_bands,
+         |  CAST(list_aggregate(list_transform(range(16), i ->
+         |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
+         |    AS DOUBLE) / 16 AS est_jaccard
+         |FROM pairs
+         |JOIN sig s1 ON s1.id = id1
+         |JOIN sig s2 ON s2.id = id2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id, unnest($T) AS tok FROM documents),
+         |votes AS (
+         |  SELECT id, bit,
+         |    SUM(${H("tok || '#' || bit")} % 2 * 2 - 1) AS s
+         |  FROM tk CROSS JOIN (SELECT unnest(range(48)) AS bit)
+         |  GROUP BY id, bit)
+         |SELECT id,
+         |  CAST(SUM(CASE WHEN s > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+         |    ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id, unnest($T) AS tok FROM documents),
+         |votes AS (
+         |  SELECT id, bit,
+         |    SUM(${H("tok || '#' || bit")} % 2 * 2 - 1) AS s
+         |  FROM tk CROSS JOIN (SELECT unnest(range(48)) AS bit)
+         |  GROUP BY id, bit),
+         |sh AS (
+         |  SELECT id,
+         |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+         |        ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY id),
+         |chunked AS (
+         |  SELECT id, simhash,
+         |    CAST(unnest(range(4)) AS INT) AS chunk,
+         |    unnest(list_transform(range(4), c ->
+         |      (simhash >> (c*12)) % 4096)) AS cval
+         |  FROM sh)
+         |SELECT DISTINCT a.id AS id1, b.id AS id2,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM chunked a JOIN chunked b
+         |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, unnest($Sh) AS s FROM documents),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT id1, id2, inter,
+         |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON s1.id = id1
+         |JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_aggregate(list_transform(range(64),
+        |      i -> CAST(embedding AS DOUBLE[])[i+1]
+        |         * CAST(embedding AS DOUBLE[])[i+1]), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  round(list_aggregate(list_transform(range(64),
+        |    i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm), 6) AS cos
+        |FROM v a JOIN v b ON a.id < b.id
+        |WHERE round(list_aggregate(list_transform(range(64),
+        |    i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm), 6)
+        |  > 0.4""".stripMargin
+  )
+}

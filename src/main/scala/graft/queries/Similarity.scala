@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SimilarityOps
+
+/** Similarity-search inventory over `embeddings` (LLM-pipeline extension —
+  * BASELINE.json north star).
+  *
+  * Query set = vec_id % 100 == 0 (small, broadcastable). Cosine scores are
+  * ordered double folds rounded to 6 dp on both engines; LSH bucket ids are
+  * integer-exact (quantized vectors × md5-derived integer hyperplanes).
+  */
+object Similarity extends QuerySet {
+
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKBruteForce(all, all.filter(col("vec_id") % 100 === 0), 10)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKLsh(all, all.filter(col("vec_id") % 100 === 0), 3)
+        .select(col("qid"), col("bucket"), col("nid"), col("rank"), col("cos"))
+    }),
+
+    "sim_lsh_bucket_stats" -> ((s, dir) =>
+      SimilarityOps.lshBuckets(embs(s, dir))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    "sim_label_centroid" -> ((s, dir) =>
+      SimilarityOps.labelCentroids(embs(s, dir)))
+  )
+
+  // ---- DuckDB fragments ---------------------------------------------------
+  private val E = "CAST(embedding AS DOUBLE[])"
+  private def H(e: String) =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+  /** integer LSH bucket of the row's embedding (mirror of
+    * SimilarityOps.lshBucket: fold acc*2+bit over planes 0..7 ≡ bit p gets
+    * weight 2^(7-p)). */
+  private val Bucket =
+    s"""CAST(list_aggregate(list_transform(range(8), p ->
+       |  CASE WHEN list_aggregate(list_transform(range(64), d ->
+       |    (${H("p || '_' || d")} % 2001 - 1000)
+       |      * CAST(round($E[d+1] * 1000000) AS BIGINT)), 'sum') > 0
+       |  THEN (CAST(1 AS BIGINT) << CAST(7 - p AS INT)) ELSE 0 END),
+       |  'sum') AS BIGINT)""".stripMargin
+
+  private val VNorm =
+    s"sqrt(list_aggregate(list_transform(range(64), i -> $E[i+1] * $E[i+1]), 'sum'))"
+
+  override def oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $E AS e, $VNorm AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.id % 100 = 0 AND q.id <> c.id)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $E AS e, $VNorm AS nrm, $Bucket AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.id AS qid, q.bucket AS bucket, c.id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c
+         |    ON q.id % 100 = 0 AND q.id <> c.id AND q.bucket = c.bucket)
+         |SELECT qid, bucket, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, bucket, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "sim_lsh_bucket_stats" ->
+      s"""SELECT $Bucket AS bucket, COUNT(*) AS n
+         |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "sim_label_centroid" ->
+      s"""WITH q AS (
+         |  SELECT label,
+         |    CAST(unnest(range(64)) AS INT) AS dim,
+         |    unnest(list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)))
+         |      AS x
+         |  FROM embeddings)
+         |SELECT label, dim,
+         |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
+         |FROM q GROUP BY label, dim""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps
+
+/** Text-analysis inventory over the `documents` fixture (LLM-pipeline
+  * extension — BASELINE.json north star; no reference counterpart, the
+  * reference is a Flink fork without a text library).
+  *
+  * Oracles mirror the exact integer/rational arithmetic of
+  * [[graft.operators.TextOps]]; the only doubles are final divisions of
+  * integer counts (bit-identical cross-engine).
+  */
+object TextAnalysis extends QuerySet {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // shared DuckDB fragments
+  private val T = raw"string_split_regex(lower(text), '\s+')"
+  private val StopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+        (col("doc_id") +: (TextOps.tokenStats(t) :+
+          TextOps.bpeTokenCount(t).as("n_bpe"))): _*)
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+        (col("doc_id") +: (TextOps.qualitySignals(t) :+
+          TextOps.qualityScore(t).as("quality"))): _*)
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        (TextOps.langId(col("text")) === col("lang")).as("agrees"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.docFingerprint(col("text")).as("fp")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($T) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($T)) AS INT) AS n_distinct,
+         |  CAST(list_aggregate(list_transform($T, x -> length(x)), 'sum')
+         |    AS DOUBLE) / len($T) AS mean_tok_len,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($T, x -> list_contains($StopList, x)))
+         |    AS DOUBLE) / len($T) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |    '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         |    AS punct_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |    AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+         |    AS DOUBLE) / length(text) AS non_ascii_ratio,
+         |  round((
+         |    least(CAST(len($T) AS DOUBLE) / 50.0, 1.0) +
+         |    least(CAST(len(list_filter($T, x -> list_contains($StopList, x)))
+         |      AS DOUBLE) * 10.0 / len($T), 1.0) +
+         |    (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+         |      '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text),
+         |      1.0))) / 3.0, 6) AS quality
+         |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($T, x -> list_contains($StopList, x))) AS stop_cnt,
+         |    len($T) AS n_toks,
+         |    length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+         |      AS non_ascii,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN non_ascii * 10 > n_chars THEN 'non_latin'
+         |       WHEN stop_cnt * 50 >= n_toks THEN 'en'
+         |       ELSE 'unk' END AS lang_pred,
+         |  (CASE WHEN non_ascii * 10 > n_chars THEN 'non_latin'
+         |        WHEN stop_cnt * 50 >= n_toks THEN 'en'
+         |        ELSE 'unk' END) = lang AS agrees
+         |FROM sig""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_aggregate(list_transform(range(len($T)), i ->
+         |    (CAST(concat('0x', substr(md5($T[i+1]), 1, 15)) AS BIGINT)
+         |      % 1000000000039) * (i + 1)), 'sum') AS BIGINT) AS fp
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+/** Invariant tests for the LLM-pipeline operators (dedup / similarity /
+  * text). Exact values are pinned by the DuckDB oracle at sf0.01; these
+  * guard the algebraic properties that must hold on any input.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val embs = Tables.load(spark, sfDir, "embeddings")
+
+  test("dedup_exact: kept-count equals distinct-text count") {
+    val out = DedupOps.exact(docs)
+    val kept = out.filter(col("is_kept")).count()
+    assert(kept == docs.select(col("text")).distinct().count())
+    assert(out.count() == docs.count())
+  }
+
+  test("minhash: signature has 16 in-range entries; est_jaccard in [0,1]") {
+    val sig = docs.limit(20)
+      .select(DedupOps.minhashSignature(col("text")).as("sig"))
+    sig.collect().foreach { r =>
+      val s = r.getSeq[Long](0)
+      assert(s.length == DedupOps.NumPerm)
+      assert(s.forall(v => v >= 0 && v < DedupOps.MinHashP))
+    }
+    DedupOps.minhashLshPairs(docs).collect().foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+    }
+  }
+
+  test("jaccard pairs: 0 < jaccard <= 1 and symmetric-free ordering") {
+    DedupOps.ngramJaccardPairs(docs).collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.2 && j <= 1.0)
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+    }
+  }
+
+  test("simhash: values fit width; identical docs get identical hashes") {
+    val sh = DedupOps.simhash(docs.limit(50))
+    sh.collect().foreach { r =>
+      val v = r.getAs[Long]("simhash")
+      assert(v >= 0 && v < (1L << 48))
+    }
+    // duplicate a doc under a new id: pair must appear at hamming 0
+    val dup = docs.limit(1).select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val pairs = DedupOps.simhashPairs(DedupOps.simhash(docs.limit(1).union(dup)))
+    val exact = pairs.filter(col("hamming") === 0).count()
+    assert(exact == 1)
+  }
+
+  test("topk: ranks are 1..k, cosine within [-1,1], self excluded") {
+    val out = SimilarityOps
+      .topKBruteForce(embs, embs.filter(col("vec_id") % 100 === 0), 5)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("nid"))
+    }
+  }
+
+  test("lsh buckets: deterministic and within 2^8") {
+    val b1 = SimilarityOps.lshBuckets(embs).select(col("nid"), col("bucket"))
+    val b2 = SimilarityOps.lshBuckets(embs).select(col("nid"), col("bucket"))
+    assert(b1.exceptAll(b2).isEmpty)
+    b1.collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < (1L << SimilarityOps.LshBits))
+    }
+  }
+
+  test("lsh topk is a subset-ranking consistent with brute force") {
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val lsh = SimilarityOps.topKLsh(embs, qs, 3)
+    // every LSH neighbor must share the query's bucket by construction;
+    // ranks within a query strictly increase
+    lsh.groupBy(col("qid")).agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("mx") == r.getAs[Long]("n"))
+      }
+  }
+
+  test("text quality: ratios in [0,1], quality in [0,1], langid stable") {
+    TextOps.annotate(docs.limit(100)).collect().foreach { r =>
+      Seq("stopword_ratio", "punct_ratio", "digit_ratio", "non_ascii_ratio",
+        "quality").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+      assert(Seq("en", "unk", "non_latin").contains(r.getAs[String]("lang_pred")))
+    }
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = two.select(TextOps.docFingerprint(col("text")).as("fp"))
+      .collect().map(_.getAs[Long]("fp"))
+    assert(fps(0) != fps(1))
+  }
+}
