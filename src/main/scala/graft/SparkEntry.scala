@@ -23,7 +23,9 @@ object SparkEntry {
     Correlate,
     TextAnalysis,
     Dedup,
-    Similarity
+    Similarity,
+    BatchCore,
+    TypedOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import Exact._
+
+/** Remaining batch DataSet-core inventory (SURVEY §2.1): global sort with
+  * limit/offset (DataSetSort, `DataSetSort.scala:38`), deterministic
+  * sampling (`DataSetUtils.java:89`), zipWithIndex (`DataSetUtils.java:121`),
+  * scalar/IN/EXISTS subqueries (`DataSetSingleRowJoin.scala:42` +
+  * `SubQueryRemoveRule`, `FlinkRuleSets.scala:36-38`), and the plain-SQL
+  * entry point (`TableEnvironment.sqlQuery:555`).
+  */
+object BatchCore extends QuerySet {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // global sort + offset/fetch — total order pinned by unique key suffix
+    "sort_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20).limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // deterministic Bernoulli sample: hash-mod filter — reproducible on any
+    // engine/partitioning, unlike rng-based sample()
+    "sample_hash" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(stableHash(col("c_custkey").cast("string")) % 100 < 10)
+        .select(col("c_custkey"), col("c_acctbal"))),
+
+    // zipWithIndex: contiguous 0-based ids in a pinned total order
+    "zip_with_index" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))) - 1).cast("long").as("idx"))),
+
+    // scalar subquery (single-row join): orders above the exact global mean
+    "sub_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""SELECT o_orderkey, o_totalprice FROM orders
+               |WHERE o_totalprice > (
+               |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               |         / COUNT(*) FROM orders)""".stripMargin)
+    }),
+
+    // IN subquery
+    "sub_in" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+              |""".stripMargin)
+    }),
+
+    // correlated EXISTS / NOT EXISTS
+    "sub_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM orders o
+              |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |""".stripMargin)
+    }),
+
+    // correlated scalar subquery: each customer's orders above their own mean
+    "sub_correlated_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""SELECT o_orderkey, o_custkey FROM orders o1
+               |WHERE o_totalprice > (
+               |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               |         / COUNT(*)
+               |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""".stripMargin)
+    }),
+
+    // SQL entry surface: HAVING + IN over grouped subquery (TPC-H Q18 shape)
+    "sql_having_in" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""SELECT c.c_name, o.o_orderkey, o.o_totalprice
+               |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+               |WHERE o.o_orderkey IN (
+               |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+               |  HAVING ${sqlDsum("l_quantity")} > 250)""".stripMargin)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 20""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 10""".stripMargin,
+
+    "zip_with_index" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |FROM documents""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)""".stripMargin,
+
+    "sub_in" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin,
+
+    "sub_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "sub_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey FROM orders o1
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""".stripMargin,
+
+    "sql_having_in" ->
+      s"""SELECT c.c_name, o.o_orderkey, o.o_totalprice
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum("l_quantity")} > 250)""".stripMargin
+  )
+}

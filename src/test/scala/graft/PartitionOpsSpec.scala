@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PartitionOps
+
+/** Layout assertions for the explicit partitioning directives (content is
+  * unaffected, so the value oracle cannot see these — inspect the RDD
+  * layout directly). */
+class PartitionOpsSpec extends SparkSpecBase {
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+
+  test("byHash: co-locates equal keys and honors partition count") {
+    val parted = PartitionOps.byHash(orders, 8, col("o_custkey"))
+    assert(parted.rdd.getNumPartitions == 8)
+    // every key lives in exactly one partition
+    val spread = parted.withColumn("pid", spark_partition_id())
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("pid")).as("nparts"))
+      .agg(max(col("nparts"))).collect().head.getLong(0)
+    assert(spread == 1)
+  }
+
+  test("byRange: partitions hold disjoint key ranges") {
+    val parted = PartitionOps.byRange(orders, 4, col("o_totalprice"))
+    val ranges = parted.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("lo")).collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+
+  test("rebalance: even round-robin distribution") {
+    val parted = PartitionOps.rebalance(orders, 6)
+    val sizes = parted.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid")).count().collect().map(_.getLong(1))
+    assert(sizes.length == 6)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("sortPartition: rows sorted within each partition, no global shuffle") {
+    val parted = PartitionOps.sortPartition(
+      PartitionOps.byHash(orders, 4, col("o_custkey")), col("o_totalprice"))
+    val violations = parted
+      .mapPartitions { it =>
+        val prices = it.map(_.getAs[Double]("o_totalprice"))
+        var prev = Double.MinValue; var bad = 0
+        prices.foreach { p => if (p < prev) bad += 1; prev = p }
+        Iterator.single(bad)
+      }(org.apache.spark.sql.Encoders.scalaInt)
+      .collect().sum
+    assert(violations == 0)
+  }
+}
