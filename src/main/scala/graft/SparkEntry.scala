@@ -25,7 +25,8 @@ object SparkEntry {
     Dedup,
     Similarity,
     BatchCore,
-    TypedOps
+    TypedOps,
+    Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

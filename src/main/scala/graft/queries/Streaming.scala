@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{BroadcastedSideInput, EventStream, KeyedSideInput, SideInput, StatefulOps}
+
+/** Structured Streaming inventory (SURVEY §2.2 / M3-M4) — every query runs a
+  * REAL streaming query (file source → state → memory sink,
+  * Trigger.AvailableNow) whose end-of-stream result equals the batch
+  * semantics, so the DuckDB oracle pins streaming correctness exactly.
+  *
+  * Incremental multi-batch behavior (watermarks dropping late data,
+  * cross-batch state) is covered by StreamingSpec with MemoryStream.
+  */
+object Streaming extends QuerySet {
+
+  import EventStream.EventRow
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    EventStream.read(s, dir)
+
+  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling event-time window aggregate (DataStreamGroupWindowAggregate)
+    "stream_tumble_agg" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "complete")
+    }),
+
+    // unbounded keyed running aggregate (DataStreamGroupAggregate) — the
+    // end-of-stream value of the update stream
+    "stream_running_agg" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+      EventStream.runToTable(s, agg, "complete")
+    }),
+
+    // session windows with 30-minute gap (merging session state)
+    "stream_session" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("user_id"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "complete")
+    }),
+
+    // keyed side input (PROTEUS): stream–static equi join enrichment
+    "stream_static_join" -> ((s, dir) => {
+      val side = KeyedSideInput(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        Seq("user_id"))
+      val joined = SideInput.withSideInput(events(s, dir), side)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // broadcast side input (PROTEUS): replicated small table + left join
+    "stream_broadcast_side" -> ((s, dir) => {
+      val building = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val joined = SideInput.withSideInput(events(s, dir),
+          BroadcastedSideInput(building),
+          Some(col("user_id") === col("c_custkey")), "left_outer")
+        .select(col("event_id"), col("user_id"),
+          col("c_custkey").isNotNull.as("is_building"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // interval (time-bounded) stream-stream join: click → purchase within
+    // 10 minutes, same user (DataStreamWindowJoin)
+    "stream_interval_join" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // stateful streaming dedup (dropDuplicates state store)
+    "stream_dedup" -> ((s, dir) => {
+      val dd = events(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      EventStream.runToTable(s, dd, "append")
+    }),
+
+    // custom count windows over flatMapGroupsWithState (KeyedStream
+    // .countWindow — no Spark equivalent)
+    "stream_count_window" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.countWindows(
+        events(s, dir).as[EventRow], size = 10).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
+    // custom streaming OVER: per-row running aggregates in event-time order
+    // (DataStreamOverAggregate / RowTimeUnboundedOver)
+    "stream_over_rows" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.overRowsUnbounded(events(s, dir).as[EventRow]).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
+    // custom event-time ordered emission (DataStreamSort)
+    "stream_sorted_emit" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.sortedEmit(events(s, dir).as[EventRow]).toDF()
+      EventStream.runToTable(s, out, "append")
+    })
+  )
+
+  // DuckDB mirrors: events.ts nanos truncate to µs like the Spark readers
+  private val tumble1h =
+    "to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))::TIMESTAMP"
+  private val C = "CAST(round(value * 100) AS BIGINT)"
+
+  override def oracle: Map[String, String] = Map(
+    "stream_tumble_agg" ->
+      s"""SELECT $tumble1h AS w_start, $tumble1h + INTERVAL 1 HOUR AS w_end,
+         |  event_type, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_running_agg" ->
+      s"""SELECT user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "stream_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+         |  user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "stream_broadcast_side" ->
+      """SELECT e.event_id, e.user_id, b.c_custkey IS NOT NULL AS is_building
+        |FROM events e LEFT JOIN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+        |ON e.user_id = b.c_custkey""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_count_window" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, $C AS cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS rn
+         |  FROM events)
+         |SELECT user_id, CAST(rn // 10 AS BIGINT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM seq GROUP BY user_id, rn // 10
+         |HAVING COUNT(*) = 10""".stripMargin,
+
+    "stream_over_rows" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(row_number() OVER w AS BIGINT) AS run_cnt,
+         |  CAST(SUM($C) OVER w AS BIGINT) AS run_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "stream_sorted_emit" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS seq_no,
+        |  event_id
+        |FROM events""".stripMargin
+  )
+}

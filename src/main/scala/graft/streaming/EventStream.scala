@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Streaming ingestion of the `events` fixture + run helpers.
+  *
+  * The events table replays through Spark's file streaming source
+  * (`readStream.parquet`) — the real Structured Streaming scan, state and
+  * sink machinery run end-to-end; `Trigger.AvailableNow` drains the input and
+  * terminates, so end-of-stream results are comparable against the batch
+  * (DuckDB) oracle. Incremental multi-batch behavior is exercised separately
+  * with `MemoryStream` in StreamingSpec.
+  */
+object EventStream {
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
+
+  /** Raw parquet schema — ts is INT64 TIMESTAMP(NANOS), read as long (the
+    * session sets spark.sql.legacy.parquet.nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming view of `events` with a proper µs TimestampType `ts`
+    * (integer ns→µs division — same as the batch loader).
+    *
+    * The file streaming source requires a directory; the fixture is a single
+    * read-only file, so it is staged once as a symlink in a scratch dir. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
+    spark.readStream.schema(rawSchema).parquet(stageDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def stageDir(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-src", Integer.toHexString(dir.hashCode))
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) {
+      Files.createDirectories(stage)
+      Files.createSymbolicLink(link, src)
+    }
+    stage.toString
+  }
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion into a memory sink, return the
+    * result table. `AvailableNow` processes the full backlog then stops. */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{EventStream, RetractStream, StatefulOps}
+import EventStream.EventRow
+
+/** Incremental (multi-micro-batch) Structured Streaming behavior: watermarks
+  * dropping late data, cross-batch state in the custom operators, update-mode
+  * emission, retract reconstruction. End-of-stream value correctness is
+  * pinned by the DuckDB oracle (queries/Streaming.scala); these specs cover
+  * what the oracle cannot see — behavior BETWEEN batches.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String = "click",
+                 value: Double = 1.0): EventRow =
+    EventRow(id, new Timestamp(3600000L + minute * 60000L), user, typ, value, "{}")
+
+  private def mem(): MemoryStream[EventRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    MemoryStream[EventRow]
+  }
+
+  test("watermark drops late rows from tumbling append aggregation") {
+    val input = mem()
+    val agg = input.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in window [60,70); advances watermark to max-5m
+      input.addData(ev(1, 1, 7), ev(2, 3, 7))
+      q.processAllAvailable()
+      // batch 2: jump to minute 30 — watermark 25 > window end 10 → emit w0
+      input.addData(ev(3, 30, 7))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the closed window — must be dropped
+      input.addData(ev(4, 2, 7))
+      q.processAllAvailable()
+      // batch 4: advance far so the minute-30 window also closes
+      input.addData(ev(5, 60, 7))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+        .map(r => (r.getAs[Timestamp]("w_start").getTime / 60000, r.getAs[Long]("n")))
+        .toMap
+      assert(rows(60) == 2, s"closed window must NOT include the late row: $rows")
+      assert(rows(90) == 1)
+    } finally q.stop()
+  }
+
+  test("count windows maintain state across micro-batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.countWindows(input.toDS(), size = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("cw_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 5), ev(2, 2, 5))     // pending 2 — no emission
+      q.processAllAvailable()
+      assert(spark.table("cw_test").count() == 0)
+      input.addData(ev(3, 3, 5), ev(4, 4, 5))     // completes window 0
+      q.processAllAvailable()
+      val w0 = spark.table("cw_test").as[StatefulOps.CountWindowOut].collect()
+      assert(w0.length == 1 && w0.head.win_idx == 0 && w0.head.n_events == 3)
+      input.addData(ev(5, 5, 5), ev(6, 6, 5))     // completes window 1
+      q.processAllAvailable()
+      val all = spark.table("cw_test").as[StatefulOps.CountWindowOut].collect()
+      assert(all.map(_.win_idx).sorted.toSeq == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming OVER continues running totals across batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.overRowsUnbounded(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("over_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 9, value = 2.0), ev(2, 2, 9, value = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 9, value = 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("over_test").as[StatefulOps.OverOut].collect()
+        .sortBy(_.run_cnt)
+      assert(rows.map(_.run_cents).toSeq == Seq(200L, 500L, 1000L))
+    } finally q.stop()
+  }
+
+  test("retract adapter emits (retract, add) pairs for updated keys") {
+    import spark.implicits._
+    val input = mem()
+    val agg = input.toDF().groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // run in two explicit batches via the adapter's update-mode foreachBatch
+    val rs = new RetractStream(Seq("user_id"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        rs.onBatch(b, id))
+      .start()
+    try {
+      input.addData(ev(1, 1, 3), ev(2, 2, 3))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 3))
+      q.processAllAvailable()
+      val ch = rs.changes.map { case (add, r) =>
+        (add, r.getAs[Long]("user_id"), r.getAs[Long]("n")) }
+      assert(ch == Seq((true, 3L, 2L), (false, 3L, 2L), (true, 3L, 3L)))
+      assert(rs.snapshot.map(_.getAs[Long]("n")) == Seq(3L))
+    } finally q.stop()
+  }
+
+  test("end-of-stream file-source results equal batch semantics (smoke)") {
+    val out = SparkEntry.queries("stream_running_agg")(spark, sfDir)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+}
