@@ -26,7 +26,8 @@ object SparkEntry {
     Similarity,
     BatchCore,
     TypedOps,
-    Streaming
+    Streaming,
+    CepQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
