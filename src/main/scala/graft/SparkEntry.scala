@@ -27,7 +27,9 @@ object SparkEntry {
     BatchCore,
     TypedOps,
     Streaming,
-    CepQueries
+    CepQueries,
+    GraphQueries,
+    MlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

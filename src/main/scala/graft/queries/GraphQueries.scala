@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{Graph, GraphAlgorithms}
+
+/** Graph inventory (SURVEY §2.8 Gelly): deterministic fixture-derived graphs
+  * whose algorithm results have independent closed forms the DuckDB oracle
+  * can state directly — the oracle is ground truth, not a re-run of the
+  * algorithm.
+  *
+  *  - chain graph: documents 0..N linked i→i+1 within blocks of 10
+  *    (components and in-block prefix distances are closed-form);
+  *  - bipartite graph: customers ↔ nation hubs (components = nations).
+  */
+object GraphQueries extends QuerySet {
+
+  /** doc chain: edges i→i+1 unless i ends a 10-block; weight (i%3)+1. */
+  private def chainGraph(s: SparkSession, dir: String): Graph = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id").as("vid"))
+    val edges = docs.filter(col("vid") % 10 =!= 9)
+      .select(col("vid").as("src"), (col("vid") + 1).as("dst"),
+        (col("vid") % 3 + 1).cast("long").as("weight"))
+    Graph(docs, edges)
+  }
+
+  /** customers ↔ nation hub vertices (hub vid = 1000000 + nationkey). */
+  private def bipartiteGraph(s: SparkSession, dir: String): Graph = {
+    val cust = Tables.load(s, dir, "customer")
+    val vertices = cust.select(col("c_custkey").as("vid"))
+      .union(cust.select((col("c_nationkey") + 1000000L).as("vid")).distinct())
+    val edges = cust.select(col("c_custkey").as("src"),
+      (col("c_nationkey") + 1000000L).as("dst"))
+    Graph(vertices, edges)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // min-label propagation down 10-chains: needs the full iteration depth
+    "graph_cc_chain" -> ((s, dir) =>
+      GraphAlgorithms.connectedComponents(chainGraph(s, dir), maxIter = 15)),
+
+    // star components around nation hubs
+    "graph_cc_bipartite" -> ((s, dir) =>
+      GraphAlgorithms.connectedComponents(bipartiteGraph(s, dir), maxIter = 5)),
+
+    // multi-source SSSP from every block head
+    "graph_sssp_chain" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      val sources = g.vertices.filter(col("vid") % 10 === 0)
+      GraphAlgorithms.shortestPaths(g, sources, maxIter = 15)
+    }),
+
+    // PageRank on the chain graph — no SQL-expressible oracle (floating
+    // sums over shuffles); driver records the weaker rows-only check and
+    // GraphSpec pins exact values on a hand-computed graph
+    "graph_pagerank" -> ((s, dir) =>
+      GraphAlgorithms.pageRank(chainGraph(s, dir), iters = 5)
+        .select(col("vid"), round(col("rank"), 9).as("rank")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // component = block head (min label in the chain)
+    "graph_cc_chain" ->
+      """SELECT doc_id AS vid, doc_id - doc_id % 10 AS comp
+        |FROM documents""".stripMargin,
+
+    // component = min customer key of the nation (customer keys < 1e6)
+    "graph_cc_bipartite" ->
+      """WITH comp AS (
+        |  SELECT c_nationkey, MIN(c_custkey) AS comp
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c.c_custkey AS vid, comp.comp AS comp
+        |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey
+        |UNION ALL
+        |SELECT DISTINCT c.c_nationkey + 1000000 AS vid, comp.comp AS comp
+        |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey""".stripMargin,
+
+    // distance = prefix sum of (i%3)+1 weights from the block head
+    "graph_sssp_chain" ->
+      """SELECT doc_id AS vid,
+        |  CAST(coalesce(SUM(doc_id % 3 + 1) OVER (
+        |    PARTITION BY doc_id // 10 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS dist
+        |FROM documents""".stripMargin
+  )
+}
