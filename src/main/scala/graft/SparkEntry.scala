@@ -29,7 +29,8 @@ object SparkEntry {
     Streaming,
     CepQueries,
     GraphQueries,
-    MlQueries
+    MlQueries,
+    IoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Multimodal columns: media as opaque `binary` + typed metadata
+  * (BASELINE.json north-star operator family; no reference counterpart).
+  *
+  * Spark-side plumbing is real — binary columns, schema, partition-friendly
+  * per-row transforms, frame explosion; the actual codec work is STUBBED
+  * (no image/audio libraries ship in this container):
+  * [[realDecode]] is `???` behind a flag and [[fakeDecode]] derives
+  * deterministic pseudo-metadata from the bytes, so the pipeline shape
+  * (including the oracle comparison) is fully exercised.
+  *
+  * At 100 TB: media tables should be stored with the binary column LAST in
+  * wide parquet row groups, metadata columns first (column pruning lets
+  * metadata-only queries skip the blobs entirely); decode/feature stages are
+  * narrow per-row maps (`mapPartitions`-shaped, one codec init per
+  * partition), so they pipeline inside the scan stage with no shuffle.
+  */
+object MultimodalOps {
+
+  /** Real decoder entry point — intentionally unimplemented here: the
+    * container has no codec libraries. Deployments install e.g. javacv and
+    * swap this in; everything downstream is codec-agnostic. */
+  def realDecode(bytes: Array[Byte]): (Int, Int) = ???
+
+  /** Deterministic stand-in "decode": pseudo width/height derived from a
+    * stable hash of the bytes. Same arithmetic is mirrored in the oracle. */
+  def fakeWidth(bytes: Column): Column = stableHash(bytes.cast("string")) % 1280 + 1
+  def fakeHeight(bytes: Column): Column = stableHash(bytes.cast("string")) % 720 + 1
+
+  /** View the documents fixture as a media table: the text payload becomes
+    * an opaque binary column with typed metadata alongside. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("bytes"))
+
+  /** Per-media feature extraction: byte length, content digest, stubbed
+    * decode metadata. Narrow map — no shuffle, codegen throughout. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"),
+      length(col("bytes")).as("n_bytes"),
+      md5(col("bytes")).as("digest"),
+      fakeWidth(col("bytes")).as("width"),
+      fakeHeight(col("bytes")).as("height"))
+
+  /** Fixed-count frame sampling for video rows: split the payload into
+    * `frames` contiguous byte ranges (a real implementation seeks to
+    * keyframes; the slicing plumbing is identical). */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
+    val total = length(col("bytes"))
+    // NB Column./ is double division — cast back for an integer ceil
+    val frameLen = ((total + frames - 1) / frames).cast("int")
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        posexplode(sequence(lit(0), lit(frames - 1))).as(Seq("frame_idx", "f")),
+        col("bytes"), frameLen.as("flen"))
+      .select(col("media_id"), col("frame_idx"),
+        col("bytes").substr(col("frame_idx") * col("flen") + 1, col("flen"))
+          .as("frame_bytes"))
+      .filter(length(col("frame_bytes")) > 0)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_digest"))
+  }
+}

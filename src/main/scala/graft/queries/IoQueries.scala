@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.MultimodalOps
+import graft.sources.IoOps
+
+/** Source/sink + multimodal inventory (SURVEY §2.7 + north-star media ops).
+  * Round-trip queries push a fixture table through a real on-disk format and
+  * read it back — the oracle compares against the original table, so format
+  * fidelity (types, quoting, nulls) is what's tested.
+  */
+object IoQueries extends QuerySet {
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV round trip with quoting (values contain the delimiter)
+    "io_csv_roundtrip" -> ((s, dir) => {
+      val path = IoOps.scratch("nation_csv")
+      val n = Tables.load(s, dir, "nation")
+        .withColumn("tricky", concat(col("n_name"), lit(",x\"y")))
+      IoOps.writeCsv(n, path)
+      IoOps.readCsv(s, path,
+        nationSchema.add(StructField("tricky", StringType)))
+    }),
+
+    // CSV parsing options: comments + lenient (malformed rows dropped)
+    "io_csv_options" -> ((s, dir) => {
+      val path = IoOps.scratch("csv_options") + "/data.csv"
+      val content = Seq(
+        "# comment line to skip",
+        "1,\"alpha, with comma\",10",
+        "2,\"quoted \"\"inner\"\" text\",20",
+        "not_an_int,broken,row",
+        "3,plain,30").mkString("\n")
+      val p = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+      // RFC-4180 doubled quotes need escape == quote char
+      IoOps.readCsv(s, path, StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("name", StringType),
+        StructField("v", IntegerType))), lenient = true, escape = "\"")
+    }),
+
+    // JSON round trip (nested-capable format; types preserved via schema)
+    "io_json_roundtrip" -> ((s, dir) => {
+      val path = IoOps.scratch("orders_json")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      IoOps.writeJson(o, path)
+      IoOps.readJson(s, path, StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderstatus", StringType))))
+    }),
+
+    // ORC round trip
+    "io_orc_roundtrip" -> ((s, dir) => {
+      val path = IoOps.scratch("supplier_orc")
+      IoOps.writeOrc(Tables.load(s, dir, "supplier"), path)
+      IoOps.readOrc(s, path)
+    }),
+
+    // partitioned sink: write partitioned by key, read back one partition —
+    // partition pruning must reconstruct the column from the path
+    "io_partitioned_read" -> ((s, dir) => {
+      val path = IoOps.scratch("customer_part")
+      IoOps.writePartitioned(
+        Tables.load(s, dir, "customer"), path, "c_mktsegment")
+      s.read.parquet(path)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // multimodal: binary media features with stubbed decode
+    "media_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")))),
+
+    // multimodal: deterministic frame sampling of video payloads
+    "media_frame_sample" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")),
+        frames = 4))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "io_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  n_name || ',x"y' AS tricky FROM nation""".stripMargin,
+
+    "io_csv_options" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'alpha, with comma', 10),
+        |  (2, 'quoted "inner" text', 20),
+        |  (3, 'plain', 30)) t(id, name, v)""".stripMargin,
+
+    "io_json_roundtrip" ->
+      "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+
+    "io_orc_roundtrip" ->
+      "SELECT * FROM supplier",
+
+    "io_partitioned_read" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1280 + 1
+        |    AS width,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 720 + 1
+        |    AS height
+        |FROM documents""".stripMargin,
+
+    "media_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text,
+        |    (length(text) + 3) // 4 AS flen
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id,
+        |    CAST(unnest(range(4)) AS INT) AS frame_idx,
+        |    unnest(list_transform(range(4),
+        |      i -> substr(text, CAST(i * flen + 1 AS INT), CAST(flen AS INT))))
+        |      AS frame
+        |  FROM v)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(frame) AS INT) AS frame_len,
+        |  md5(frame) AS frame_digest
+        |FROM f WHERE length(frame) > 0""".stripMargin
+  )
+}
