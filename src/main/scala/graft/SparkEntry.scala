@@ -30,7 +30,10 @@ object SparkEntry {
     CepQueries,
     GraphQueries,
     MlQueries,
-    IoQueries
+    IoQueries,
+    TableApi,
+    UdxQueries,
+    AsyncQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
