@@ -16,7 +16,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query residue (localCheckpoint RDDs, memory-sink tables) —
+      // 120+ queries in one JVM otherwise accumulate storage until GC thrash
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

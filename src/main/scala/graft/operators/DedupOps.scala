@@ -83,10 +83,11 @@ object DedupOps {
     * pair groupBy, both on small uniformly-hashed keys. */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    // the aggregation barrier in minhashSignatures materializes the
-    // signatures once — the band explode + self-join below reference plain
-    // attributes instead of re-evaluating the md5 pipeline per branch
-    val sigs = minhashSignatures(docs, textCol, idCol, n)
+    // materialize the signatures ONCE: the band explode + the two est-
+    // jaccard joins would otherwise each replay the full md5 pipeline
+    // (Catalyst plans self-join branches independently). localCheckpoint
+    // cuts the plan; at cluster scale use persist(DISK_ONLY) instead.
+    val sigs = minhashSignatures(docs, textCol, idCol, n).localCheckpoint()
     val bands = sigs.select(col("id"),
       posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
     val a = bands.as("a"); val b = bands.as("b")
@@ -160,8 +161,11 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
                         minJaccard: Double = 0.2): DataFrame = {
+    // one tokenize+shingle pass feeds the index, the sizes, and both join
+    // sides — materialize it instead of replaying the text pipeline 4x
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))

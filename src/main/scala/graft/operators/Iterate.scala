@@ -15,7 +15,9 @@ import org.apache.spark.sql.DataFrame
 object Iterate {
 
   /** Bulk iteration: repeat `step` until `maxIter` or until `converged`
-    * (old, new) returns true. */
+    * (old, new) returns true. The convergence predicate launches extra jobs,
+    * so it is only evaluated at checkpoint strides — a few overshoot rounds
+    * are cheaper than doubling the job count. */
   def bulk(init: DataFrame, maxIter: Int, checkpointEvery: Int = 5,
            converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)
           (step: DataFrame => DataFrame): DataFrame = {
@@ -23,11 +25,9 @@ object Iterate {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      val next0 = step(cur)
-      val next =
-        if ((i + 1) % checkpointEvery == 0) next0.localCheckpoint()
-        else next0
-      if (converged(cur, next)) done = true
+      val atStride = (i + 1) % checkpointEvery == 0
+      val next = if (atStride) step(cur).localCheckpoint() else step(cur)
+      if (atStride && converged(cur, next)) done = true
       cur = next
       i += 1
     }
