@@ -14,6 +14,7 @@ object SparkEntry {
   /** All query sets, in SURVEY §2 inventory order. */
   def sets: Seq[QuerySet] = Seq(
     Tpch,
+    Tpch2,
     Aggregates,
     Joins,
     SetOps,

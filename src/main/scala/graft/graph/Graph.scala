@@ -91,6 +91,23 @@ object GraphAlgorithms {
         .otherwise(col("dist")).as("dist"))
   }
 
+  /** Triangle enumeration (reference `library/TriangleEnumerator`): orient
+    * edges low→high, build wedges by joining on the middle vertex, close
+    * each wedge against the oriented edge set. Two equi-joins on vertex
+    * ids — the standard distributed formulation; skew mitigation at scale
+    * = AQE skew-join on hub vertices. */
+  def triangles(g: Graph): DataFrame = {
+    val oriented = g.undirectedEdges
+      .filter(col("src") < col("dst")).distinct().localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    wedges.join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** PageRank, fixed-iteration (reference `library/linkanalysis/PageRank`).
     * Double-precision sums shuffle in nondeterministic order, so exact
     * cross-engine hashes are not defined for this op — correctness is pinned

@@ -56,7 +56,18 @@ object GraphQueries extends QuerySet {
     // GraphSpec pins exact values on a hand-computed graph
     "graph_pagerank" -> ((s, dir) =>
       GraphAlgorithms.pageRank(chainGraph(s, dir), iters = 5)
-        .select(col("vid"), round(col("rank"), 9).as("rank")))
+        .select(col("vid"), round(col("rank"), 9).as("rank"))),
+
+    // triangle enumeration on chain + skip-2 edges (closed-form triangles
+    // (i, i+1, i+2) inside each 10-block)
+    "graph_triangles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id").as("vid"))
+      val e1 = docs.filter(col("vid") % 10 =!= 9)
+        .select(col("vid").as("src"), (col("vid") + 1).as("dst"))
+      val e2 = docs.filter(col("vid") % 10 <= 7)
+        .select(col("vid").as("src"), (col("vid") + 2).as("dst"))
+      GraphAlgorithms.triangles(Graph(docs, e1.union(e2)))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -75,6 +86,14 @@ object GraphQueries extends QuerySet {
         |UNION ALL
         |SELECT DISTINCT c.c_nationkey + 1000000 AS vid, comp.comp AS comp
         |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey""".stripMargin,
+
+    // triangles (i, i+1, i+2) require both chain edges and the skip edge —
+    // i%10 <= 7 keeps all three vertices inside one block
+    "graph_triangles" ->
+      """SELECT doc_id AS a, doc_id + 1 AS b, doc_id + 2 AS c
+        |FROM documents
+        |WHERE doc_id % 10 <= 7
+        |  AND doc_id + 2 <= (SELECT MAX(doc_id) FROM documents)""".stripMargin,
 
     // distance = prefix sum of (i%3)+1 weights from the block head
     "graph_sssp_chain" ->

@@ -126,6 +126,38 @@ object Streaming extends QuerySet {
       import s.implicits._
       val out = StatefulOps.sortedEmit(events(s, dir).as[EventRow]).toDF()
       EventStream.runToTable(s, out, "append")
+    }),
+
+    // windowed stream coGroup (CoGroupedStreams): the two per-type streams
+    // are unioned (stream-stream complete-mode joins are unsupported) and
+    // co-aggregated per (key, window) — the per-window pairing of both
+    // groups, zeros for the absent side, exactly the coGroup contract
+    "stream_window_cogroup" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+      val cog = clicks.union(purchases)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .select(col("w.start").as("w_start"), col("user_id"),
+          col("n_clicks"), col("n_purchases"))
+      EventStream.runToTable(s, cog, "complete")
+    }),
+
+    // session windows with per-event dynamic gap (purchases hold the
+    // session open for 60 min, everything else 30 min)
+    "stream_session_dynamic" -> ((s, dir) => {
+      val gap = when(col("event_type") === "purchase", "60 minutes")
+        .otherwise("30 minutes")
+      val agg = events(s, dir)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"), col("user_id"), col("n"))
+      EventStream.runToTable(s, agg, "complete")
     })
   )
 
@@ -206,6 +238,44 @@ object Streaming extends QuerySet {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS BIGINT) AS seq_no,
         |  event_id
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "stream_window_cogroup" ->
+      s"""WITH c AS (
+         |  SELECT $tumble1h AS w_start, user_id, COUNT(*) AS n_clicks
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |p AS (
+         |  SELECT $tumble1h AS w_start, user_id, COUNT(*) AS n_purchases
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT coalesce(c.w_start, p.w_start) AS w_start,
+         |  coalesce(c.user_id, p.user_id) AS user_id,
+         |  coalesce(c.n_clicks, 0) AS n_clicks,
+         |  coalesce(p.n_purchases, 0) AS n_purchases
+         |FROM c FULL OUTER JOIN p
+         |  ON c.user_id = p.user_id AND c.w_start = p.w_start""".stripMargin,
+
+    // dynamic-gap sessions merge on window overlap: an event opens
+    // [ts, ts+gap); a session breaks when ts >= running max of previous
+    // window ends; merged session end = max end
+    "stream_session_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+        |              ELSE INTERVAL 30 MINUTE END AS w_end
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, w_end,
+        |    CASE WHEN MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts, w_end,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS w_start, MAX(w_end) AS w_end, user_id,
+        |  COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }
