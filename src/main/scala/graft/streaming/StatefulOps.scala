@@ -80,6 +80,46 @@ object StatefulOps {
       }
   }
 
+  // ---- connected streams / CoProcessFunction ------------------------------
+
+  /** Tagged element of a two-typed connected stream. */
+  case class CoEvent[A, B](key: Long, ts: Long, seq: Long,
+                           left: Option[A], right: Option[B])
+
+  /** Connect two keyed streams and run a CoProcessFunction-style handler
+    * with shared per-key state (reference `ConnectedStreams.java:58`,
+    * `CoProcessFunction.java:48`). Implementation: tag-union the streams,
+    * key by the shared key, and fold both element kinds through one
+    * `flatMapGroupsWithState` machine in (ts, seq) order. */
+  def coProcess[A, B, S, O](left: Dataset[CoEvent[A, B]],
+                            right: Dataset[CoEvent[A, B]],
+                            zero: S)
+                           (onLeft: (S, A) => (S, Iterator[O]),
+                            onRight: (S, B) => (S, Iterator[O]))
+                           (implicit se: org.apache.spark.sql.Encoder[S],
+                            oe: org.apache.spark.sql.Encoder[O],
+                            ce: org.apache.spark.sql.Encoder[CoEvent[A, B]],
+                            ke: org.apache.spark.sql.Encoder[Long]): Dataset[O] = {
+    left.union(right)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[CoEvent[A, B]], state: GroupState[S]) =>
+          var s = state.getOption.getOrElse(zero)
+          val out = scala.collection.mutable.ArrayBuffer[O]()
+          it.toSeq.sortBy(e => (e.ts, e.seq)).foreach { e =>
+            val (s2, os) = (e.left, e.right) match {
+              case (Some(a), _) => onLeft(s, a)
+              case (_, Some(b)) => onRight(s, b)
+              case _ => (s, Iterator.empty)
+            }
+            s = s2
+            out ++= os
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   // ---- event-time sorted emit (DataStreamSort subset) ---------------------
 
   case class SortedOut(user_id: Long, seq_no: Long, event_id: Long)

@@ -116,6 +116,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("coProcess: two connected streams share per-key state") {
+    import spark.implicits._
+    import StatefulOps.CoEvent
+    implicit val sqlCtx = spark.sqlContext
+    // left stream sets a per-key budget; right stream spends against it
+    val budgets = MemoryStream[CoEvent[Long, Long]]
+    val spends = MemoryStream[CoEvent[Long, Long]]
+    val out = StatefulOps.coProcess[Long, Long, Long, (Long, Long, String)](
+      budgets.toDS(), spends.toDS(), zero = 0L)(
+      onLeft = (s, budget) => (s + budget, Iterator.empty),
+      onRight = (s, spend) =>
+        if (spend <= s) (s - spend, Iterator.single((spend, s - spend, "ok")))
+        else (s, Iterator.single((spend, s, "rejected"))))
+    val q = out.toDF("amount", "remaining", "status").writeStream
+      .format("memory").queryName("coproc").outputMode("append").start()
+    try {
+      budgets.addData(CoEvent[Long, Long](1L, 10L, 1L, Some(100L), None))
+      q.processAllAvailable()
+      spends.addData(CoEvent[Long, Long](1L, 20L, 2L, None, Some(30L)),
+        CoEvent[Long, Long](1L, 30L, 3L, None, Some(90L)))
+      q.processAllAvailable()
+      val rows = spark.table("coproc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == Set((30L, 70L, "ok"), (90L, 70L, "rejected")))
+    } finally q.stop()
+  }
+
+  test("rate source produces rows (built-in streaming source smoke)") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .writeStream.format("memory").queryName("rate_smoke")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("rate_smoke").columns.toSet == Set("timestamp", "value"))
+      assert(spark.table("rate_smoke").count() > 0)
+    } finally q.stop()
+  }
+
   test("end-of-stream file-source results equal batch semantics (smoke)") {
     val out = SparkEntry.queries("stream_running_agg")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
