@@ -180,6 +180,23 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** End-to-end corpus dedup: exact layer (digest groups keep the lowest
+    * id) then near-dup layer (MinHash LSH candidates with estimated
+    * jaccard ≥ `minJaccard`; the higher id of each pair is dropped — the
+    * standard greedy keep-first policy). Returns the surviving documents.
+    * Composition of hash-partitioned stages only — the full pipeline a
+    * training-data run executes at scale. */
+  def dedupCorpus(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minJaccard: Double = 0.5): DataFrame = {
+    val kept = exact(docs, textCol, idCol).filter(col("is_kept"))
+      .drop("is_kept", "group_size")
+    val drops = minhashLshPairs(kept, textCol, idCol)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id2").as(idCol)).distinct()
+    kept.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-duplicates above `minCos`. Brute-force all-pairs
     * — the exact baseline; use [[SimilarityOps.lshBuckets]] blocking for the
     * 100 TB path. Norms are precomputed once per row before the join. */

@@ -99,6 +99,50 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style partitioned ANN: assign every vector to its nearest "coarse
+    * centroid" (here: a deterministic seed set — the first `cells` corpus
+    * vectors; production swaps in k-means centroids), then probe only the
+    * query's cell. Assignment uses integer-quantized squared distance
+    * (‖a−b‖² expanded as iqdot terms), so cell ids are cross-engine exact.
+    * At 100 TB the corpus is written bucketed by `cell`; a probe touches
+    * 1/cells of the data. */
+  def ivfAssign(corpus: DataFrame, seeds: DataFrame,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val qv = quantize(col(vecCol))
+    val seedRows = seeds.select(col(idCol).as("cid"), quantize(col(vecCol)).as("cv"))
+    // dist²(a,c) = Σ(a−c)² in quantized ints; argmin by (dist, cid)
+    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+        qv.as("qv"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("d2"), col("cid"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("nid"), col("v"), l2norm(col("v")).as("nrm"),
+        col("cid").as("cell"))
+  }
+
+  /** IVF top-k: probe the query's own cell only. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < cells)
+    val c = ivfAssign(corpus, seeds, vecCol, idCol)
+    val q = ivfAssign(queries, seeds, vecCol, idCol)
+      .select(col("nid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val scored = c.join(broadcast(q),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("cell"), col("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-label centroids in exact integer arithmetic: dims are quantized
     * (×1e6, round) so the cross-row sum is associative, then the mean is
     * surfaced as a rounded double. Output one row per (label, dim) —

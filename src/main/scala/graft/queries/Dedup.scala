@@ -32,7 +32,10 @@ object Dedup extends QuerySet {
       DedupOps.ngramJaccardPairs(docs(s, dir))),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
-      DedupOps.embeddingCosinePairs(embs(s, dir)))
+      DedupOps.embeddingCosinePairs(embs(s, dir))),
+
+    "dedup_pipeline" -> ((s, dir) =>
+      DedupOps.dedupCorpus(docs(s, dir)).select(col("doc_id")))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -134,6 +137,41 @@ object Dedup extends QuerySet {
          |JOIN sizes s1 ON s1.id = id1
          |JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.2""".stripMargin,
+
+    // survivors: exact-kept docs minus the higher id of every LSH pair with
+    // est_jaccard >= 0.5 (greedy keep-first)
+    "dedup_pipeline" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+         |    FROM documents) WHERE is_kept),
+         |sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(1, 17), i ->
+         |      list_aggregate(list_transform($Sh, s ->
+         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+         |          % 1000000007), 'min')) AS sig
+         |  FROM kept),
+         |bands AS (
+         |  SELECT id,
+         |    CAST(unnest(range(4)) AS INT) AS band,
+         |    unnest(list_transform(range(4), b ->
+         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+         |  FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+         |drops AS (
+         |  SELECT DISTINCT id2 FROM pairs
+         |  JOIN sig s1 ON s1.id = id1
+         |  JOIN sig s2 ON s2.id = id2
+         |  WHERE CAST(list_aggregate(list_transform(range(16), i ->
+         |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
+         |    AS DOUBLE) / 16 >= 0.5)
+         |SELECT doc_id FROM kept
+         |WHERE doc_id NOT IN (SELECT id2 FROM drops)""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH v AS (

@@ -34,7 +34,14 @@ object Similarity extends QuerySet {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
 
     "sim_label_centroid" -> ((s, dir) =>
-      SimilarityOps.labelCentroids(embs(s, dir)))
+      SimilarityOps.labelCentroids(embs(s, dir))),
+
+    "sim_topk_ivf" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKIvf(all, all.filter(col("vec_id") % 100 === 0),
+          k = 3, cells = 16)
+        .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    })
   )
 
   // ---- DuckDB fragments ---------------------------------------------------
@@ -87,6 +94,35 @@ object Similarity extends QuerySet {
     "sim_lsh_bucket_stats" ->
       s"""SELECT $Bucket AS bucket, COUNT(*) AS n
          |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, v.e, v.nrm, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cid) AS rk FROM assign) WHERE rk = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.cell AS cell, c.vec_id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM cells q JOIN cells c
+         |    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |   AND q.cell = c.cell)
+         |SELECT qid, cell, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, cell, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "sim_label_centroid" ->
       s"""WITH q AS (
