@@ -29,4 +29,26 @@ object PartitionOps {
   /** Per-partition sort without a global shuffle (reference sortPartition). */
   def sortPartition(df: DataFrame, cols: Column*): DataFrame =
     df.sortWithinPartitions(cols: _*)
+
+  /** Two-phase salted aggregation — the manual skew-mitigation pattern for
+    * hot keys (SURVEY "salting for skew"): phase 1 aggregates on
+    * (key, salt) spreading a hot key over `saltBuckets` reducers, phase 2
+    * merges the partials per key. `partialAggs` must be decomposable
+    * (sum/count/min/max); result is identical to a direct groupBy. */
+  def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
+                      partialAggs: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(partialAggs.head._1.as("__p0"),
+        partialAggs.tail.zipWithIndex.map { case ((c, _), i) =>
+          c.as(s"__p${i + 1}") }: _*)
+    val merged = phase1.groupBy(col("__key"))
+      .agg(
+        expr(s"${partialAggs.head._2}(__p0)").as("agg0"),
+        partialAggs.tail.zipWithIndex.map { case ((_, mergeFn), i) =>
+          expr(s"$mergeFn(__p${i + 1})").as(s"agg${i + 1}") }: _*)
+    merged
+  }
 }

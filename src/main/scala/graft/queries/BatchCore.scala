@@ -76,6 +76,18 @@ object BatchCore extends QuerySet {
                |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""".stripMargin)
     }),
 
+    // manual skew mitigation: two-phase salted aggregation must equal the
+    // direct groupBy (the hot-key spreading pattern at 100 TB)
+    "salted_aggregate" -> ((s, dir) => {
+      graft.operators.PartitionOps.saltedAggregate(
+          t(s, dir, "lineitem"), col("l_returnflag"), 8,
+          Seq((sum(dec2(col("l_quantity"))), "sum"),
+            (count(lit(1)), "sum")))
+        .select(col("__key").as("l_returnflag"),
+          col("agg0").cast("double").as("sum_qty"),
+          col("agg1").as("n"))
+    }),
+
     // SQL entry surface: HAVING + IN over grouped subquery (TPC-H Q18 shape)
     "sql_having_in" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -124,6 +136,11 @@ object BatchCore extends QuerySet {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |         / COUNT(*)
         |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""".stripMargin,
+
+    "salted_aggregate" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "sql_having_in" ->
       s"""SELECT c.c_name, o.o_orderkey, o.o_totalprice

@@ -58,6 +58,13 @@ object GraphQueries extends QuerySet {
       GraphAlgorithms.pageRank(chainGraph(s, dir), iters = 5)
         .select(col("vid"), round(col("rank"), 9).as("rank"))),
 
+    // degree statistics of the undirected chain graph
+    "graph_degrees" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      g.undirectedEdges.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("degree"))
+    }),
+
     // triangle enumeration on chain + skip-2 edges (closed-form triangles
     // (i, i+1, i+2) inside each 10-block)
     "graph_triangles" -> ((s, dir) => {
@@ -86,6 +93,13 @@ object GraphQueries extends QuerySet {
         |UNION ALL
         |SELECT DISTINCT c.c_nationkey + 1000000 AS vid, comp.comp AS comp
         |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey""".stripMargin,
+
+    // undirected chain degree: interior vertices 2, block boundaries 1
+    "graph_degrees" ->
+      """SELECT doc_id AS vid,
+        |  CAST(CASE WHEN doc_id % 10 = 0 OR doc_id % 10 = 9 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS degree
+        |FROM documents""".stripMargin,
 
     // triangles (i, i+1, i+2) require both chain edges and the skip edge —
     // i%10 <= 7 keeps all three vertices inside one block

@@ -147,6 +147,15 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, cog, "complete")
     }),
 
+    // non-keyed windowAll (AllWindowedStream): global per-window totals
+    "stream_tumble_all" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "complete")
+    }),
+
     // session windows with per-event dynamic gap (purchases hold the
     // session open for 60 min, everything else 30 min)
     "stream_session_dynamic" -> ((s, dir) => {
@@ -253,6 +262,11 @@ object Streaming extends QuerySet {
          |  coalesce(p.n_purchases, 0) AS n_purchases
          |FROM c FULL OUTER JOIN p
          |  ON c.user_id = p.user_id AND c.w_start = p.w_start""".stripMargin,
+
+    "stream_tumble_all" ->
+      s"""SELECT $tumble1h AS w_start, COUNT(*) AS n,
+         |  CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1""".stripMargin,
 
     // dynamic-gap sessions merge on window overlap: an event opens
     // [ts, ts+gap); a session breaks when ts >= running max of previous

@@ -41,6 +41,32 @@ class PartitionOpsSpec extends SparkSpecBase {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("salted aggregate equals direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val direct = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumnRenamed("o_custkey", "__key")
+    val salted = PartitionOps.saltedAggregate(orders, col("o_custkey"), 6,
+      Seq((count(lit(1)), "sum")))
+      .select(col("__key"), col("agg0").as("n"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    import org.apache.spark.sql.functions._
+    orders.write.mode("overwrite").bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "customer")
+      .write.mode("overwrite").bucketBy(4, "c_custkey")
+      .saveAsTable("b_customer")
+    val joined = spark.table("b_orders").join(spark.table("b_customer"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no shuffle exchange in the physical plan
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("sortPartition: rows sorted within each partition, no global shuffle") {
     val parted = PartitionOps.sortPartition(
       PartitionOps.byHash(orders, 4, col("o_custkey")), col("o_totalprice"))
