@@ -44,6 +44,16 @@ final case class Pattern[T](stages: Vector[Stage[T]],
   }
   def oneOrMore: Pattern[T] = modLast(_.copy(quantifier = OneOrMore))
 
+  /** Conjunctive refinement of the last stage's condition (reference
+    * `Pattern.where` `Pattern.java:150` — multiple wheres AND together). */
+  def where(pred: T => Boolean): Pattern[T] =
+    modLast(s => s.copy(predicate = (t: T) => s.predicate(t) && pred(t)))
+
+  /** Disjunctive extension of the last stage's condition (reference
+    * `Pattern.or` `Pattern.java:172`). */
+  def or(pred: T => Boolean): Pattern[T] =
+    modLast(s => s.copy(predicate = (t: T) => s.predicate(t) || pred(t)))
+
   def within(ms: Long): Pattern[T] = copy(withinMs = Some(ms))
 
   private def modLast(f: Stage[T] => Stage[T]): Pattern[T] =

@@ -121,6 +121,14 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // bounded ROWS frame streaming OVER (RowTimeBoundedRowsOver): sum over
+    // the last 5 rows per key
+    "stream_over_rows_bounded" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.overRowsBounded(events(s, dir).as[EventRow], 5).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // custom event-time ordered emission (DataStreamSort)
     "stream_sorted_emit" -> ((s, dir) => {
       import s.implicits._
@@ -241,6 +249,14 @@ object Streaming extends QuerySet {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "stream_over_rows_bounded" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(row_number() OVER w AS BIGINT) AS run_cnt,
+         |  CAST(SUM($C) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "stream_sorted_emit" ->
       """SELECT user_id,

@@ -84,6 +84,26 @@ object Tpch2 extends QuerySet {
         .select(col("l_suppkey"), col("n_lines"), col("n_late"))
     }),
 
+    // Q22 shape: positive-balance customers of selected nations above the
+    // set's exact mean balance, with no orders (anti join + scalar subquery)
+    "q22_global_sales_opportunity" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey, COUNT(*) AS numcust,
+              |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              |    AS totacctbal_cents
+              |FROM customer c
+              |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+              |  AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+              |    SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+              |        AS DOUBLE) / COUNT(*)
+              |    FROM customer
+              |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_totalprice > 400000)
+              |GROUP BY c_nationkey""".stripMargin)
+    }),
+
     // join-strategy hint surface: force shuffle-hash (reference
     // REPARTITION_HASH JoinHint)
     "join_shuffle_hash" -> ((s, dir) => {
@@ -145,6 +165,22 @@ object Tpch2 extends QuerySet {
         |GROUP BY l_suppkey
         |HAVING SUM(CASE WHEN l_shipdate > TIMESTAMP '1998-06-01'
         |           THEN 1 ELSE 0 END) * 2 > COUNT(*)""".stripMargin,
+
+    "q22_global_sales_opportunity" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM customer c
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+        |    SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+        |        AS DOUBLE) / COUNT(*)
+        |    FROM customer
+        |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 400000)
+        |GROUP BY c_nationkey""".stripMargin,
 
     "join_shuffle_hash" ->
       s"""SELECT c_nationkey, COUNT(*) AS n,

@@ -80,6 +80,32 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming OVER, bounded ROWS frame ---------------------------------
+
+  case class BoundedOverState(window: List[Long], cnt: Long)
+  case class BoundedOverOut(event_id: Long, user_id: Long, run_cnt: Long,
+                            win_cents: Long)
+
+  /** Per-row sum over the last `frame` rows (inclusive) per key in
+    * event-time order — the RowTimeBoundedRowsOver subset
+    * (`flink-table/.../runtime/aggregate/RowTimeBoundedRowsOver`). State is
+    * the sliding frame contents: O(frame) per key. */
+  def overRowsBounded(events: Dataset[EventRow], frame: Int): Dataset[BoundedOverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[BoundedOverState]) =>
+          var s = state.getOption.getOrElse(BoundedOverState(Nil, 0L))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val w = (s.window :+ math.round(e.value * 100)).takeRight(frame)
+            s = BoundedOverState(w, s.cnt + 1)
+            BoundedOverOut(e.event_id, key, s.cnt, w.sum)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   // ---- connected streams / CoProcessFunction ------------------------------
 
   /** Tagged element of a two-typed connected stream. */

@@ -57,6 +57,16 @@ class CepSpec extends SparkSpecBase {
     assert(ms.map(m => ids(m, "v")) == Vector(Seq(1L, 2L), Seq(4L)))
   }
 
+  test("where ANDs and or ORs into the last stage's condition") {
+    val evs = Seq(e(1, 1, "a"), e(2, 2, "b"), e(3, 3, "c"))
+    val base = Pattern.begin[EventRow]("x")(_.event_type == "a")
+    // or: a|c matches ids 1 and 3
+    assert(run(evs, base.or(_.event_type == "c"))
+      .map(m => ids(m, "x").head) == Vector(1L, 3L))
+    // where: a AND id>1 matches nothing
+    assert(run(evs, base.where(_.event_id > 1)).isEmpty)
+  }
+
   test("streaming CEP matches across micro-batch boundaries exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
