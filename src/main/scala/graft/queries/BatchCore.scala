@@ -25,6 +25,13 @@ object BatchCore extends QuerySet {
         .offset(20).limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // generateSequence source (reference ExecutionEnvironment
+    // .generateSequence): spark.range is a parallel sequence source
+    "sequence_source" -> ((s, _) =>
+      s.range(1, 1001)
+        .select(col("id"),
+          (col("id") * col("id") % 97).as("sq_mod"))),
+
     // deterministic Bernoulli sample: hash-mod filter — reproducible on any
     // engine/partitioning, unlike rng-based sample()
     "sample_hash" -> ((s, dir) =>
@@ -103,6 +110,10 @@ object BatchCore extends QuerySet {
     "sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 20""".stripMargin,
+
+    "sequence_source" ->
+      """SELECT range AS id, range * range % 97 AS sq_mod
+        |FROM range(1, 1001)""".stripMargin,
 
     "sample_hash" ->
       """SELECT c_custkey, c_acctbal FROM customer

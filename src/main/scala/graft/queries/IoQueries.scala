@@ -49,6 +49,19 @@ object IoQueries extends QuerySet {
         StructField("v", IntegerType))), lenient = true, escape = "\"")
     }),
 
+    // text round trip (reference writeAsText/readTextFile): one line per
+    // record, parsed back with split
+    "io_text_roundtrip" -> ((s, dir) => {
+      val path = IoOps.scratch("docs_text")
+      Tables.load(s, dir, "documents")
+        .select(concat(col("doc_id"), lit("|"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).cast("long").as("n_chars"))
+    }),
+
     // JSON round trip (nested-capable format; types preserved via schema)
     "io_json_roundtrip" -> ((s, dir) => {
       val path = IoOps.scratch("orders_json")
@@ -101,6 +114,9 @@ object IoQueries extends QuerySet {
         |  (1, 'alpha, with comma', 10),
         |  (2, 'quoted "inner" text', 20),
         |  (3, 'plain', 30)) t(id, name, v)""".stripMargin,
+
+    "io_text_roundtrip" ->
+      "SELECT doc_id, n_chars FROM documents",
 
     "io_json_roundtrip" ->
       "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
