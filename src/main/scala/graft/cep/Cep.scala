@@ -29,11 +29,17 @@ object Cep {
       var pos = i0
       var firstTs = -1L
       for (s <- pattern.stages) {
+        // negative lookahead: succeed iff the next event is absent or
+        // non-matching; bind nothing, stay in place
+        if (s.contiguity == StrictNot) {
+          if (pos < n && s.predicate(events(pos))) return None
+          bindings :+= (s.name -> Vector.empty[T])
+        } else {
         // anchor: first stage at i0; strict: current pos; relaxed: scan ahead
         val anchor: Int = s.contiguity match {
           case _ if bindings.isEmpty => if (pos < n && s.predicate(events(pos))) pos else return None
           case Strict => if (pos < n && s.predicate(events(pos))) pos else return None
-          case Relaxed =>
+          case _ =>
             var j = pos
             while (j < n && !s.predicate(events(j))) j += 1
             if (j >= n) return None else j
@@ -56,6 +62,7 @@ object Cep {
         }
         bindings :+= (s.name -> bound)
         pos = anchor + bound.length
+        }
       }
       Some(PatternMatch(bindings))
     }

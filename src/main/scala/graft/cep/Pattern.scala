@@ -23,8 +23,9 @@ final case class Times(n: Int) extends Quantifier
 case object OneOrMore extends Quantifier
 
 sealed trait Contiguity
-case object Strict extends Contiguity  // next
-case object Relaxed extends Contiguity // followedBy
+case object Strict extends Contiguity    // next
+case object Relaxed extends Contiguity   // followedBy
+case object StrictNot extends Contiguity // notNext (negative lookahead)
 
 final case class Stage[T](name: String, predicate: T => Boolean,
                           contiguity: Contiguity, quantifier: Quantifier)
@@ -37,6 +38,12 @@ final case class Pattern[T](stages: Vector[Stage[T]],
 
   def followedBy(name: String)(pred: T => Boolean): Pattern[T] =
     copy(stages = stages :+ Stage(name, pred, Relaxed, Once))
+
+  /** Negative lookahead (reference `Pattern.notNext` `Pattern.java:267`):
+    * the immediately following event must NOT match; nothing is bound and
+    * the position does not advance. */
+  def notNext(name: String)(pred: T => Boolean): Pattern[T] =
+    copy(stages = stages :+ Stage(name, pred, StrictNot, Once))
 
   /** Applies to the LAST stage added. */
   def times(n: Int): Pattern[T] = {

@@ -67,6 +67,16 @@ class CepSpec extends SparkSpecBase {
     assert(run(evs, base.where(_.event_id > 1)).isEmpty)
   }
 
+  test("notNext succeeds only when the following event does not match") {
+    val evs = Seq(e(1, 1, "a"), e(2, 2, "x"), e(3, 3, "a"), e(4, 4, "b"))
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notNext("no_b")(_.event_type == "b")
+    // id 1 (followed by x) matches; id 3 (followed by b) does not
+    assert(run(evs, p).map(m => ids(m, "s").head) == Vector(1L))
+    // negative stage binds nothing
+    assert(run(evs, p).head("no_b").isEmpty)
+  }
+
   test("streaming CEP matches across micro-batch boundaries exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
