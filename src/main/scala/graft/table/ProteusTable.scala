@@ -69,6 +69,10 @@ final case class ProteusTable(df: DataFrame) {
     ProteusTable(df.select(
       (df.columns.map(col).toSeq ++ cols.map { case (_, f) => f(spec) }): _*))
 
+  /** Append into a saved table (reference `Table.insertInto :876`). */
+  def insertInto(tableName: String): Unit =
+    df.write.insertInto(tableName)
+
   def toDF: DataFrame = df
 }
 

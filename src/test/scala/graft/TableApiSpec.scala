@@ -52,6 +52,16 @@ class TableApiSpec extends SparkSpecBase {
     assert(t.toDF.collect().head.getLong(0) == 25)
   }
 
+  test("insertInto appends to a saved table") {
+    val t = env
+    t.scan("nation").select(col("n_nationkey"), col("n_name"))
+      .toDF.write.mode("overwrite").saveAsTable("ins_target")
+    t.scan("nation").filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey"), col("n_name"))
+      .insertInto("ins_target")
+    assert(spark.table("ins_target").count() == 30)
+  }
+
   test("orderedWait preserves input order within partitions") {
     import spark.implicits._
     val ds = spark.range(0, 1000, 1, 4).map(_.toLong)
