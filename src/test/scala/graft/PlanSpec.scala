@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-quality regression guards (SURVEY §4 / DESIGN.md): the optimized
+  * physical plans must keep the properties the 100 TB design relies on —
+  * filter pushdown into parquet scans, broadcast of small join sides, and
+  * partial (map-side) aggregation. A code change that silently loses one of
+  * these would still pass the value oracle; these specs catch it.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q03: filters are pushed into every parquet scan") {
+    val f = formatted("q03_shipping_priority")
+    assert(f.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || f.contains("EqualTo(c_mktsegment,BUILDING)"), f.take(2000))
+    assert(f.contains("GreaterThan(l_shipdate"), "lineitem date filter must reach the scan")
+    assert(f.contains("LessThan(o_orderdate"), "orders date filter must reach the scan")
+  }
+
+  test("q03: dimension joins broadcast") {
+    assert(plan("q03_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial and final HashAggregate")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val f = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      f.take(1500))
+  }
+
+  test("topk: query side broadcasts, corpus is not shuffled into the join") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n${p.take(1500)}")
+  }
+
+  test("join hints are honored (shuffle_hash)") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("whole-stage codegen spans cover the TPC-H spine") {
+    // AQE shows codegen spans only in the FINAL plan of THIS query
+    // execution — collect() (count() would plan a different tree)
+    val df = SparkEntry.queries("q06_forecast_revenue")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the tree renders WholeStageCodegen spans as "*(n)" prefixes
+    assert(p.contains("*(1)"), p.take(1500))
+    // scan → filter → project → partial agg live in ONE span
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(1) Filter") || l.contains("*(1) HashAggregate")), p.take(1500))
+  }
+}
