@@ -59,6 +59,25 @@ object MLOps {
     model.coefficients.toArray :+ model.intercept
   }
 
+  /** KNN classification (FlinkML `nn` package): majority label among the k
+    * nearest neighbors by cosine, ties broken toward the smaller label —
+    * deterministic, so it participates in the value oracle. Built on
+    * [[graft.operators.SimilarityOps.topKBruteForce]]; swap in topKLsh /
+    * topKIvf for the ANN path at scale. */
+  def knnClassify(corpus: DataFrame, labeled: DataFrame, queries: DataFrame,
+                  k: Int, labelCol: String = "label",
+                  idCol: String = "vec_id"): DataFrame = {
+    val nn = graft.operators.SimilarityOps.topKBruteForce(corpus, queries, k)
+    nn.join(labeled.select(col(idCol).as("nid"), col(labelCol)), "nid")
+      .groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col(labelCol))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col(labelCol).as("predicted"), col("votes"))
+  }
+
   /** KMeans façade over an `array<float>` embedding column. */
   def kmeansAssign(df: DataFrame, vecCol: String, k: Int,
                    seed: Long = 42L): DataFrame = {

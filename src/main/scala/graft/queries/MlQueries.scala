@@ -19,7 +19,13 @@ object MlQueries extends QuerySet {
     "ml_standard_scale" -> ((s, dir) =>
       MLOps.standardScaleCents(Tables.load(s, dir, "customer"),
           "c_acctbal", col("c_mktsegment"))
-        .select(col("c_custkey"), col("c_mktsegment"), col("z")))
+        .select(col("c_custkey"), col("c_mktsegment"), col("z"))),
+
+    "ml_knn_classify" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      MLOps.knnClassify(embs, embs,
+        embs.filter(col("vec_id") % 100 === 0), k = 5)
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -29,6 +35,33 @@ object MlQueries extends QuerySet {
         |    / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w) AS scaled
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment)""".stripMargin,
+
+    // replicate topKBruteForce (round-6 cosine, rank tie-break nid) then
+    // majority vote with ties toward the smaller label
+    "ml_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_aggregate(list_transform(range(64),
+        |      i -> CAST(embedding AS DOUBLE[])[i+1]
+        |         * CAST(embedding AS DOUBLE[])[i+1]), 'sum')) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.id AS qid, c.id AS nid, c.label,
+        |    round(list_aggregate(list_transform(range(64),
+        |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+        |  FROM v q JOIN v c ON q.id % 100 = 0 AND q.id <> c.id),
+        |nn AS (
+        |  SELECT qid, nid, label FROM (
+        |    SELECT qid, nid, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT qid, label, COUNT(*) AS votes FROM nn GROUP BY qid, label)
+        |SELECT qid, label AS predicted, votes FROM (
+        |  SELECT qid, label, votes,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM votes) WHERE rk = 1""".stripMargin,
 
     "ml_standard_scale" ->
       """WITH c AS (
