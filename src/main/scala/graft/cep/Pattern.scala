@@ -1,34 +1,85 @@
 package graft.cep
 
-/** CEP pattern AST — the reference's fluent Pattern API subset
+import scala.reflect.ClassTag
+
+/** CEP pattern AST — the reference's fluent Pattern API
   * (`flink-libraries/flink-cep/.../pattern/Pattern.java`: begin :123,
-  * where :150, next :256, followedBy :285, within :239, times / oneOrMore
-  * via `pattern/Quantifier.java`).
+  * where :150, or :172, subtype :193, until :214, within :239, next :256,
+  * notNext :267, followedBy :285, notFollowedBy :298, followedByAny :316,
+  * optional :327, greedy :361, times :380/:394, timesOrMore :414,
+  * oneOrMore :352, consecutive :474, allowCombinations :435).
   *
-  * Match semantics (pinned, so the DuckDB oracle can express them):
-  *  - `next` (strict contiguity): the stage must match the immediately
-  *    following event in the key's event-time order;
-  *  - `followedBy` (relaxed contiguity): the stage binds to the EARLIEST
-  *    later event that matches;
-  *  - `times(n)`: n consecutive events all matching; candidate matches may
-  *    overlap (AfterMatchSkip = NO_SKIP);
-  *  - `oneOrMore`: greedy maximal consecutive run; only run-starts spawn a
-  *    match (AfterMatchSkip = PAST_LAST_EVENT), so runs never overlap;
+  * Match semantics (pinned so the DuckDB oracle can express them):
+  *  - `next` (strict): the stage must match the immediately following event
+  *    in the key's event-time order;
+  *  - `followedBy` (relaxed): the stage binds to the EARLIEST later matching
+  *    event;
+  *  - `followedByAny`: the stage binds to EVERY later matching event — one
+  *    candidate match per choice (reference relaxed-non-deterministic
+  *    contiguity);
+  *  - `notNext`: the immediately following event must NOT match; binds
+  *    nothing, position does not advance;
+  *  - `notFollowedBy`: no matching event may occur between the previous
+  *    stage's last bound event and the next stage's bound event; binds
+  *    nothing. Cannot be the final stage (same contract as the reference);
+  *  - `times(n)` / `times(from,to)`: n (resp. each k in [from,to])
+  *    CONSECUTIVE matching events; candidate matches may overlap
+  *    (AfterMatchSkip = NO_SKIP). With `greedy`, only the maximal feasible
+  *    k is emitted;
+  *  - `oneOrMore` / `timesOrMore(n)`: greedy maximal CONSECUTIVE run (≥ 1
+  *    resp. ≥ n); when the looping stage is the pattern head, only
+  *    run-starts spawn a match (AfterMatchSkip = PAST_LAST_EVENT), so runs
+  *    never overlap. `consecutive` is therefore the pinned default (the
+  *    reference's default is relaxed inner contiguity; we pin strict inner
+  *    contiguity for cross-engine determinism and document the deviation);
+  *  - `allowCombinations`: the loop additionally emits every PREFIX of the
+  *    maximal run (length min..len). This is the deterministic, bounded
+  *    subset of the reference's combination semantics (which enumerates
+  *    non-contiguous subsets — exponential and not oracle-expressible);
+  *  - `optional`: the stage may bind zero events (branching: one candidate
+  *    match with the stage skipped, plus the bound candidates). Not allowed
+  *    on the pattern head;
+  *  - `until(p)`: stops a looping stage's run at the first event matching
+  *    `p` (the until-event itself is not consumed);
   *  - `within(ms)`: last bound event's time minus first bound event's time
-  *    must be ≤ the bound (reference Pattern.within).
+  *    must be ≤ the bound.
+  *
+  * Quantifier/optional/until modifiers on a negative stage (`notNext` /
+  * `notFollowedBy`) are rejected at construction time — the reference
+  * throws `MalformedPatternException` for the same combinations
+  * (`Quantifier.java` checks).
   */
 sealed trait Quantifier
 case object Once extends Quantifier
-final case class Times(n: Int) extends Quantifier
-case object OneOrMore extends Quantifier
+/** `times(min,max)`; greedy = only the maximal feasible count. */
+final case class TimesRange(min: Int, max: Int, greedy: Boolean) extends Quantifier
+/** `oneOrMore` (min=1) / `timesOrMore(min)`; combinations = also emit
+  * prefixes of the maximal run. */
+final case class AtLeast(min: Int, combinations: Boolean) extends Quantifier
+
+object Times {
+  /** times(n) — exact count, overlapping candidates (NO_SKIP). */
+  def apply(n: Int): TimesRange = TimesRange(n, n, greedy = false)
+}
 
 sealed trait Contiguity
-case object Strict extends Contiguity    // next
-case object Relaxed extends Contiguity   // followedBy
-case object StrictNot extends Contiguity // notNext (negative lookahead)
+case object Strict extends Contiguity      // next
+case object Relaxed extends Contiguity     // followedBy
+case object RelaxedAny extends Contiguity  // followedByAny
+case object StrictNot extends Contiguity   // notNext (negative lookahead)
+case object RelaxedNot extends Contiguity  // notFollowedBy (negative gap)
 
 final case class Stage[T](name: String, predicate: T => Boolean,
-                          contiguity: Contiguity, quantifier: Quantifier)
+                          contiguity: Contiguity, quantifier: Quantifier,
+                          optional: Boolean = false,
+                          until: Option[T => Boolean] = None) {
+  def isNegative: Boolean =
+    contiguity == StrictNot || contiguity == RelaxedNot
+  def isLoop: Boolean = quantifier match {
+    case Once => false
+    case _    => true
+  }
+}
 
 final case class Pattern[T](stages: Vector[Stage[T]],
                             withinMs: Option[Long] = None) {
@@ -39,17 +90,83 @@ final case class Pattern[T](stages: Vector[Stage[T]],
   def followedBy(name: String)(pred: T => Boolean): Pattern[T] =
     copy(stages = stages :+ Stage(name, pred, Relaxed, Once))
 
-  /** Negative lookahead (reference `Pattern.notNext` `Pattern.java:267`):
-    * the immediately following event must NOT match; nothing is bound and
-    * the position does not advance. */
+  /** Binds every later matching event, not just the earliest (reference
+    * `followedByAny` `Pattern.java:316`). */
+  def followedByAny(name: String)(pred: T => Boolean): Pattern[T] =
+    copy(stages = stages :+ Stage(name, pred, RelaxedAny, Once))
+
+  /** Negative lookahead (reference `Pattern.notNext` `Pattern.java:267`). */
   def notNext(name: String)(pred: T => Boolean): Pattern[T] =
     copy(stages = stages :+ Stage(name, pred, StrictNot, Once))
 
-  /** Applies to the LAST stage added. */
+  /** Negative gap condition (reference `notFollowedBy` `Pattern.java:298`):
+    * no matching event between the surrounding positive stages. */
+  def notFollowedBy(name: String)(pred: T => Boolean): Pattern[T] =
+    copy(stages = stages :+ Stage(name, pred, RelaxedNot, Once))
+
+  /** Exactly n consecutive events (reference `times(n)` `Pattern.java:380`). */
   def times(n: Int): Pattern[T] = {
-    require(n >= 1); modLast(_.copy(quantifier = Times(n)))
+    require(n >= 1, "times(n) requires n >= 1")
+    modLoopable("times")(_.copy(quantifier = Times(n)))
   }
-  def oneOrMore: Pattern[T] = modLast(_.copy(quantifier = OneOrMore))
+
+  /** Each count in [from,to] consecutive events (reference `times(from,to)`
+    * `Pattern.java:394`) — one candidate match per feasible count. */
+  def times(from: Int, to: Int): Pattern[T] = {
+    require(from >= 1 && to >= from, "times(from,to) requires 1 <= from <= to")
+    modLoopable("times")(_.copy(quantifier = TimesRange(from, to, greedy = false)))
+  }
+
+  /** At least n consecutive events, greedy maximal (reference `timesOrMore`
+    * `Pattern.java:414`). */
+  def timesOrMore(n: Int): Pattern[T] = {
+    require(n >= 1, "timesOrMore(n) requires n >= 1")
+    modLoopable("timesOrMore")(_.copy(quantifier = AtLeast(n, combinations = false)))
+  }
+
+  def oneOrMore: Pattern[T] =
+    modLoopable("oneOrMore")(_.copy(quantifier = AtLeast(1, combinations = false)))
+
+  /** Only the maximal feasible count for a `times(from,to)` stage
+    * (reference `greedy` `Pattern.java:361`). */
+  def greedy: Pattern[T] = modLast { s =>
+    s.quantifier match {
+      case TimesRange(lo, hi, _) => s.copy(quantifier = TimesRange(lo, hi, greedy = true))
+      case AtLeast(_, _)         => s // already greedy-maximal by pinned semantics
+      case Once =>
+        throw new IllegalArgumentException("greedy requires a looping quantifier")
+    }
+  }
+
+  /** Pinned default — runs are already consecutive; kept for API parity
+    * (reference `consecutive` `Pattern.java:474`). */
+  def consecutive: Pattern[T] = modLast { s =>
+    require(s.isLoop, "consecutive requires a looping quantifier")
+    s
+  }
+
+  /** Additionally emit every prefix of the maximal run (bounded pinned
+    * subset of reference `allowCombinations` `Pattern.java:435`). */
+  def allowCombinations: Pattern[T] = modLast { s =>
+    s.quantifier match {
+      case AtLeast(min, _) => s.copy(quantifier = AtLeast(min, combinations = true))
+      case _ =>
+        throw new IllegalArgumentException("allowCombinations requires oneOrMore/timesOrMore")
+    }
+  }
+
+  /** The stage may bind zero events (reference `optional` `Pattern.java:327`). */
+  def optional: Pattern[T] = modLast { s =>
+    require(!s.isNegative, "optional cannot apply to a negative stage")
+    require(stages.length > 1, "optional cannot apply to the pattern head")
+    s.copy(optional = true)
+  }
+
+  /** Stop condition for a looping stage (reference `until` `Pattern.java:214`). */
+  def until(pred: T => Boolean): Pattern[T] = modLast { s =>
+    require(s.isLoop, "until requires a looping quantifier")
+    s.copy(until = Some(pred))
+  }
 
   /** Conjunctive refinement of the last stage's condition (reference
     * `Pattern.where` `Pattern.java:150` — multiple wheres AND together). */
@@ -61,10 +178,33 @@ final case class Pattern[T](stages: Vector[Stage[T]],
   def or(pred: T => Boolean): Pattern[T] =
     modLast(s => s.copy(predicate = (t: T) => s.predicate(t) || pred(t)))
 
+  /** Restrict the last stage to a subtype (reference `subtype`
+    * `Pattern.java:193`) — ANDs an instance-of check into the condition. */
+  def subtype[S <: T](implicit ct: ClassTag[S]): Pattern[T] =
+    where(t => ct.runtimeClass.isInstance(t))
+
   def within(ms: Long): Pattern[T] = copy(withinMs = Some(ms))
+
+  /** True if any stage can extend with more events (streaming hold-back). */
+  private[cep] def hasExtendableLoop: Boolean = stages.exists { s =>
+    s.quantifier match {
+      case AtLeast(_, _)            => true
+      case TimesRange(_, _, greedy) => greedy
+      case _                        => false
+    }
+  }
 
   private def modLast(f: Stage[T] => Stage[T]): Pattern[T] =
     copy(stages = stages.init :+ f(stages.last))
+
+  /** Quantifier modifiers fail fast on negative stages — the matcher's
+    * negative branches never consult the quantifier, so silently accepting
+    * one would change nothing (reference throws MalformedPatternException). */
+  private def modLoopable(op: String)(f: Stage[T] => Stage[T]): Pattern[T] = {
+    require(!stages.last.isNegative,
+      s"$op cannot apply to a negative stage (notNext/notFollowedBy)")
+    modLast(f)
+  }
 }
 
 object Pattern {
@@ -78,4 +218,10 @@ final case class PatternMatch[T](bindings: Vector[(String, Vector[T])]) {
     bindings.collectFirst { case (n, es) if n == stage => es }.get
   def first(stage: String): T = apply(stage).head
   def last(stage: String): T = apply(stage).last
+  /** Last bound event across all stages — negative/optional stages bind
+    * nothing, so this walks back to the last non-empty binding. */
+  def lastBound: Option[T] =
+    bindings.reverseIterator.map(_._2).collectFirst { case v if v.nonEmpty => v.last }
+  def firstBound: Option[T] =
+    bindings.iterator.map(_._2).collectFirst { case v if v.nonEmpty => v.head }
 }

@@ -42,7 +42,13 @@ object GraphAlgorithms {
     * `graph/library/ConnectedComponents.java`). Converges once no label
     * changes; each superstep = one co-partitioned join + min-agg. */
   def connectedComponents(g: Graph, maxIter: Int = 50): DataFrame = {
-    val und = g.undirectedEdges.localCheckpoint()
+    // restrict edge endpoints to the vertex set ONCE, outside the loop:
+    // src is restricted naturally by the per-superstep inner join against
+    // the solution set, but a dst absent from vertices would inject a
+    // phantom result row (Gelly keys results to the vertex set)
+    val und = g.undirectedEdges
+      .join(g.vertices.select(col("vid").as("dst")), "dst", "left_semi")
+      .localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
     Iterate.bulk(init, maxIter,
       converged = (old, next) =>

@@ -38,8 +38,12 @@ object PartitionOps {
   def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
                       partialAggs: Seq[(Column, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // salt must be DETERMINISTIC per row: a task recomputed after a lost
+    // shuffle fetch must land each row in the same (key, salt) group, or
+    // partial aggregates silently duplicate/drop. hash(all columns) is
+    // stable under recomputation; monotonically_increasing_id is not.
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(partialAggs.head._1.as("__p0"),
         partialAggs.tail.zipWithIndex.map { case ((c, _), i) =>

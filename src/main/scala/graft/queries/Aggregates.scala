@@ -62,13 +62,19 @@ object Aggregates extends QuerySet {
             .as("stddev_pop"))
     }),
 
-    // COLLECT (reference CollectAggFunction → multiset): sorted for
-    // deterministic cross-engine compare
+    // COLLECT (reference CollectAggFunction → multiset): sorted, then joined
+    // to a canonical string — the driver's pandas differ cannot sort
+    // array-typed columns, so the multiset is surfaced as its canonical
+    // scalar serialization on BOTH engines
     "agg_collect_sorted" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-             sort_array(collect_set(col("l_suppkey"))).as("suppliers"))),
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          array_join(
+            sort_array(collect_set(col("l_suppkey"))).cast("array<string>"),
+            ",").as("suppliers"))),
 
     // string_agg analog: ordered concatenation of grouped values
     "agg_string_concat" -> ((s, dir) =>
@@ -143,8 +149,8 @@ object Aggregates extends QuerySet {
          |FROM s""".stripMargin,
     "agg_collect_sorted" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        |  list_sort(list(DISTINCT l_suppkey)) AS suppliers
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppliers
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_string_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -58,6 +58,78 @@ object CepQueries extends QuerySet {
           m.first("v").event_id, m.last("v").event_id)
       }.toDF("user_id", "run_len", "first_id", "last_id")
         .filter(org.apache.spark.sql.functions.col("run_len") >= 2)
+    }),
+
+    // notFollowedBy: click → earliest purchase with NO error in between
+    "cep_not_followed_by" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .notFollowedBy("n")(_.event_type == "error")
+        .followedBy("b")(_.event_type == "purchase")
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
+      }.toDF("user_id", "a_id", "b_id")
+    }),
+
+    // followedByAny: EVERY purchase ≤ 30 min after a click, not just the first
+    "cep_followed_by_any" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .followedByAny("b")(_.event_type == "purchase")
+        .within(30 * 60 * 1000L)
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
+      }.toDF("user_id", "a_id", "b_id")
+    }),
+
+    // times(2,4): one candidate match per count k in [2,4] of consecutive
+    // errors (NO_SKIP — anchors may overlap)
+    "cep_times_range" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2, 4)
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m("e").length.toLong,
+          m.first("e").event_id, m.last("e").event_id)
+      }.toDF("user_id", "k", "first_id", "last_id")
+    }),
+
+    // optional middle stage: click [view]? purchase — one match with the
+    // view skipped (v_id = -1) plus one with the earliest view bound
+    "cep_optional" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .followedBy("v")(_.event_type == "view").optional
+        .followedBy("b")(_.event_type == "purchase")
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id,
+          m("v").headOption.map(_.event_id).getOrElse(-1L),
+          m.first("b").event_id)
+      }.toDF("user_id", "a_id", "v_id", "b_id")
+    }),
+
+    // oneOrMore.allowCombinations: every prefix of each maximal view-run
+    "cep_combinations" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("v")(_.event_type == "view")
+        .oneOrMore.allowCombinations
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m("v").length.toLong,
+          m.first("v").event_id, m.last("v").event_id)
+      }.toDF("user_id", "k", "first_id", "last_id")
+    }),
+
+    // timeout side output (PatternStream.select with timeout handler):
+    // click → purchase within 30 min; clicks whose window provably closed
+    // without a purchase emit a timeout row (b_id = -1)
+    "cep_timeout_select" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .followedBy("b")(_.event_type == "purchase")
+        .within(30 * 60 * 1000L)
+      Cep.batchWithTimeout(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id, false)
+      } { (k, m) => (k, m.first("a").event_id, -1L, true)
+      }.toDF("user_id", "a_id", "b_id", "timed_out")
     })
   )
 
@@ -117,6 +189,127 @@ object CepQueries extends QuerySet {
         |  WINDOW pw AS (PARTITION BY user_id, gid ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, run_len, first_id, last_id
-        |FROM runs WHERE run_len >= 2""".stripMargin
+        |FROM runs WHERE run_len >= 2""".stripMargin,
+
+    "cep_not_followed_by" ->
+      """WITH pairs AS (
+        |  SELECT c.user_id, c.event_id AS a_id, c.ts AS a_ts,
+        |    p.event_id AS b_id, p.ts AS b_ts,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id)))
+        |SELECT user_id, a_id, b_id FROM pairs q
+        |WHERE rn = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM events x
+        |  WHERE x.user_id = q.user_id AND x.event_type = 'error'
+        |    AND (x.ts > q.a_ts OR (x.ts = q.a_ts AND x.event_id > q.a_id))
+        |    AND (x.ts < q.b_ts OR (x.ts = q.b_ts AND x.event_id < q.b_id)))""".stripMargin,
+
+    "cep_followed_by_any" ->
+      """SELECT c.user_id, c.event_id AS a_id, p.event_id AS b_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        | AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "cep_times_range" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS i1,
+        |    lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS i2,
+        |    lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS i3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(2 AS BIGINT) AS k, event_id AS first_id, i1 AS last_id
+        |FROM seq WHERE event_type = 'error' AND t1 = 'error'
+        |UNION ALL
+        |SELECT user_id, CAST(3 AS BIGINT), event_id, i2
+        |FROM seq WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+        |UNION ALL
+        |SELECT user_id, CAST(4 AS BIGINT), event_id, i3
+        |FROM seq WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+        |  AND t3 = 'error'""".stripMargin,
+
+    "cep_optional" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id AS a_id, ts AS a_ts
+        |  FROM events WHERE event_type = 'click'),
+        |skipb AS (
+        |  SELECT a.user_id, a.a_id, CAST(-1 AS BIGINT) AS v_id,
+        |    p.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM a JOIN events p ON p.user_id = a.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND (p.ts > a.a_ts OR (p.ts = a.a_ts AND p.event_id > a.a_id))),
+        |v AS (
+        |  SELECT a.user_id, a.a_id, w.event_id AS v_id, w.ts AS v_ts,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY w.ts, w.event_id) AS rn
+        |  FROM a JOIN events w ON w.user_id = a.user_id
+        |    AND w.event_type = 'view'
+        |    AND (w.ts > a.a_ts OR (w.ts = a.a_ts AND w.event_id > a.a_id))),
+        |vb AS (
+        |  SELECT v.user_id, v.a_id, v.v_id, p.event_id AS b_id,
+        |    row_number() OVER (PARTITION BY v.user_id, v.a_id
+        |      ORDER BY p.ts, p.event_id) AS rn2
+        |  FROM (SELECT * FROM v WHERE rn = 1) v
+        |  JOIN events p ON p.user_id = v.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND (p.ts > v.v_ts OR (p.ts = v.v_ts AND p.event_id > v.v_id)))
+        |SELECT user_id, a_id, v_id, b_id FROM skipb WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, a_id, v_id, b_id FROM vb WHERE rn2 = 1""".stripMargin,
+
+    "cep_combinations" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) = 'view' THEN 1 ELSE 0 END AS prev_v
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, event_id, ts, is_v,
+        |    SUM(CASE WHEN is_v = 1 AND prev_v = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM seq),
+        |pref AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER pw AS BIGINT) AS k,
+        |    first_value(event_id) OVER pw AS first_id,
+        |    event_id AS last_id
+        |  FROM grp WHERE is_v = 1
+        |  WINDOW pw AS (PARTITION BY user_id, gid ORDER BY ts, event_id))
+        |SELECT user_id, k, first_id, last_id FROM pref""".stripMargin,
+
+    "cep_timeout_select" ->
+      """WITH lastev AS (
+        |  SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT user_id, event_id AS a_id, ts AS a_ts
+        |  FROM events WHERE event_type = 'click'),
+        |firstp AS (
+        |  SELECT a.user_id, a.a_id, a.a_ts, p.event_id AS b_id, p.ts AS b_ts,
+        |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM a JOIN events p ON p.user_id = a.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND (p.ts > a.a_ts OR (p.ts = a.a_ts AND p.event_id > a.a_id)))
+        |SELECT user_id, a_id, b_id, FALSE AS timed_out
+        |FROM firstp WHERE rn = 1 AND b_ts <= a_ts + INTERVAL 30 MINUTE
+        |UNION ALL
+        |SELECT a.user_id, a.a_id, CAST(-1 AS BIGINT), TRUE
+        |FROM a JOIN lastev l ON l.user_id = a.user_id
+        |WHERE l.max_ts > a.a_ts + INTERVAL 30 MINUTE
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+        |      AND (p.ts > a.a_ts OR (p.ts = a.a_ts AND p.event_id > a.a_id))
+        |      AND p.ts <= a.a_ts + INTERVAL 30 MINUTE)""".stripMargin
   )
 }

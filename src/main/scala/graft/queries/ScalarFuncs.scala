@@ -130,19 +130,28 @@ object ScalarFuncs extends QuerySet {
           (col("o_orderkey") % 2 === 0).cast("int").as("booltoint"))),
 
     // arrays, maps, JSON extraction (reference array/map constructors +
-    // cardinality/ITEM, FunctionCatalog.scala:241-244; props JSON in events)
+    // cardinality/ITEM, FunctionCatalog.scala:241-244; props JSON in events).
+    // Array-typed outputs are surfaced as canonical joined strings: the
+    // driver's pandas differ cannot sort array columns. Doubles inside the
+    // sorted array go through DECIMAL(12,2) so the string form matches the
+    // oracle digit-for-digit.
     "scalar_array_map" -> ((s, dir) =>
       t(s, dir, "events").filter(col("event_id") % 50 === 0)
         .select(
           col("event_id"),
-          array(col("user_id"), col("event_id")).as("arr"),
+          array_join(array(col("user_id"), col("event_id"))
+            .cast("array<string>"), ",").as("arr"),
           size(array(col("user_id"), col("event_id"), lit(7L))).as("card"),
           element_at(array(col("user_id"), col("event_id")), 2).as("at2"),
           array_contains(array(lit("click"), lit("view")), col("event_type"))
             .as("is_cv"),
-          sort_array(array(col("value"), col("value") * 2, lit(0.0)))
-            .as("sorted"),
-          slice(sequence(lit(1), lit(6)), 2, 3).as("sliced"),
+          array_join(
+            sort_array(array(Exact.dec2(col("value")),
+                             Exact.dec2(col("value") * 2),
+                             lit(0).cast("decimal(12,2)")))
+              .cast("array<string>"), ",").as("sorted"),
+          array_join(slice(sequence(lit(1), lit(6)), 2, 3)
+            .cast("array<string>"), ",").as("sliced"),
           element_at(
             map(lit("t"), col("event_type"), lit("u"),
                 col("user_id").cast("string")), "t").as("mapval"),
@@ -240,12 +249,16 @@ object ScalarFuncs extends QuerySet {
 
     "scalar_array_map" ->
       """SELECT event_id,
-        |  [user_id, event_id] AS arr,
+        |  array_to_string([user_id, event_id], ',') AS arr,
         |  len([user_id, event_id, 7]) AS card,
         |  [user_id, event_id][2] AS at2,
         |  list_contains(['click', 'view'], event_type) AS is_cv,
-        |  list_sort([value, value * 2, 0.0]) AS sorted,
-        |  generate_series(1,6)[2:4] AS sliced,
+        |  array_to_string(list_transform(
+        |    list_sort([CAST(value AS DECIMAL(12,2)),
+        |               CAST(value * 2 AS DECIMAL(12,2)),
+        |               CAST(0 AS DECIMAL(12,2))]),
+        |    x -> CAST(x AS VARCHAR)), ',') AS sorted,
+        |  array_to_string(generate_series(1,6)[2:4], ',') AS sliced,
         |  map(['t','u'], [event_type, CAST(user_id AS VARCHAR)])['t'][1] AS mapval,
         |  CAST(json_extract(props, '$.k') AS INT) AS json_k
         |FROM events WHERE event_id % 50 = 0""".stripMargin

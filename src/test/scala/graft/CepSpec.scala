@@ -77,6 +77,154 @@ class CepSpec extends SparkSpecBase {
     assert(run(evs, p).head("no_b").isEmpty)
   }
 
+  test("notFollowedBy rejects matches with an intervening negative event") {
+    val evs = Seq(e(1, 1, "a"), e(2, 2, "x"), e(3, 3, "b"),
+                  e(4, 4, "a"), e(5, 5, "n"), e(6, 6, "b"))
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notFollowedBy("no_n")(_.event_type == "n")
+      .followedBy("t")(_.event_type == "b")
+    // start 1: gap {x} clean → match; start 4: gap {n} → rejected
+    assert(run(evs, p).map(m => ids(m, "s").head) == Vector(1L))
+  }
+
+  test("notFollowedBy cannot be the final stage") {
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notFollowedBy("n")(_.event_type == "b")
+    intercept[IllegalArgumentException] { run(Seq(e(1, 1, "a")), p) }
+  }
+
+  test("followedByAny binds every later candidate, not just the earliest") {
+    val evs = Seq(e(1, 10, "a"), e(2, 20, "x"), e(3, 30, "b"), e(4, 40, "b"))
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedByAny("t")(_.event_type == "b")
+    assert(run(evs, p).map(m => ids(m, "t").head) == Vector(3L, 4L))
+  }
+
+  test("times(from,to) emits one candidate per feasible count; greedy only the max") {
+    val evs = Seq(e(1, 1, "r"), e(2, 2, "r"), e(3, 3, "r"), e(4, 4, "x"))
+    val p = Pattern.begin[EventRow]("r")(_.event_type == "r").times(2, 4)
+    // anchor 1: k=2,3; anchor 2: k=2 (run caps at event 3)
+    assert(run(evs, p).map(m => ids(m, "r")) ==
+      Vector(Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(2L, 3L)))
+    val g = Pattern.begin[EventRow]("r")(_.event_type == "r").times(2, 4).greedy
+    assert(run(evs, g).map(m => ids(m, "r")) ==
+      Vector(Seq(1L, 2L, 3L), Seq(2L, 3L)))
+  }
+
+  test("timesOrMore(n) binds the greedy maximal run of at least n") {
+    val evs = Seq(e(1, 1, "r"), e(2, 2, "r"), e(3, 3, "r"), e(4, 4, "x"), e(5, 5, "r"))
+    val p = Pattern.begin[EventRow]("r")(_.event_type == "r").timesOrMore(2)
+    assert(run(evs, p).map(m => ids(m, "r")) == Vector(Seq(1L, 2L, 3L)))
+  }
+
+  test("optional stage branches into skipped and bound candidates") {
+    val evs = Seq(e(1, 1, "a"), e(2, 2, "v"), e(3, 3, "b"))
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("v")(_.event_type == "v").optional
+      .followedBy("t")(_.event_type == "b")
+    val ms = run(evs, p)
+    assert(ms.map(m => (ids(m, "v"), ids(m, "t").head)).toSet ==
+      Set((Seq.empty[Long], 3L), (Seq(2L), 3L)))
+  }
+
+  test("until stops a loop at the first matching event without consuming it") {
+    val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "v"), e(4, 4, "x"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.until(_.event_id == 3)
+    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(1L, 2L)))
+  }
+
+  test("allowCombinations emits every prefix of the maximal run") {
+    val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "v"), e(4, 4, "x"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.allowCombinations
+    assert(run(evs, p).map(m => ids(m, "v")) ==
+      Vector(Seq(1L), Seq(1L, 2L), Seq(1L, 2L, 3L)))
+  }
+
+  test("subtype restricts the stage to instances of the subtype") {
+    sealed trait Ev { def t: Long }
+    case class Click(t: Long) extends Ev
+    case class View(t: Long) extends Ev
+    val evs: IndexedSeq[Ev] = Vector(Click(1), View(2), Click(3))
+    val p = Pattern.begin[Ev]("s")(_ => true).subtype[Click]
+    val ms = Cep.matchAll(evs, p, (x: Ev) => x.t).toVector
+    assert(ms.map(_.first("s").t) == Vector(1L, 3L))
+  }
+
+  test("quantifier and loop modifiers fail fast on negative stages") {
+    val base = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notNext("n")(_.event_type == "b")
+    intercept[IllegalArgumentException] { base.times(2) }
+    intercept[IllegalArgumentException] { base.oneOrMore }
+    intercept[IllegalArgumentException] { base.timesOrMore(2) }
+    intercept[IllegalArgumentException] { base.optional }
+    intercept[IllegalArgumentException] {
+      Pattern.begin[EventRow]("s")(_ => true).optional
+    }
+  }
+
+  test("oneOrMore followed by notNext does not crash and matches closed runs") {
+    val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "b"),
+                  e(4, 4, "v"), e(5, 5, "x"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.notNext("no_b")(_.event_type == "b")
+    // run (1,2) is followed by b → rejected; run (4) followed by x → match
+    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(4L)))
+  }
+
+  test("timedOut yields partial prefixes for starts whose window closed") {
+    val w = 10 * 1000L
+    val evs = Seq(e(1, 0, "a"), e(2, 5, "b"),      // completes in window
+                  e(3, 20, "a"),                    // no b before window closes
+                  e(4, 40, "a"))                    // window still open at end
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("t")(_.event_type == "b").within(w)
+    val outs = Cep.timedOut(evs.toIndexedSeq, p,
+      (x: EventRow) => x.ts.getTime).toVector
+    assert(outs.map(m => ids(m, "s").head) == Vector(3L))
+    assert(outs.head.bindings.map(_._1) == Vector("s"))
+  }
+
+  test("streaming step keeps buffer and emitted signatures bounded") {
+    import graft.cep.Cep.CepState
+    val w = 10 * 1000L
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .next("t")(_.event_type == "b").within(w)
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    var st = CepState[EventRow](Vector.empty, Vector.empty)
+    var total = 0
+    // 200 batches of an a→b pair each, marching forward in time
+    for (i <- 0 until 200) {
+      val t0 = i * 60L
+      val (next, fresh) = Cep.step(st,
+        Seq(e(2L * i, t0, "a"), e(2L * i + 1, t0 + 1, "b")), p, ordFn, None)
+      st = next
+      total += fresh.size
+    }
+    assert(total == 200)
+    // within(10s) horizon: only the most recent events/signatures survive
+    assert(st.buffer.size <= 4, s"buffer grew to ${st.buffer.size}")
+    assert(st.emitted.size <= 4, s"emitted grew to ${st.emitted.size}")
+  }
+
+  test("streaming step with retentionMs bounds state when within is absent") {
+    import graft.cep.Cep.CepState
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .next("t")(_.event_type == "b")
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    var st = CepState[EventRow](Vector.empty, Vector.empty)
+    for (i <- 0 until 100) {
+      val t0 = i * 60L
+      val (next, _) = Cep.step(st,
+        Seq(e(2L * i, t0, "a"), e(2L * i + 1, t0 + 1, "b")), p, ordFn,
+        retentionMs = Some(120 * 1000L))
+      st = next
+    }
+    assert(st.buffer.size <= 8, s"buffer grew to ${st.buffer.size}")
+    assert(st.emitted.size <= 8, s"emitted grew to ${st.emitted.size}")
+  }
+
   test("streaming CEP matches across micro-batch boundaries exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
