@@ -129,6 +129,15 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // time-bounded RANGE frame streaming OVER (RowTimeBoundedRangeOver):
+    // count+sum over the trailing 10 minutes per key, peer rows equal
+    "stream_over_range" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.overRangeBounded(
+        events(s, dir).as[EventRow], 10 * 60 * 1000L).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // custom event-time ordered emission (DataStreamSort)
     "stream_sorted_emit" -> ((s, dir) => {
       import s.implicits._
@@ -257,6 +266,14 @@ object Streaming extends QuerySet {
          |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "stream_over_range" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS win_cnt,
+         |  CAST(SUM($C) OVER w AS BIGINT) AS win_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "stream_sorted_emit" ->
       """SELECT user_id,

@@ -106,6 +106,66 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming OVER, time-bounded RANGE frame ---------------------------
+
+  case class RangeOverState(winTs: List[Long], winCents: List[Long])
+  case class RangeOverOut(event_id: Long, user_id: Long, win_cnt: Long,
+                          win_cents: Long)
+
+  /** Per-row count + sum over events within [ts − rangeMs, ts] per key in
+    * event-time order — the RowTimeBoundedRangeOver subset
+    * (`flink-table/.../runtime/aggregate/RowTimeBoundedRangeOver.scala`).
+    *
+    * RANGE-frame peer semantics: all rows sharing a timestamp get the SAME
+    * aggregate, including one another (standard SQL RANGE CURRENT ROW =
+    * current peer group; the reference emits per-timestamp too). Rows are
+    * therefore processed one timestamp at a time. State is the frame
+    * contents: O(rows in range) per key. */
+  def overRangeBounded(events: Dataset[EventRow], rangeMs: Long): Dataset[RangeOverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[RangeOverState]) =>
+          var s = state.getOption.getOrElse(RangeOverState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[RangeOverOut]()
+          val byTs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .groupBy(_.ts.getTime).toSeq.sortBy(_._1)
+          byTs.foreach { case (ts, peers) =>
+            val wTs = s.winTs ++ peers.map(_ => ts)
+            val wCents = s.winCents ++ peers.map(e => math.round(e.value * 100))
+            val keep = wTs.zip(wCents).dropWhile(_._1 < ts - rangeMs)
+            s = RangeOverState(keep.map(_._1), keep.map(_._2))
+            val cnt = keep.length.toLong
+            val sum = keep.map(_._2).sum
+            peers.foreach(e => out += RangeOverOut(e.event_id, key, cnt, sum))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  // ---- streaming OVER, processing-time rows -------------------------------
+
+  /** Per-row running count + sum in ARRIVAL order — the ProcTimeUnboundedOver
+    * subset (`flink-table/.../runtime/aggregate/ProcTimeUnboundedOver.scala`).
+    * Processing-time results depend on arrival order by definition, so this
+    * is spec-verified with controlled MemoryStream batches rather than the
+    * value oracle. */
+  def overRowsProcTime(events: Dataset[EventRow]): Dataset[OverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[OverState]) =>
+          var s = state.getOption.getOrElse(OverState(0L, 0L))
+          val out = it.map { e =>
+            s = OverState(s.cnt + 1, s.cents + math.round(e.value * 100))
+            OverOut(e.event_id, key, s.cnt, s.cents)
+          }.toVector
+          state.update(s)
+          out.iterator
+      }
+  }
+
   // ---- connected streams / CoProcessFunction ------------------------------
 
   /** Tagged element of a two-typed connected stream. */
@@ -149,20 +209,37 @@ object StatefulOps {
   // ---- event-time sorted emit (DataStreamSort subset) ---------------------
 
   case class SortedOut(user_id: Long, seq_no: Long, event_id: Long)
+  case class SortBufState(ts: List[Long], ids: List[Long], emitted: Long)
 
-  /** Ordered emission per key: assigns a contiguous event-time sequence
-    * number (reference DataStreamSort / RowTimeSortProcessFunction). */
-  def sortedEmit(events: Dataset[EventRow]): Dataset[SortedOut] = {
+  /** Ordered emission per key with WATERMARK hold-back (reference
+    * DataStreamSort / `RowTimeSortProcessFunction`): rows buffer in state
+    * and emit — with contiguous per-key sequence numbers — only once the
+    * watermark passes their event time, so cross-batch out-of-order input
+    * (within the watermark delay) is sequenced correctly.
+    *
+    * Mechanics: the batch-N watermark is computed from batch N−1, so rows
+    * always buffer at least one micro-batch; an event-time timeout at
+    * watermark+1 forces a callback when the watermark advances (including
+    * the no-data batch AvailableNow runs before terminating, which with
+    * `delay = 0 seconds` flushes everything — making the end-of-stream
+    * result oracle-comparable). Requires `withWatermark` upstream. */
+  def sortedEmit(events: Dataset[EventRow], delay: String = "0 seconds"): Dataset[SortedOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, it: Iterator[EventRow], state: GroupState[OverState]) =>
-          var s = state.getOption.getOrElse(OverState(0L, 0L))
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            s = OverState(s.cnt + 1, s.cents)
-            SortedOut(key, s.cnt, e.event_id)
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[SortBufState]) =>
+          val prev = state.getOption.getOrElse(SortBufState(Nil, Nil, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (prev.ts.zip(prev.ids) ++
+            it.map(e => (e.ts.getTime, e.event_id))).sorted
+          val (ready, hold) = all.partition { case (t, _) => t <= wm }
+          val out = ready.zipWithIndex.map { case ((_, id), i) =>
+            SortedOut(key, prev.emitted + i + 1, id)
           }
-          state.update(s)
+          state.update(SortBufState(hold.map(_._1), hold.map(_._2),
+            prev.emitted + ready.length))
+          if (hold.nonEmpty) state.setTimeoutTimestamp(wm + 1)
           out.iterator
       }
   }

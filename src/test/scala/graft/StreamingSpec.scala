@@ -94,6 +94,75 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sortedEmit buffers until the watermark and sequences out-of-order batches") {
+    import spark.implicits._
+    val input = mem()
+    // 10-minute watermark slack: batch-2 rows older than batch-1 rows are
+    // still sequenced correctly because nothing emits until the watermark
+    // passes it
+    val out = StatefulOps.sortedEmit(input.toDS(), delay = "10 minutes")
+    val q = out.toDF().writeStream.format("memory").queryName("sorted_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(10, 5, 3), ev(11, 8, 3))   // minutes 5, 8
+      q.processAllAvailable()
+      input.addData(ev(12, 3, 3))                 // OUT OF ORDER: minute 3
+      q.processAllAvailable()
+      // advance the watermark far past minute 8 so all three flush
+      input.addData(ev(13, 60, 3))
+      q.processAllAvailable()
+      val rows = spark.table("sorted_test").as[StatefulOps.SortedOut]
+        .collect().sortBy(_.seq_no)
+      // event-time order: id12 (min 3) < id10 (min 5) < id11 (min 8)
+      assert(rows.take(3).map(_.event_id).toSeq == Seq(12L, 10L, 11L),
+        s"got ${rows.toSeq}")
+      assert(rows.take(3).map(_.seq_no).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("proc-time OVER accumulates in arrival order across batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.overRowsProcTime(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("proc_over_test")
+      .outputMode("append").start()
+    try {
+      // arrival order deliberately DISAGREES with event time: the minute-9
+      // row arrives first and must get run_cnt 1
+      input.addData(ev(21, 9, 4, value = 1.0))
+      q.processAllAvailable()
+      input.addData(ev(22, 2, 4, value = 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("proc_over_test").as[StatefulOps.OverOut]
+        .collect().sortBy(_.run_cnt)
+      assert(rows.map(r => (r.event_id, r.run_cnt, r.run_cents)).toSeq ==
+        Seq((21L, 1L, 100L), (22L, 2L, 300L)))
+    } finally q.stop()
+  }
+
+  test("range-frame OVER gives peer rows the same aggregate across batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.overRangeBounded(input.toDS(), 5 * 60000L)
+    val q = out.toDF().writeStream.format("memory").queryName("range_over_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two peers at minute 1 + one row at minute 3
+      input.addData(ev(31, 1, 6, value = 1.0), ev(32, 1, 6, value = 2.0),
+        ev(33, 3, 6, value = 4.0))
+      q.processAllAvailable()
+      // batch 2: minute 8 — rows at minute 1 (older than 8−5) fall out
+      input.addData(ev(34, 8, 6, value = 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("range_over_test").as[StatefulOps.RangeOverOut]
+        .collect().map(r => r.event_id -> (r.win_cnt, r.win_cents)).toMap
+      assert(rows(31L) == (2L, 300L) && rows(32L) == (2L, 300L),
+        s"peers must share the aggregate: $rows")
+      assert(rows(33L) == (3L, 700L))
+      assert(rows(34L) == (2L, 1200L), s"minute-1 rows must leave the frame: $rows")
+    } finally q.stop()
+  }
+
   test("retract adapter emits (retract, add) pairs for updated keys") {
     import spark.implicits._
     val input = mem()
