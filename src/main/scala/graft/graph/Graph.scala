@@ -114,6 +114,156 @@ object GraphAlgorithms {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Label propagation (reference `graph/library/LabelPropagation.java`):
+    * each vertex adopts the most frequent label among its (undirected)
+    * neighbors each superstep; ties break to the HIGHEST label — the same
+    * deterministic rule Gelly documents. Isolated vertices keep their own
+    * label. Init label = vid. Synchronous fixed-iteration form: one
+    * co-partitioned join + two map-side-combining aggregations per
+    * superstep. */
+  def labelPropagation(g: Graph, maxIter: Int): DataFrame = {
+    val und = g.undirectedEdges
+      .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    val init = g.vertices.select(col("vid"), col("vid").as("label"))
+    Iterate.bulk(init, maxIter) { cur =>
+      val votes = und
+        .join(cur.withColumnRenamed("vid", "src"), "src")
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val adopted = votes.groupBy("vid")
+        .agg(max(struct(col("cnt"), col("label"))).getField("label")
+          .as("new_label"))
+      cur.join(adopted, Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+  }
+
+  /** Community detection (reference `graph/library/CommunityDetection.java`
+    * core rule): like label propagation but each neighbor's vote counts
+    * with its EDGE WEIGHT — the vertex adopts the label with the highest
+    * total incident weight; ties break to the highest label. (The
+    * reference's hop-attenuation refinement of vote scores is not
+    * reproduced — it requires float score state whose accumulation order
+    * is not cross-engine deterministic.) */
+  def communityDetection(g: Graph, maxIter: Int): DataFrame = {
+    val undW = g.edges.select(col("src"), col("dst"), col("weight"))
+      .union(g.edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    val init = g.vertices.select(col("vid"), col("vid").as("label"))
+    Iterate.bulk(init, maxIter) { cur =>
+      val votes = undW
+        .join(cur.withColumnRenamed("vid", "src"), "src")
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(sum(col("weight")).as("w"))
+      val adopted = votes.groupBy("vid")
+        .agg(max(struct(col("w"), col("label"))).getField("label")
+          .as("new_label"))
+      cur.join(adopted, Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+  }
+
+  /** HITS hubs-and-authorities (reference
+    * `graph/library/linkanalysis/HITS.java`), UN-normalized fixed-iteration
+    * form: auth_k(v) = Σ_{u→v} hub_{k−1}(u), hub_k(v) = Σ_{v→w} auth_k(w),
+    * init hub = 1. Integer sums are associative → exact cross-engine. The
+    * reference normalizes each iteration, which only rescales both vectors
+    * by a global constant — score RATIOS are identical; callers wanting
+    * normalized scores divide by the L2 norm at the surface. Keep `iters`
+    * small: magnitudes grow like (max degree)^(2·iters). */
+  def hits(g: Graph, iters: Int = 2): DataFrame = {
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint()
+    val verts = g.vertices.select(col("vid"))
+    val init = verts.select(col("vid"), lit(1L).as("auth"), lit(1L).as("hub"))
+    Iterate.bulk(init, iters) { cur =>
+      val auth = verts
+        .join(e.join(cur.select(col("vid").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("vid")).agg(sum(col("hub")).as("a")),
+          Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("a"), lit(0L)).as("auth"))
+      verts
+        .join(e.join(auth.select(col("vid").as("dst"), col("auth").as("na")), "dst")
+          .groupBy(col("src").as("vid")).agg(sum(col("na")).as("h")),
+          Seq("vid"), "left")
+        .join(auth, Seq("vid"))
+        .select(col("vid"), col("auth"), coalesce(col("h"), lit(0L)).as("hub"))
+    }
+  }
+
+  /** Jaccard neighborhood similarity (reference
+    * `graph/library/similarity/JaccardIndex.java`): for every vertex pair
+    * sharing ≥1 neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over undirected
+    * neighbor SETS. The wedge self-join on the shared middle vertex is the
+    * inverted-index shape — shuffle on vertex id, never all-pairs; skewed
+    * hub vertices are the AQE-skew-join case at scale. */
+  def jaccardIndex(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val deg = und.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+    val x = und.as("x"); val y = und.as("y")
+    val inter = x.join(y,
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.select(col("vid").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("vid").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("deg_a") + col("deg_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Adamic-Adar link prediction (reference
+    * `graph/library/similarity/AdamicAdar.java`): Σ over common neighbors
+    * z of 1/ln(deg z), integer-quantized as floor(1e6/ln(deg z)) so the
+    * cross-pair sum is associative and exact (deg ≥ 2 for any wedge
+    * middle, so ln > 0; floor margins are far from libm's ulp error). */
+  def adamicAdar(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val deg = und.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+    val weighted = und.join(deg.withColumnRenamed("vid", "src"), "src")
+      .select(col("src"), col("dst"),
+        floor(lit(1000000.0) / log(col("deg"))).as("wq"))
+    val x = weighted.as("x"); val y = weighted.as("y")
+    x.join(y, col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(sum(col("x.wq")).cast("bigint").as("aa_q"))
+  }
+
+  /** PageRank with INTEGER-QUANTIZED rank mass (reference
+    * `library/linkanalysis/PageRank` semantics; quantization ours):
+    * ranks are longs in units of 1/scale, damping is the rational
+    * dampNum/dampDen, and every per-edge contribution is the floor-division
+    * `(q·dampNum) div (dampDen·deg)`. Long sums are associative, so the
+    * result is independent of partitioning and shuffle order — exactly
+    * hash-comparable across engines (the float formulation below is not).
+    * Quantization error per vertex per iteration is < in-degree ulps of
+    * 1/scale (≤ 1e-12 units). */
+  def pageRankExact(g: Graph, iters: Int = 10, dampNum: Long = 85L,
+                    dampDen: Long = 100L,
+                    scale: Long = 1000000000000L): DataFrame = {
+    val n = g.vertices.count()
+    val deg = g.outDegrees.localCheckpoint()
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint()
+    val base = (dampDen - dampNum) * scale / dampDen / n
+    val init = g.vertices.select(col("vid"), lit(scale / n).as("q"))
+    Iterate.bulk(init, iters) { cur =>
+      val contribs = e
+        .join(cur.withColumnRenamed("vid", "src"), "src")
+        .join(deg.withColumnRenamed("vid", "src"), "src")
+        .select(col("dst").as("vid"),
+          expr(s"(q * $dampNum) div ($dampDen * deg)").as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("c"))
+      g.vertices.select(col("vid"))
+        .join(contribs, Seq("vid"), "left")
+        .select(col("vid"), (lit(base) + coalesce(col("c"), lit(0L))).as("q"))
+    }.select(col("vid"), col("q").as("rank_q"))
+  }
+
   /** PageRank, fixed-iteration (reference `library/linkanalysis/PageRank`).
     * Double-precision sums shuffle in nondeterministic order, so exact
     * cross-engine hashes are not defined for this op — correctness is pinned

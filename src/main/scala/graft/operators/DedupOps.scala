@@ -82,14 +82,23 @@ object DedupOps {
     * — deterministic). The only shuffles are the band-key self-join and the
     * pair groupBy, both on small uniformly-hashed keys. */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+                      idCol: String = "doc_id", n: Int = 3,
+                      maxBandFreq: Long = 10000L): DataFrame = {
     // materialize the signatures ONCE: the band explode + the two est-
     // jaccard joins would otherwise each replay the full md5 pipeline
     // (Catalyst plans self-join branches independently). localCheckpoint
     // cuts the plan; at cluster scale use persist(DISK_ONLY) instead.
     val sigs = minhashSignatures(docs, textCol, idCol, n).localCheckpoint()
-    val bands = sigs.select(col("id"),
+    val allBands = sigs.select(col("id"),
       posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
+    // hot-bucket cap: a degenerate band signature shared by k docs emits
+    // k²/2 join rows on ONE key — the quadratic-blowup / straggler shape at
+    // corpus scale. Buckets over `maxBandFreq` carry no near-dup signal
+    // (they are boilerplate collisions), so drop them from the join.
+    val hot = allBands.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxBandFreq)
+      .select(col("band"), col("bsig"))
+    val bands = allBands.join(hot, Seq("band", "bsig"), "left_anti")
     val a = bands.as("a"); val b = bands.as("b")
     val pairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
@@ -160,14 +169,23 @@ object DedupOps {
     * inverted-index pattern: shuffle on shingle, never all-pairs. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
-                        minJaccard: Double = 0.2): DataFrame = {
+                        minJaccard: Double = 0.2,
+                        maxDocFreq: Long = 10000L): DataFrame = {
     // one tokenize+shingle pass feeds the index, the sizes, and both join
     // sides — materialize it instead of replaying the text pipeline 4x
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // document-frequency cap: a stop-phrase shingle shared by k docs makes
+    // that join key's output k²/2 — quadratic on one reducer. Shingles with
+    // df > maxDocFreq are non-discriminative (they move jaccard estimates
+    // by at most 1/|union| each) and are dropped from the inverted INDEX
+    // only; `sizes` still counts them, so the union denominator is exact.
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("s"))
+    val idx = sh.join(hot, Seq("s"), "left_anti")
+    val a = idx.as("a"); val b = idx.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))

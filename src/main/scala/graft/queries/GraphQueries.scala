@@ -51,12 +51,11 @@ object GraphQueries extends QuerySet {
       GraphAlgorithms.shortestPaths(g, sources, maxIter = 15)
     }),
 
-    // PageRank on the chain graph — no SQL-expressible oracle (floating
-    // sums over shuffles); driver records the weaker rows-only check and
-    // GraphSpec pins exact values on a hand-computed graph
+    // PageRank on the chain graph, integer-quantized so long sums are
+    // associative and the DuckDB oracle hash-matches exactly (the chain's
+    // in-degree ≤ 1 lets the oracle unroll the 5 iterations as CTEs)
     "graph_pagerank" -> ((s, dir) =>
-      GraphAlgorithms.pageRank(chainGraph(s, dir), iters = 5)
-        .select(col("vid"), round(col("rank"), 9).as("rank"))),
+      GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5)),
 
     // degree statistics of the undirected chain graph
     "graph_degrees" -> ((s, dir) => {
@@ -67,17 +66,78 @@ object GraphQueries extends QuerySet {
 
     // triangle enumeration on chain + skip-2 edges (closed-form triangles
     // (i, i+1, i+2) inside each 10-block)
-    "graph_triangles" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id").as("vid"))
-      val e1 = docs.filter(col("vid") % 10 =!= 9)
-        .select(col("vid").as("src"), (col("vid") + 1).as("dst"))
-      val e2 = docs.filter(col("vid") % 10 <= 7)
-        .select(col("vid").as("src"), (col("vid") + 2).as("dst"))
-      GraphAlgorithms.triangles(Graph(docs, e1.union(e2)))
-    })
+    "graph_triangles" -> ((s, dir) =>
+      GraphAlgorithms.triangles(skipGraph(s, dir))),
+
+    // label propagation on the bipartite star graph: synchronous LP on a
+    // star alternates with period 2, so after an EVEN iteration count the
+    // labels are closed-form — customers carry the nation's max custkey,
+    // hubs their own vid
+    "graph_label_propagation" -> ((s, dir) =>
+      GraphAlgorithms.labelPropagation(bipartiteGraph(s, dir), maxIter = 4)),
+
+    // weighted community detection on the same star, edge weight
+    // (custkey % 5) + 1: hubs vote for the max-weight (then max-id) customer
+    "graph_community" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val vertices = cust.select(col("c_custkey").as("vid"))
+        .union(cust.select((col("c_nationkey") + 1000000L).as("vid")).distinct())
+      val edges = cust.select(col("c_custkey").as("src"),
+        (col("c_nationkey") + 1000000L).as("dst"),
+        (col("c_custkey") % 5 + 1).cast("long").as("weight"))
+      GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4)
+    }),
+
+    // HITS on the star graph, 2 unnormalized iterations: authority mass
+    // concentrates on hubs (= nation size squared), hub mass on customers
+    "graph_hits" -> ((s, dir) =>
+      GraphAlgorithms.hits(bipartiteGraph(s, dir), iters = 2)),
+
+    // neighborhood Jaccard on chain + skip-2 edges
+    "graph_jaccard" -> ((s, dir) =>
+      GraphAlgorithms.jaccardIndex(skipGraph(s, dir))),
+
+    // Adamic-Adar link prediction on the same graph (quantized 1/ln(deg))
+    "graph_adamic_adar" -> ((s, dir) =>
+      GraphAlgorithms.adamicAdar(skipGraph(s, dir)))
   )
 
+  /** chain + skip-2 graph over documents (shared by triangles / jaccard /
+    * adamic-adar). */
+  private def skipGraph(s: SparkSession, dir: String): Graph = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id").as("vid"))
+    val e1 = docs.filter(col("vid") % 10 =!= 9)
+      .select(col("vid").as("src"), (col("vid") + 1).as("dst"))
+    val e2 = docs.filter(col("vid") % 10 <= 7)
+      .select(col("vid").as("src"), (col("vid") + 2).as("dst"))
+    Graph(docs, e1.union(e2))
+  }
+
+  /** Exact PageRank oracle: the chain's in-degree is ≤ 1 (v's only
+    * predecessor is v−1 inside its 10-block, out-degree 1), so each
+    * quantized iteration is a self-join, unrolled as chained CTEs.
+    * Constants mirror pageRankExact: scale 1e12, damping 85/100 →
+    * q0 = 1e12 // n, base = 15·1e12 // 100 // n = 1.5e11 // n,
+    * contribution = (q_prev · 85) // 100. */
+  private val pageRankOracle: String = {
+    val steps = (1 to 5).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.doc_id AS vid,
+         |    150000000000 // n.n + coalesce((p.q * 85) // 100, 0) AS q
+         |  FROM documents d CROSS JOIN n
+         |  LEFT JOIN pr${k - 1} p
+         |    ON p.vid = d.doc_id - 1 AND d.doc_id % 10 <> 0)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       |pr0 AS (SELECT doc_id AS vid, 1000000000000 // n.n AS q
+       |        FROM documents CROSS JOIN n),
+       |$steps
+       |SELECT vid, CAST(q AS BIGINT) AS rank_q FROM pr5""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle,
     // component = block head (min label in the chain)
     "graph_cc_chain" ->
       """SELECT doc_id AS vid, doc_id - doc_id % 10 AS comp
@@ -108,6 +168,79 @@ object GraphQueries extends QuerySet {
         |FROM documents
         |WHERE doc_id % 10 <= 7
         |  AND doc_id + 2 <= (SELECT MAX(doc_id) FROM documents)""".stripMargin,
+
+    // closed form after an EVEN LP iteration count on a star (see query)
+    "graph_label_propagation" ->
+      """WITH m AS (
+        |  SELECT c_nationkey, MAX(c_custkey) AS mx
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c.c_custkey AS vid, m.mx AS label
+        |FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+        |UNION ALL
+        |SELECT DISTINCT c_nationkey + 1000000 AS vid,
+        |  c_nationkey + 1000000 AS label
+        |FROM customer""".stripMargin,
+
+    // weighted LP: hubs adopt the max-(weight, id) customer of the nation
+    "graph_community" ->
+      """WITH m AS (
+        |  SELECT c_nationkey,
+        |    arg_max(c_custkey, (c_custkey % 5 + 1) * 100000000 + c_custkey)
+        |      AS mx
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c.c_custkey AS vid, m.mx AS label
+        |FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+        |UNION ALL
+        |SELECT DISTINCT c_nationkey + 1000000 AS vid,
+        |  c_nationkey + 1000000 AS label
+        |FROM customer""".stripMargin,
+
+    // 2 unnormalized HITS iterations on the star: auth(hub) = n², and
+    // hub(customer) = n² where n = customers in the nation
+    "graph_hits" ->
+      """WITH cnt AS (
+        |  SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey)
+        |SELECT c.c_custkey AS vid, CAST(0 AS BIGINT) AS auth,
+        |  CAST(cnt.n * cnt.n AS BIGINT) AS hub
+        |FROM customer c JOIN cnt ON c.c_nationkey = cnt.c_nationkey
+        |UNION ALL
+        |SELECT DISTINCT c.c_nationkey + 1000000 AS vid,
+        |  CAST(cnt.n * cnt.n AS BIGINT) AS auth, CAST(0 AS BIGINT) AS hub
+        |FROM customer c JOIN cnt ON c.c_nationkey = cnt.c_nationkey""".stripMargin,
+
+    // relational restatement of neighborhood jaccard over the same edges
+    "graph_jaccard" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst
+        |  FROM documents WHERE doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 <= 7),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+        |inter AS (
+        |  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS inter
+        |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY x.dst, y.dst)
+        |SELECT i.a, i.b, i.inter,
+        |  ROUND(CAST(i.inter AS DOUBLE) / (da.deg + db.deg - i.inter), 6)
+        |    AS jaccard
+        |FROM inter i JOIN deg da ON da.vid = i.a
+        |JOIN deg db ON db.vid = i.b""".stripMargin,
+
+    // quantized adamic-adar: Σ floor(1e6 / ln(deg(middle)))
+    "graph_adamic_adar" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst
+        |  FROM documents WHERE doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 <= 7),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)
+        |SELECT x.dst AS a, y.dst AS b,
+        |  CAST(SUM(FLOOR(1000000.0 / ln(d.deg))) AS BIGINT) AS aa_q
+        |FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        |JOIN deg d ON d.vid = x.src
+        |GROUP BY x.dst, y.dst""".stripMargin,
 
     // distance = prefix sum of (i%3)+1 weights from the block head
     "graph_sssp_chain" ->

@@ -60,4 +60,54 @@ class GraphSpec extends SparkSpecBase {
     val sub = graph.subgraph(col("vid") <= 2)
     assert(sub.vertices.count() == 2 && sub.edges.count() == 1)
   }
+
+  test("pageRankExact hits the 2-cycle fixed point exactly") {
+    // 1⇄2: rank mass never moves off 1/2; quantized q stays scale/2
+    val graph = g(Seq((1L, 2L, 1L), (2L, 1L, 1L)), Seq(1L, 2L))
+    val got = GraphAlgorithms.pageRankExact(graph, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("label propagation: triangle converges to max label, isolated keeps own") {
+    val graph = g(Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 1L)),
+      Seq(0L, 1L, 2L, 9L))
+    val got = GraphAlgorithms.labelPropagation(graph, maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 9L -> 9L), s"$got")
+  }
+
+  test("community detection follows the heavier edge on ties") {
+    // 3's neighbors: 1 (weight 5) and 2 (weight 1) → adopts 1's label even
+    // though 2 is the higher label
+    val graph = g(Seq((1L, 3L, 5L), (2L, 3L, 1L)), Seq(1L, 2L, 3L))
+    val got = GraphAlgorithms.communityDetection(graph, maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 1L, s"$got")
+  }
+
+  test("unnormalized HITS on a 2-leaf star: auth(hub)=4, hub(leaf)=4") {
+    val graph = g(Seq((1L, 9L, 1L), (2L, 9L, 1L)), Seq(1L, 2L, 9L))
+    val got = GraphAlgorithms.hits(graph, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(9L) == ((4L, 0L)), s"$got")
+    assert(got(1L) == ((0L, 4L)) && got(2L) == ((0L, 4L)), s"$got")
+  }
+
+  test("jaccard index on a 4-cycle: opposite corners are identical neighborhoods") {
+    val graph = g(Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 1L)),
+      Seq(0L, 1L, 2L, 3L))
+    val got = GraphAlgorithms.jaccardIndex(graph).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got == Map((0L, 2L) -> 1.0, (1L, 3L) -> 1.0), s"$got")
+  }
+
+  test("adamic-adar on a 4-cycle: two degree-2 middles per opposite pair") {
+    val graph = g(Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 1L)),
+      Seq(0L, 1L, 2L, 3L))
+    val wq = math.floor(1e6 / math.log(2.0)).toLong // 1442695
+    val got = GraphAlgorithms.adamicAdar(graph).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 2L) -> 2 * wq, (1L, 3L) -> 2 * wq), s"$got")
+  }
 }

@@ -34,6 +34,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hot-shingle df cap prunes stop-phrase keys from the inverted index") {
+    import spark.implicits._
+    // 4 docs share the stop phrase "the end of it"; 2 docs additionally
+    // share a discriminative phrase
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta the end of it"),
+      (2L, "alpha beta gamma delta the end of it"),
+      (3L, "unrelated words entirely here the end of it"),
+      (4L, "other content again completely the end of it")
+    ).toDF("doc_id", "text")
+    val uncapped = DedupOps.ngramJaccardPairs(fixture, minJaccard = 0.01)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // cap at df<=3: the 3-gram shingles of "the end of it" (df=4) leave the
+    // index; only the discriminative alpha/beta pair survives
+    val capped = DedupOps.ngramJaccardPairs(fixture, minJaccard = 0.01,
+      maxDocFreq = 3L).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((3L, 4L)), s"stop-phrase pair expected: $uncapped")
+    assert(capped == Set((1L, 2L)), s"capped index must drop df>3 keys: $capped")
+    // a cap above every fixture df is a no-op (the oracle contract)
+    val wide = DedupOps.ngramJaccardPairs(fixture, minJaccard = 0.01,
+      maxDocFreq = 100L).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(wide == uncapped)
+  }
+
+  test("minhash band-bucket cap drops degenerate buckets") {
+    import spark.implicits._
+    // 6 identical docs → every band bucket has df 6
+    val fixture = (1L to 6L).map(i => (i, "same exact text for everyone here"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.minhashLshPairs(fixture)
+    assert(uncapped.count() == 15) // C(6,2) pairs
+    val capped = DedupOps.minhashLshPairs(fixture, maxBandFreq = 5L)
+    assert(capped.count() == 0, "all buckets exceed the cap and must drop")
+  }
+
   test("jaccard pairs: 0 < jaccard <= 1 and symmetric-free ordering") {
     DedupOps.ngramJaccardPairs(docs).collect().foreach { r =>
       val j = r.getAs[Double]("jaccard")
