@@ -1,53 +1,81 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-
-import scala.collection.concurrent.TrieMap
-import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.types.StructType
 
 /** Retract-stream adapter (reference `toRetractStream[(Boolean, T)]`,
   * `StreamTableEnvironment.scala:724-831`, CRow runtime SURVEY §2.4).
   *
   * Flink emits per-record (add/retract) pairs from updating queries; Spark's
   * update output mode emits only the new row versions per micro-batch. This
-  * adapter reconstructs the retractions at the sink: it keeps the last seen
-  * row per key and, per micro-batch, emits (false, oldRow) before
-  * (true, newRow) for every changed key — the same contract at micro-batch
-  * granularity (SURVEY §7.5 risk 3).
-  *
-  * The key→row map lives at the sink (driver in local mode). For cluster
-  * deployments the same logic runs inside `foreachBatch` against any keyed
-  * store; the adapter is sink-side by design, mirroring the reference where
-  * retraction materialization also happens in the sink
-  * (`RetractStreamTableSink`).
+  * adapter reconstructs the retractions DISTRIBUTED: per micro-batch it
+  * semi-joins the previous snapshot against the batch keys (the old versions
+  * of changed keys become retractions), unions the batch rows as additions,
+  * and appends the tagged changelog to a parquet sink with a distributed
+  * write. The new snapshot is the anti-join of the previous snapshot plus
+  * the batch — all of it DataFrame algebra; the driver holds only the
+  * snapshot POINTER, never the rows. Changelog order is (batch, key,
+  * retract-before-add), the same per-key contract as the reference's
+  * retraction pairs at micro-batch granularity (SURVEY §7.5 risk 3).
   */
 class RetractStream(keyCols: Seq[String]) {
 
-  private val last = TrieMap.empty[String, Row]
-  private val changesBuf = ArrayBuffer.empty[(Boolean, Row)]
+  private val outDir = java.nio.file.Files
+    .createTempDirectory("graft-retract").toString
+  @volatile private var snap: Option[DataFrame] = None
+  @volatile private var sparkRef: SparkSession = _
+  @volatile private var baseSchema: StructType = _
+  @volatile private var wroteAny = false
 
-  private def keyOf(r: Row): String =
-    keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("|")
-
-  /** Process one micro-batch of an update-mode aggregation result. */
+  /** Process one micro-batch of an update-mode aggregation result —
+    * distributed joins + distributed write, no per-batch collect. */
   def onBatch(batch: DataFrame, batchId: Long): Unit = {
-    val rows = batch.collect()
-    changesBuf.synchronized {
-      rows.foreach { r =>
-        val k = keyOf(r)
-        last.get(k).foreach(old => changesBuf += ((false, old)))
-        changesBuf += ((true, r))
-        last.put(k, r)
-      }
+    sparkRef = batch.sparkSession
+    baseSchema = batch.schema
+    if (batch.isEmpty) return
+    // materialize once: the changelog and the snapshot both reuse it; at
+    // cluster scale persist(DISK_ONLY) instead of localCheckpoint
+    val b = batch.localCheckpoint()
+    val keys = keyCols.map(col)
+    val changes = snap match {
+      case None => b.withColumn("__is_add", lit(true))
+      case Some(prev) =>
+        prev.join(b.select(keys: _*), keyCols, "left_semi")
+          .withColumn("__is_add", lit(false))
+          .union(b.withColumn("__is_add", lit(true)))
     }
+    changes.withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    wroteAny = true
+    snap = Some(snap match {
+      case None => b
+      case Some(prev) =>
+        prev.join(b.select(keys: _*), keyCols, "left_anti").union(b)
+          .localCheckpoint()
+    })
   }
 
-  /** All (isAdd, row) changes emitted so far, in order. */
-  def changes: Seq[(Boolean, Row)] = changesBuf.synchronized(changesBuf.toList)
+  /** All (isAdd, row) changes emitted so far, ordered by (batch, key,
+    * retract-before-add). Materializes the changelog — call at the consumer
+    * boundary, not per batch. */
+  def changes: Seq[(Boolean, Row)] = {
+    if (!wroteAny) return Nil
+    val df = sparkRef.read.parquet(outDir)
+    val dataCols = baseSchema.fieldNames.toSeq
+    val sortCols = (Seq(col("__batch_id")) ++ keyCols.map(col)) :+ col("__is_add")
+    df.orderBy(sortCols: _*)
+      .select(col("__is_add") +: dataCols.map(col): _*)
+      .collect()
+      .map(r => (r.getBoolean(0),
+        new GenericRowWithSchema(r.toSeq.drop(1).toArray, baseSchema): Row))
+      .toSeq
+  }
 
   /** Current materialized table (upsert view of the changelog). */
-  def snapshot: Seq[Row] = last.values.toList
+  def snapshot: Seq[Row] = snap.map(_.collect().toSeq).getOrElse(Nil)
 }
 
 object RetractStream {
