@@ -88,4 +88,104 @@ object MLOps {
     model.transform(feat).withColumnRenamed("prediction", "cluster")
       .drop("features")
   }
+
+  /** ALS collaborative filtering façade (FlinkML
+    * `recommendation/ALS.scala`): factorize the (user, item, rating)
+    * matrix, return the input with a `prediction` column. Iterative float
+    * training — seed-pinned, MLSpec-verified (reconstruction RMSE), not
+    * oracle-expressible. */
+  def alsFit(ratings: DataFrame, userCol: String, itemCol: String,
+             ratingCol: String, rank: Int = 4, maxIter: Int = 10,
+             reg: Double = 0.05, seed: Long = 42L): DataFrame = {
+    val model = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setRank(rank).setMaxIter(maxIter).setRegParam(reg).setSeed(seed)
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+    model.transform(ratings)
+  }
+
+  /** Soft-margin linear SVM façade (FlinkML `classification/SVM.scala` —
+    * CoCoA-trained there; hinge-loss LinearSVC here). Label column must be
+    * 0/1. Returns the input with `prediction`. */
+  def fitLinearSvc(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                   maxIter: Int = 50, reg: Double = 0.01): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    val model = new org.apache.spark.ml.classification.LinearSVC()
+      .setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setRegParam(reg)
+      .fit(assembled)
+    model.transform(assembled).drop("features", "rawPrediction")
+  }
+
+  /** Stochastic Outlier Selection (FlinkML `outlier/
+    * StochasticOutlierSelection.scala`): per-point Gaussian affinities with
+    * the bandwidth β_i tuned by binary search to the target perplexity,
+    * normalized to binding probabilities b_ij, outlier probability
+    * p(j) = Π_i (1 − b_ij). The pairwise-distance stage is the brute-force
+    * exact baseline (same declared contract as embedding cosine pairs —
+    * block with LSH buckets at corpus scale); the per-point β search runs
+    * inside `flatMapGroups`, state O(neighbors of one point). */
+  def stochasticOutlierSelection(df: DataFrame, vecCol: String,
+                                 idCol: String,
+                                 perplexity: Double = 3.0): DataFrame = {
+    import df.sparkSession.implicits._
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val d2 = a.join(b, col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y))," +
+          " 0D, (acc, x) -> acc + x)").as("d2"))
+    val bind = d2.as[(Long, Long, Double)].groupByKey(_._1)
+      .flatMapGroups { (i: Long, it: Iterator[(Long, Long, Double)]) =>
+        val ds = it.map(t => (t._2, t._3)).toArray
+        val target = math.log(perplexity min ds.length.toDouble)
+        var lo = 1e-12; var hi = 1e12; var beta = 1.0
+        var k = 0
+        while (k < 100) {
+          beta = math.sqrt(lo * hi)
+          val aff = ds.map { case (_, dd) => math.exp(-dd * beta) }
+          val s = aff.sum
+          val h = if (s <= 0) 0.0
+            else aff.collect { case x if x > 0 =>
+              val p = x / s; -p * math.log(p) }.sum
+          if (h > target) lo = beta else hi = beta
+          k += 1
+        }
+        val aff = ds.map { case (j, dd) => (j, math.exp(-dd * beta)) }
+        val s = aff.map(_._2).sum
+        aff.iterator.map { case (j, af) => (i, j, af / s) }
+      }.toDF("i", "j", "b")
+    bind.groupBy(col("j").as(idCol))
+      .agg(exp(sum(log(lit(1.0) - col("b")))).as("outlier_prob"))
+  }
+
+  /** Polynomial feature expansion (FlinkML
+    * `preprocessing/PolynomialFeatures.scala`): every monomial of the
+    * input columns up to `degree`, as explicitly named product columns —
+    * pure per-row IEEE multiplication in a fixed order, so it participates
+    * in the value oracle (unlike the iterative estimators). */
+  def polynomialFeatures(df: DataFrame, cols: Seq[String],
+                         degree: Int): DataFrame = {
+    require(degree >= 1)
+    // monomials as sorted multisets of column names, ascending total degree
+    def monomials(d: Int): Seq[Seq[String]] =
+      if (d == 0) Seq(Seq.empty)
+      else monomials(d - 1) ++ combosOfSize(d)
+    def combosOfSize(d: Int): Seq[Seq[String]] = {
+      def rec(remaining: Seq[String], k: Int): Seq[Seq[String]] =
+        if (k == 0) Seq(Seq.empty)
+        else remaining.zipWithIndex.flatMap { case (c, idx) =>
+          rec(remaining.drop(idx), k - 1).map(c +: _)
+        }
+      rec(cols, d)
+    }
+    monomials(degree).filter(_.nonEmpty).foldLeft(df) { (acc, mono) =>
+      val prod = mono.map(col).reduceLeft(_ * _)
+      acc.withColumn(s"poly_${mono.mkString("_")}", prod)
+    }
+  }
 }

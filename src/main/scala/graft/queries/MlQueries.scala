@@ -25,7 +25,18 @@ object MlQueries extends QuerySet {
       val embs = Tables.load(s, dir, "embeddings")
       MLOps.knnClassify(embs, embs,
         embs.filter(col("vec_id") % 100 === 0), k = 5)
-    })
+    }),
+
+    // polynomial feature expansion — per-row IEEE products, oracle-exact
+    "ml_poly_features" -> ((s, dir) =>
+      MLOps.polynomialFeatures(
+        Tables.load(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0),
+        Seq("l_quantity", "l_discount"), degree = 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("poly_l_quantity"), col("poly_l_discount"),
+          col("poly_l_quantity_l_quantity"),
+          col("poly_l_quantity_l_discount"),
+          col("poly_l_discount_l_discount")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -62,6 +73,15 @@ object MlQueries extends QuerySet {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY votes DESC, label) AS rk
         |  FROM votes) WHERE rk = 1""".stripMargin,
+
+    "ml_poly_features" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS poly_l_quantity,
+        |  l_discount AS poly_l_discount,
+        |  l_quantity * l_quantity AS poly_l_quantity_l_quantity,
+        |  l_quantity * l_discount AS poly_l_quantity_l_discount,
+        |  l_discount * l_discount AS poly_l_discount_l_discount
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
 
     "ml_standard_scale" ->
       """WITH c AS (

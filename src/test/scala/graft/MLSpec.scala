@@ -43,6 +43,64 @@ class MLSpec extends SparkSpecBase {
     }
   }
 
+  test("ALS reconstructs a low-rank ratings matrix on its training data") {
+    import spark.implicits._
+    // rank-1 planted structure: rating(u,i) = (u+1)(i+1)/4 over a 6x6 grid
+    val ratings = (for (u <- 0 until 6; i <- 0 until 6)
+      yield (u, i, (u + 1) * (i + 1) / 4.0f)).toDF("user", "item", "rating")
+    val pred = MLOps.alsFit(ratings, "user", "item", "rating",
+      rank = 2, maxIter = 15, reg = 0.01)
+    val rmse = math.sqrt(pred
+      .select(pow(col("prediction") - col("rating"), 2).as("se"))
+      .agg(avg("se")).head.getDouble(0))
+    assert(rmse < 0.3, s"train RMSE $rmse")
+    // seed-pinned determinism
+    val again = MLOps.alsFit(ratings, "user", "item", "rating",
+      rank = 2, maxIter = 15, reg = 0.01)
+    assert(pred.select("user", "item", "prediction")
+      .exceptAll(again.select("user", "item", "prediction")).isEmpty)
+  }
+
+  test("linear SVC separates linearly separable classes perfectly") {
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      val x = (i % 10) - 4.5; val y = (i % 7) - 3.0
+      (x, y, if (x + y > 0) 1.0 else 0.0)
+    }.filter { case (x, y, _) => math.abs(x + y) > 1.0 } // margin gap
+      .toDF("x", "y", "label")
+    val pred = MLOps.fitLinearSvc(df, Seq("x", "y"), "label",
+      maxIter = 200, reg = 0.001)
+    val wrong = pred.filter(col("prediction") =!= col("label")).count()
+    assert(wrong == 0, s"$wrong misclassified")
+  }
+
+  test("stochastic outlier selection ranks the isolated point highest") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Array(0.0, 0.1)), (2L, Array(0.1, 0.0)), (3L, Array(0.0, -0.1)),
+      (4L, Array(-0.1, 0.0)), (5L, Array(0.05, 0.05)),
+      (9L, Array(10.0, 10.0))) // far outlier
+      .toDF("vec_id", "v")
+    val out = MLOps.stochasticOutlierSelection(pts, "v", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = out.maxBy(_._2)._1
+    assert(top == 9L, s"$out")
+    assert(out(9L) > 0.9, s"far point should be near-certain outlier: $out")
+  }
+
+  test("polynomial features are exact per-row products") {
+    import spark.implicits._
+    val df = Seq((2.0, 3.0)).toDF("a", "b")
+    val out = MLOps.polynomialFeatures(df, Seq("a", "b"), degree = 2)
+      .head
+    val cols = MLOps.polynomialFeatures(df, Seq("a", "b"), 2).columns.toSeq
+    assert(cols.containsSlice(Seq("poly_a", "poly_b", "poly_a_a", "poly_a_b",
+      "poly_b_b")), s"$cols")
+    assert(out.getAs[Double]("poly_a") == 2.0)
+    assert(out.getAs[Double]("poly_a_b") == 6.0)
+    assert(out.getAs[Double]("poly_b_b") == 9.0)
+  }
+
   test("z-scores have ~zero mean and ~unit variance per group") {
     val out = MLOps.standardScaleCents(Tables.load(spark, sfDir, "customer"),
       "c_acctbal", col("c_mktsegment"))
