@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.StructType
   *  - text (`readTextFile`) → `spark.read.text`;
   *  - ORC (`OrcRowInputFormat`) → native `orc` format;
   *  - JSON table sources (`KafkaJsonTableSource`) → native `json` format;
-  *  - JDBC (`JDBCInputFormat`/`JDBCOutputFormat`) → `spark.read.jdbc`
-  *    (API surfaced here; no driver ships in this zero-egress build);
+  *  - JDBC (`JDBCInputFormat`/`JDBCOutputFormat`) → `spark.read.jdbc` /
+  *    `write.jdbc`, exercised end-to-end against the embedded Derby engine
+  *    that ships on the Spark classpath (JdbcSpec round trip);
   *  - Avro (`AvroInputFormat`) / Kafka connectors: the spark-avro and
   *    spark-sql-kafka modules are not on this classpath — API documented,
   *    not exercised;
@@ -62,4 +63,24 @@ object IoOps {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-io", name)
     p.toString
   }
+
+  /** JDBC source (reference `JDBCInputFormat`): a single-partition read of
+    * `table` (a table name or a `(subquery) alias`). For parallel reads at
+    * scale pass partitioning bounds via [[readJdbcPartitioned]]. */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties)
+
+  /** Parallel JDBC read split on a numeric column — the scale path: each of
+    * `numPartitions` tasks reads one stride of `[lower, upper]`. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partitionCol: String, lower: Long, upper: Long,
+                          numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      new java.util.Properties)
+
+  /** JDBC sink (reference `JDBCOutputFormat`): batched inserts per
+    * partition. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).jdbc(url, table, new java.util.Properties)
 }

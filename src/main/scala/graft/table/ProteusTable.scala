@@ -69,6 +69,24 @@ final case class ProteusTable(df: DataFrame) {
     ProteusTable(df.select(
       (df.columns.map(col).toSeq ++ cols.map { case (_, f) => f(spec) }): _*))
 
+  // ---- UDTF (table function) joins ---------------------------------------
+  /** Inner correlate against a table-function expression (reference
+    * `Table.join(udtfCall)` `table.scala:366-398`): one output row per
+    * element the function generates for the row; rows generating nothing
+    * are dropped. The function call is any Column yielding an array —
+    * including a registered UDTF-style function — and the element binds to
+    * `alias` (select fields off it when the element is a struct). */
+  def joinLateral(udtfCall: Column, alias: String): ProteusTable =
+    ProteusTable(df.select(
+      df.columns.map(col).toIndexedSeq :+ explode(udtfCall).as(alias): _*))
+
+  /** Left-outer correlate (reference `Table.leftOuterJoin(udtfCall)`
+    * `table.scala:400-427`): rows generating nothing survive with a null
+    * element. */
+  def leftOuterJoinLateral(udtfCall: Column, alias: String): ProteusTable =
+    ProteusTable(df.select(
+      df.columns.map(col).toIndexedSeq :+ explode_outer(udtfCall).as(alias): _*))
+
   /** Append into a saved table (reference `Table.insertInto :876`). */
   def insertInto(tableName: String): Unit =
     df.write.insertInto(tableName)

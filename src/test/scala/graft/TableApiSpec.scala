@@ -62,6 +62,24 @@ class TableApiSpec extends SparkSpecBase {
     assert(spark.table("ins_target").count() == 30)
   }
 
+  test("joinLateral correlates a table function; leftOuter keeps empty rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("id", "text")
+    val tokenize = split(trim(col("text")), " ")
+    // inner correlate: row 2 generates "" → filter blanks as the UDTF would
+    val inner = ProteusTable(docs)
+      .joinLateral(filter(tokenize, t => length(t) > 0), "tok")
+      .toDF
+    assert(inner.count() == 3)
+    assert(inner.select("id").distinct().as[Long].collect().toSet == Set(1L))
+    // left outer correlate: row 2 survives with a null token
+    val louter = ProteusTable(docs)
+      .leftOuterJoinLateral(filter(tokenize, t => length(t) > 0), "tok")
+      .toDF
+    assert(louter.count() == 4)
+    assert(louter.filter(col("id") === 2 && col("tok").isNull).count() == 1)
+  }
+
   test("orderedWait preserves input order within partitions") {
     import spark.implicits._
     val ds = spark.range(0, 1000, 1, 4).map(_.toLong)
