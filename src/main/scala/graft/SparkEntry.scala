@@ -15,6 +15,7 @@ object SparkEntry {
   def sets: Seq[QuerySet] = Seq(
     Tpch,
     Tpch2,
+    Tpch3,
     Aggregates,
     Joins,
     SetOps,

@@ -89,8 +89,11 @@ object DedupOps {
     // (Catalyst plans self-join branches independently). localCheckpoint
     // cuts the plan; at cluster scale use persist(DISK_ONLY) instead.
     val sigs = minhashSignatures(docs, textCol, idCol, n).localCheckpoint()
+    // materialized once: the hot-bucket scan, the anti-join probe, and both
+    // self-join sides would otherwise each replay the band explode
     val allBands = sigs.select(col("id"),
       posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
+      .localCheckpoint()
     // hot-bucket cap: a degenerate band signature shared by k docs emits
     // k²/2 join rows on ONE key — the quadratic-blowup / straggler shape at
     // corpus scale. Buckets over `maxBandFreq` carry no near-dup signal

@@ -81,6 +81,18 @@ object IoQueries extends QuerySet {
       IoOps.readOrc(s, path)
     }),
 
+    // Avro container-file round trip through the avro-mapred Hadoop
+    // formats (reference AvroInputFormat/AvroOutputFormat)
+    "io_avro_roundtrip" -> ((s, dir) => {
+      val path = IoOps.scratch("nation_avro") + "_" + System.nanoTime()
+      val nation = Tables.load(s, dir, "nation")
+        .select(org.apache.spark.sql.functions.col("n_nationkey"),
+          org.apache.spark.sql.functions.col("n_name"),
+          org.apache.spark.sql.functions.col("n_regionkey"))
+      IoOps.writeAvro(nation, path)
+      IoOps.readAvro(s, path, nation.schema)
+    }),
+
     // partitioned sink: write partitioned by key, read back one partition —
     // partition pruning must reconstruct the column from the path
     "io_partitioned_read" -> ((s, dir) => {
@@ -123,6 +135,9 @@ object IoQueries extends QuerySet {
 
     "io_orc_roundtrip" ->
       "SELECT * FROM supplier",
+
+    "io_avro_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "io_partitioned_read" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
