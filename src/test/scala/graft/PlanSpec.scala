@@ -57,6 +57,25 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("q02: part size filter reaches the scan; region dims broadcast") {
+    val f = formatted("q02_min_cost_supplier")
+    assert(f.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the scan: " + f.take(1500))
+    assert(plan("q02_min_cost_supplier").contains("BroadcastHashJoin"))
+  }
+
+  test("q16: bad suppliers exclude via anti join, distinct agg is two-phase") {
+    val p = plan("q16_parts_supplier_relation")
+    assert(p.contains("LeftAnti"), "NOT IN must plan as an anti join")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q18: grouped HAVING aggregates partial+final before the detail join") {
+    val p = plan("q18_large_volume_customer")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("Join") || p.contains("join"))
+  }
+
   test("whole-stage codegen spans cover the TPC-H spine") {
     // AQE shows codegen spans only in the FINAL plan of THIS query
     // execution — collect() (count() would plan a different tree)
