@@ -114,6 +114,24 @@ object GraphAlgorithms {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Graph summarization (reference `graph/library/Summarization.java`):
+    * vertices sharing a value merge into one supervertex (its id = the MIN
+    * member vid, deterministic), and edges group by (source value, target
+    * value) with a member count — the standard relational contraction: two
+    * hash aggregations and one value join, no iteration. Inputs: vertices
+    * (vid, value), directed edges (src, dst). */
+  def summarize(vertices: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val superV = vertices.groupBy(col("value"))
+      .agg(min(col("vid")).as("super_vid"), count(lit(1)).as("member_count"))
+    val vv = vertices.select(col("vid"), col("value"))
+    val superE = edges
+      .join(vv.select(col("vid").as("src"), col("value").as("src_value")), "src")
+      .join(vv.select(col("vid").as("dst"), col("value").as("dst_value")), "dst")
+      .groupBy(col("src_value"), col("dst_value"))
+      .agg(count(lit(1)).as("edge_count"))
+    (superV, superE)
+  }
+
   /** Label propagation (reference `graph/library/LabelPropagation.java`):
     * each vertex adopts the most frequent label among its (undirected)
     * neighbors each superstep; ties break to the HIGHEST label — the same

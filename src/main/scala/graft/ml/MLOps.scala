@@ -163,6 +163,27 @@ object MLOps {
       .agg(exp(sum(log(lit(1.0) - col("b")))).as("outlier_prob"))
   }
 
+  /** Deterministic split assignment (FlinkML `preprocessing/Splitter.scala`
+    * randomSplit counterpart): bucket = stableHash(id) mod 100, test iff
+    * bucket < testPct. md5-derived, so the split is reproducible across
+    * runs, partitionings, AND engines — it participates in the value
+    * oracle, which `randomSplit` (sample-based, partition-dependent)
+    * cannot. */
+  def splitAssignment(df: DataFrame, idCol: String, testPct: Int): DataFrame = {
+    require(testPct >= 0 && testPct <= 100)
+    df.withColumn("split_bucket",
+      graft.functions.GraftFunctions.stableHash(col(idCol).cast("string")) % 100)
+      .withColumn("is_test", col("split_bucket") < testPct)
+  }
+
+  /** Train/test split on the deterministic assignment. */
+  def trainTestSplit(df: DataFrame, idCol: String,
+                     testPct: Int): (DataFrame, DataFrame) = {
+    val tagged = splitAssignment(df, idCol, testPct)
+    (tagged.filter(!col("is_test")).drop("split_bucket", "is_test"),
+      tagged.filter(col("is_test")).drop("split_bucket", "is_test"))
+  }
+
   /** Polynomial feature expansion (FlinkML
     * `preprocessing/PolynomialFeatures.scala`): every monomial of the
     * input columns up to `degree`, as explicitly named product columns —

@@ -99,7 +99,21 @@ object GraphQueries extends QuerySet {
 
     // Adamic-Adar link prediction on the same graph (quantized 1/ln(deg))
     "graph_adamic_adar" -> ((s, dir) =>
-      GraphAlgorithms.adamicAdar(skipGraph(s, dir)))
+      GraphAlgorithms.adamicAdar(skipGraph(s, dir))),
+
+    // graph summarization: documents valued by their 10-block merge into
+    // supervertices; chain edges contract to per-block self-edges
+    "graph_summarize_vertices" -> ((s, dir) => {
+      val verts = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("vid"), expr("doc_id div 10").as("value"))
+      GraphAlgorithms.summarize(verts, chainGraph(s, dir).edges)._1
+    }),
+
+    "graph_summarize_edges" -> ((s, dir) => {
+      val verts = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("vid"), expr("doc_id div 10").as("value"))
+      GraphAlgorithms.summarize(verts, chainGraph(s, dir).edges)._2
+    })
   )
 
   /** chain + skip-2 graph over documents (shared by triangles / jaccard /
@@ -138,6 +152,18 @@ object GraphQueries extends QuerySet {
 
   override def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle,
+
+    // block contraction closed forms
+    "graph_summarize_vertices" ->
+      """SELECT doc_id // 10 AS value, MIN(doc_id) AS super_vid,
+        |  COUNT(*) AS member_count
+        |FROM documents GROUP BY doc_id // 10""".stripMargin,
+
+    "graph_summarize_edges" ->
+      """SELECT doc_id // 10 AS src_value, (doc_id + 1) // 10 AS dst_value,
+        |  COUNT(*) AS edge_count
+        |FROM documents WHERE doc_id % 10 <> 9
+        |GROUP BY 1, 2""".stripMargin,
     // component = block head (min label in the chain)
     "graph_cc_chain" ->
       """SELECT doc_id AS vid, doc_id - doc_id % 10 AS comp

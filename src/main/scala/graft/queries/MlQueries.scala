@@ -27,6 +27,12 @@ object MlQueries extends QuerySet {
         embs.filter(col("vec_id") % 100 === 0), k = 5)
     }),
 
+    // deterministic train/test split assignment — md5-bucketed, identical
+    // in any engine (FlinkML Splitter counterpart)
+    "ml_train_test_split" -> ((s, dir) =>
+      MLOps.splitAssignment(Tables.load(s, dir, "customer"), "c_custkey", 20)
+        .select(col("c_custkey"), col("split_bucket"), col("is_test"))),
+
     // polynomial feature expansion — per-row IEEE products, oracle-exact
     "ml_poly_features" -> ((s, dir) =>
       MLOps.polynomialFeatures(
@@ -73,6 +79,14 @@ object MlQueries extends QuerySet {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY votes DESC, label) AS rk
         |  FROM votes) WHERE rk = 1""".stripMargin,
+
+    "ml_train_test_split" ->
+      """SELECT c_custkey,
+        |  CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 AS split_bucket,
+        |  CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 20 AS is_test
+        |FROM customer""".stripMargin,
 
     "ml_poly_features" ->
       """SELECT l_orderkey, l_linenumber,

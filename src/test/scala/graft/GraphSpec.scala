@@ -61,6 +61,18 @@ class GraphSpec extends SparkSpecBase {
     assert(sub.vertices.count() == 2 && sub.edges.count() == 1)
   }
 
+  test("summarize contracts same-valued vertices and groups edges by value pair") {
+    import spark.implicits._
+    val verts = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("vid", "value")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val (sv, se) = GraphAlgorithms.summarize(verts, edges)
+    val svm = sv.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(svm == Map(10L -> ((1L, 2L)), 20L -> ((3L, 1L))))
+    val sem = se.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sem == Map((10L, 10L) -> 1L, (10L, 20L) -> 2L))
+  }
+
   test("pageRankExact hits the 2-cycle fixed point exactly") {
     // 1⇄2: rank mass never moves off 1/2; quantized q stays scale/2
     val graph = g(Seq((1L, 2L, 1L), (2L, 1L, 1L)), Seq(1L, 2L))

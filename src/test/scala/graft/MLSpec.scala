@@ -88,6 +88,19 @@ class MLSpec extends SparkSpecBase {
     assert(out(9L) > 0.9, s"far point should be near-certain outlier: $out")
   }
 
+  test("train/test split is a deterministic partition near the target rate") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val (train, test) = MLOps.trainTestSplit(cust, "c_custkey", 20)
+    val (nTrain, nTest, nAll) = (train.count(), test.count(), cust.count())
+    assert(nTrain + nTest == nAll)
+    assert(train.join(test, "c_custkey").isEmpty, "splits must be disjoint")
+    val rate = nTest.toDouble / nAll
+    assert(rate > 0.1 && rate < 0.3, s"test rate $rate far from 20%")
+    // re-running yields the identical assignment (hash-determined)
+    val (_, test2) = MLOps.trainTestSplit(cust, "c_custkey", 20)
+    assert(test.select("c_custkey").exceptAll(test2.select("c_custkey")).isEmpty)
+  }
+
   test("polynomial features are exact per-row products") {
     import spark.implicits._
     val df = Seq((2.0, 3.0)).toDF("a", "b")
