@@ -218,6 +218,25 @@ object DedupOps {
     kept.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    * candidate-pair graph at `minJaccard` — each document is assigned the
+    * minimum doc id reachable through near-dup links (singletons keep
+    * their own id). The cluster-preserving variant of [[dedupCorpus]]'s
+    * greedy drop: downstream policies (keep longest, keep newest) pick per
+    * cluster instead of per pair. Composition of hash-partitioned stages +
+    * the CC join-iteration — nothing quadratic. */
+  def dedupClusters(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, textCol, idCol)
+      .filter(col("est_jaccard") >= minJaccard)
+    val verts = docs.select(col(idCol).as("vid"))
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    graft.graph.GraphAlgorithms
+      .connectedComponents(graft.graph.Graph(verts, edges), maxIter = 20)
+      .select(col("vid").as(idCol), col("comp").as("cluster_id"))
+  }
+
   /** Embedding cosine near-duplicates above `minCos`. Brute-force all-pairs
     * — the exact baseline; use [[SimilarityOps.lshBuckets]] blocking for the
     * 100 TB path. Norms are precomputed once per row before the join. */

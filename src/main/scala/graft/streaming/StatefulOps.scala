@@ -31,8 +31,16 @@ object StatefulOps {
                             sum_cents: Long)
 
   /** Tumbling count windows of `size` events per key; only complete windows
-    * are emitted (Flink countWindow semantics). */
-  def countWindows(events: Dataset[EventRow], size: Int): Dataset[CountWindowOut] = {
+    * are emitted (Flink countWindow semantics).
+    *
+    * `evictorMaxAgeMs` is the reference TimeEvictor
+    * (`windowing/evictors/TimeEvictor.java`): before the window function
+    * runs, elements older than (window max timestamp − maxAge) are evicted
+    * from the buffer, so the emitted aggregate may cover fewer than `size`
+    * elements — exactly the evictor contract (eviction does NOT change
+    * window assignment, only what the function sees). */
+  def countWindows(events: Dataset[EventRow], size: Int,
+                   evictorMaxAgeMs: Option[Long] = None): Dataset[CountWindowOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -47,7 +55,13 @@ object StatefulOps {
           while (ts.length >= size) {
             val (wTs, restTs) = ts.splitAt(size)
             val (wCents, restCents) = cents.splitAt(size)
-            out += CountWindowOut(key, emitted, wTs.length, wCents.sum)
+            val (keptTs, keptCents) = evictorMaxAgeMs match {
+              case Some(age) =>
+                val cutoff = wTs.max - age
+                wTs.zip(wCents).filter(_._1 >= cutoff).unzip
+              case None => (wTs, wCents)
+            }
+            out += CountWindowOut(key, emitted, keptTs.length, keptCents.sum)
             emitted += 1
             ts = restTs; cents = restCents
           }
@@ -119,7 +133,13 @@ object StatefulOps {
     * RANGE-frame peer semantics: all rows sharing a timestamp get the SAME
     * aggregate, including one another (standard SQL RANGE CURRENT ROW =
     * current peer group; the reference emits per-timestamp too). Rows are
-    * therefore processed one timestamp at a time. State is the frame
+    * therefore processed one timestamp at a time.
+    *
+    * The accumulator is RETRACTABLE (reference `AggregateFunction
+    * .retract`, used by exactly these bounded-OVER runtimes): entering
+    * rows `accumulate` into the running (count, sum), rows leaving the
+    * frame `retract` — integer arithmetic, so add-then-subtract is exact.
+    * Per-emission cost is O(evicted), not O(frame). State is the frame
     * contents: O(rows in range) per key. */
   def overRangeBounded(events: Dataset[EventRow], rangeMs: Long): Dataset[RangeOverOut] = {
     import events.sparkSession.implicits._
@@ -127,17 +147,22 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[EventRow], state: GroupState[RangeOverState]) =>
           var s = state.getOption.getOrElse(RangeOverState(Nil, Nil))
+          // running accumulator rebuilt from state once per batch, then
+          // maintained incrementally (accumulate/retract) per timestamp
+          var accCnt = s.winTs.length.toLong
+          var accSum = s.winCents.sum
           val out = scala.collection.mutable.ArrayBuffer[RangeOverOut]()
           val byTs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .groupBy(_.ts.getTime).toSeq.sortBy(_._1)
           byTs.foreach { case (ts, peers) =>
+            val entering = peers.map(e => math.round(e.value * 100))
+            accCnt += entering.length; accSum += entering.sum // accumulate
             val wTs = s.winTs ++ peers.map(_ => ts)
-            val wCents = s.winCents ++ peers.map(e => math.round(e.value * 100))
-            val keep = wTs.zip(wCents).dropWhile(_._1 < ts - rangeMs)
+            val wCents = s.winCents ++ entering
+            val (evict, keep) = wTs.zip(wCents).span(_._1 < ts - rangeMs)
+            evict.foreach { case (_, c) => accCnt -= 1; accSum -= c } // retract
             s = RangeOverState(keep.map(_._1), keep.map(_._2))
-            val cnt = keep.length.toLong
-            val sum = keep.map(_._2).sum
-            peers.foreach(e => out += RangeOverOut(e.event_id, key, cnt, sum))
+            peers.foreach(e => out += RangeOverOut(e.event_id, key, accCnt, accSum))
           }
           state.update(s)
           out.iterator

@@ -69,6 +69,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(capped.count() == 0, "all buckets exceed the cap and must drop")
   }
 
+  test("dedup clusters: identical texts share a cluster, singletons keep their id") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "completely different content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val clusters = DedupOps.dedupClusters(fixture)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L,
+      s"identical docs must share the min-id cluster: $clusters")
+    assert(clusters(5L) == 5L, s"singleton keeps its own id: $clusters")
+  }
+
   test("jaccard pairs: 0 < jaccard <= 1 and symmetric-free ordering") {
     DedupOps.ngramJaccardPairs(docs).collect().foreach { r =>
       val j = r.getAs[Double]("jaccard")

@@ -77,6 +77,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("count window time-evictor drops stale elements before aggregation") {
+    import spark.implicits._
+    val input = mem()
+    // windows of 3; evict elements older than 5 min behind the window max
+    val out = StatefulOps.countWindows(input.toDS(), size = 3,
+      evictorMaxAgeMs = Some(5 * 60000L))
+    val q = out.toDF().writeStream.format("memory").queryName("cwe_test")
+      .outputMode("append").start()
+    try {
+      // minute 1 is > 5 min older than minute 20 → evicted; window still
+      // consumes 3 elements (assignment unchanged), aggregate sees 2
+      input.addData(ev(1, 1, 8, value = 1.0), ev(2, 19, 8, value = 2.0),
+        ev(3, 20, 8, value = 4.0))
+      q.processAllAvailable()
+      val w = spark.table("cwe_test").as[StatefulOps.CountWindowOut].collect()
+      assert(w.length == 1)
+      assert(w.head.n_events == 2, s"evictor must drop the stale row: ${w.toSeq}")
+      assert(w.head.sum_cents == 600L)
+    } finally q.stop()
+  }
+
   test("streaming OVER continues running totals across batches") {
     import spark.implicits._
     val input = mem()
