@@ -62,6 +62,38 @@ object GraphAlgorithms {
     }
   }
 
+  /** Connected components with POINTER JUMPING: each superstep takes the
+    * minimum of the own label, the neighbors' labels, and the label OF the
+    * label (`comp(comp(v))` — one extra self-join). The jump doubles the
+    * reach per round, so convergence is O(log diameter) supersteps instead
+    * of the plain propagation's O(diameter) — on a path-heavy
+    * billion-vertex graph that is ~30 shuffle rounds versus ~6. Result is
+    * identical to [[connectedComponents]] (min vid per component). */
+  def connectedComponentsFast(g: Graph, maxIter: Int = 20): DataFrame = {
+    val und = g.undirectedEdges
+      .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    val init = g.vertices.select(col("vid"), col("vid").as("comp"))
+    Iterate.bulk(init, maxIter,
+      converged = (old, next) =>
+        old.join(next, "vid")
+          .filter(old("comp") =!= next("comp")).isEmpty) { cur =>
+      // all columns re-aliased: jump is a self-join of cur against itself
+      val nm = und.join(cur.withColumnRenamed("vid", "src"), "src")
+        .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("nmin"))
+      val own = cur.select(col("vid"), col("comp").as("own"))
+      val jump = cur.select(col("vid").as("jv"), col("comp").as("jcomp"))
+      // re-alias vid too: the convergence check self-joins old vs next, so
+      // the step output must not reuse the input's attribute identities
+      own
+        .join(nm, Seq("vid"), "left")
+        .join(jump, col("own") === col("jv"), "left")
+        .select(col("vid").as("vid"),
+          least(col("own"), coalesce(col("nmin"), col("own")),
+            coalesce(col("jcomp"), col("own"))).as("comp"))
+    }
+  }
+
   /** Multi-source shortest paths (reference `graph/library/SingleSourceShortestPaths`)
     * by Bellman-Ford delta iteration: the workset holds vertices whose
     * distance improved last round. */

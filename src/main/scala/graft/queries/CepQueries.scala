@@ -118,6 +118,21 @@ object CepQueries extends QuerySet {
       }.toDF("user_id", "k", "first_id", "last_id")
     }),
 
+    // STREAMING CEP end-to-end: the same strict-next pattern through the
+    // real Structured Streaming path (file source → flatMapGroupsWithState
+    // NFA state machine → memory sink, AvailableNow) — end-of-stream output
+    // equals the batch matcher, so the batch oracle pins the streaming path
+    "cep_stream_strict_next" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .next("b")(_.event_type == "purchase")
+      val stream = graft.streaming.EventStream.read(s, dir).as[EventRow]
+      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
+      }.toDF("user_id", "a_id", "b_id")
+      graft.streaming.EventStream.runToTable(s, out, "append")
+    }),
+
     // timeout side output (PatternStream.select with timeout handler):
     // click → purchase within 30 min; clicks whose window provably closed
     // without a purchase emit a timeout row (b_id = -1)
@@ -190,6 +205,18 @@ object CepQueries extends QuerySet {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, run_len, first_id, last_id
         |FROM runs WHERE run_len >= 2""".stripMargin,
+
+    // identical to cep_strict_next — the streaming path must converge to
+    // the batch semantics at end of stream
+    "cep_stream_strict_next" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS nxt_type,
+        |    lead(event_id) OVER w AS nxt_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS a_id, nxt_id AS b_id
+        |FROM seq WHERE event_type = 'click' AND nxt_type = 'purchase'""".stripMargin,
 
     "cep_not_followed_by" ->
       """WITH pairs AS (

@@ -36,9 +36,10 @@ object GraphQueries extends QuerySet {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // min-label propagation down 10-chains: needs the full iteration depth
+    // pointer-jumping CC down 10-chains: log-depth convergence (5 rounds
+    // reach offset 8; plain propagation needs 10)
     "graph_cc_chain" -> ((s, dir) =>
-      GraphAlgorithms.connectedComponents(chainGraph(s, dir), maxIter = 15)),
+      GraphAlgorithms.connectedComponentsFast(chainGraph(s, dir), maxIter = 8)),
 
     // star components around nation hubs
     "graph_cc_bipartite" -> ((s, dir) =>

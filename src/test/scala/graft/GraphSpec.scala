@@ -61,6 +61,20 @@ class GraphSpec extends SparkSpecBase {
     assert(sub.vertices.count() == 2 && sub.edges.count() == 1)
   }
 
+  test("pointer-jumping CC equals plain propagation on a long chain") {
+    import spark.implicits._
+    // 16-vertex path + an isolated vertex: diameter 15
+    val vs = (0L to 16L).toDF("vid")
+    val es = (0L until 15L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "weight")
+    val g = Graph(vs, es)
+    val slow = GraphAlgorithms.connectedComponents(g, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = GraphAlgorithms.connectedComponentsFast(g, maxIter = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert((0L to 15L).forall(v => fast(v) == 0L) && fast(16L) == 16L)
+  }
+
   test("summarize contracts same-valued vertices and groups edges by value pair") {
     import spark.implicits._
     val verts = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("vid", "value")
