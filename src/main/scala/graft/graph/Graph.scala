@@ -284,6 +284,153 @@ object GraphAlgorithms {
       .agg(sum(col("x.wq")).cast("bigint").as("aa_q"))
   }
 
+  /** Per-vertex clustering coefficient (reference
+    * `library/clustering/undirected/LocalClusteringCoefficient.java`):
+    * degree, count of triangles through the vertex, and the coefficient
+    * integer-quantized as floor(2e6·tri / (deg·(deg−1))) so rows are
+    * hash-exact cross-engine (the reference emits degree + triangle count
+    * and leaves the ratio to the caller for the same reason). Vertices
+    * without edges are omitted (no neighborhood to score). Cost = the
+    * triangle enumeration (two equi-joins) + one count per vertex. */
+  def localClusteringCoefficient(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val deg = und.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+    val tri = triangles(g)
+    val perVertex = tri.select(col("a").as("vid"))
+      .union(tri.select(col("b").as("vid")))
+      .union(tri.select(col("c").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("tri_cnt"))
+    deg.join(perVertex, Seq("vid"), "left")
+      .select(col("vid"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("lcc_q",
+        when(col("degree") >= 2,
+          expr("(2000000 * tri_cnt) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Global clustering coefficient (reference
+    * `library/clustering/undirected/GlobalClusteringCoefficient.java`):
+    * one row of (triplet count = Σ C(deg,2), triangle count, and the
+    * coefficient 3·tri/triplets quantized ×1e6). Two single-row aggregates
+    * cross-joined — negligible shuffle beyond the triangle join itself. */
+  def globalClusteringCoefficient(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val triplets = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("triplet_count"))
+    val triCount = triangles(g).agg(count(lit(1)).as("triangle_count"))
+    triplets.crossJoin(triCount)
+      .select(col("triplet_count"), col("triangle_count"),
+        when(col("triplet_count") > 0,
+          expr("(3000000 * triangle_count) div triplet_count"))
+          .otherwise(lit(0L)).as("gcc_q"))
+  }
+
+  /** Average clustering coefficient (reference
+    * `library/clustering/undirected/AverageClusteringCoefficient.java`):
+    * mean of the quantized local coefficients over all non-isolated
+    * vertices. sum_lcc_q is an exact long; the mean is one long/long
+    * division in doubles — IEEE-identical across engines. */
+  def averageClusteringCoefficient(g: Graph): DataFrame =
+    localClusteringCoefficient(g)
+      .agg(count(lit(1)).as("vertex_count"), sum(col("lcc_q")).as("sum_lcc_q"))
+      .select(col("vertex_count"), col("sum_lcc_q").cast("long").as("sum_lcc_q"))
+      .withColumn("avg_lcc_q",
+        col("sum_lcc_q").cast("double") / col("vertex_count"))
+
+  /** Undirected triadic census (reference `library/metric/undirected/
+    * TriadicCensus.java`): counts of vertex triads with 0/1/2/3 edges,
+    * derived in closed form from n, |E|, wedge count w = Σ C(deg,2) and the
+    * triangle count — four scalar aggregates, no triad materialization
+    * (identical to the reference's approach, which composes VertexMetrics +
+    * TriangleCount rather than enumerating C(n,3) triads). */
+  def triadicCensus(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val em = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg((sum(col("deg")) / 2).cast("long").as("e"),
+        sum(expr("deg * (deg - 1) div 2")).as("w"))
+    val nRow = g.vertices.agg(count(lit(1)).as("n"))
+    val tRow = triangles(g).agg(count(lit(1)).as("t3"))
+    nRow.crossJoin(em).crossJoin(tRow)
+      .select(
+        expr("n*(n-1)*(n-2) div 6 - (e*(n-2) - 2*(w - 3*t3) - 3*t3) " +
+          "- (w - 3*t3) - t3").as("t0"),
+        expr("e*(n-2) - 2*(w - 3*t3) - 3*t3").as("t1"),
+        expr("w - 3*t3").as("t2"),
+        col("t3"))
+  }
+
+  /** Vertex metrics (reference `library/metric/undirected/VertexMetrics
+    * .java`): vertex count, edge count, average degree, density, triplet
+    * count, maximum degree, maximum triplets — one degree aggregation.
+    * The two doubles are each a single division of exact longs. */
+  def vertexMetrics(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct()
+    val degAgg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg((sum(col("deg")) / 2).cast("long").as("edge_count"),
+        sum(expr("deg * (deg - 1) div 2")).as("triplet_count"),
+        max(col("deg")).as("maximum_degree"),
+        max(expr("deg * (deg - 1) div 2")).as("maximum_triplets"))
+    g.vertices.agg(count(lit(1)).as("vertex_count")).crossJoin(degAgg)
+      .select(col("vertex_count"), col("edge_count"),
+        (col("edge_count").cast("double") * 2 / col("vertex_count"))
+          .as("average_degree"),
+        (col("edge_count").cast("double") * 2 /
+          (col("vertex_count") * (col("vertex_count") - 1))).as("density"),
+        col("triplet_count").cast("long").as("triplet_count"),
+        col("maximum_degree"), col("maximum_triplets"))
+  }
+
+  /** Edge metrics (reference `library/metric/undirected/EdgeMetrics.java`):
+    * per vertex v, low(v) = #neighbors u with (deg v, v) < (deg u, u);
+    * triangle triplets = C(low,2), rectangle triplets = C(low,2) +
+    * low·(deg−low); output is the sum and max of each — exactly the
+    * reference's accumulator math, as two joins + two aggregations. */
+  def edgeMetrics(g: Graph): DataFrame = {
+    val und = g.undirectedEdges.distinct().localCheckpoint()
+    val deg = und.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+    val perVertex = und
+      .join(deg.select(col("vid").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("vid").as("dst"), col("deg").as("dd")), "dst")
+      .groupBy(col("src").as("vid"), col("ds").as("deg"))
+      .agg(sum(when(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")), 1L)
+        .otherwise(0L)).as("low"))
+    perVertex
+      .select(expr("low * (low - 1) div 2").as("tt"),
+        (expr("low * (low - 1) div 2") +
+          col("low") * (col("deg") - col("low"))).as("rt"))
+      .agg(sum(col("tt")).cast("long").as("triangle_triplet_count"),
+        sum(col("rt")).cast("long").as("rectangle_triplet_count"),
+        max(col("tt")).as("maximum_triangle_triplets"),
+        max(col("rt")).as("maximum_rectangle_triplets"))
+  }
+
+  /** Order-independent graph digest (reference `library/ChecksumHashCode
+    * .java` — sums Java hashCodes; here a stable arithmetic mix so the
+    * oracle can restate it): Σ (31·x + 17) mod 1e9+7 over vertex ids and
+    * packed edge pairs. Two scans, no shuffle beyond the final fold. */
+  def checksum(g: Graph): DataFrame = {
+    val v = g.vertices
+      .select(expr("(31 * vid + 17) % 1000000007").as("h"))
+      .agg(sum(col("h")).cast("long").as("vertex_checksum"))
+    val e = g.edges
+      .select(expr("(31 * (src * 1000003 + dst) + 17) % 1000000007").as("h"))
+      .agg(sum(col("h")).cast("long").as("edge_checksum"))
+    v.crossJoin(e)
+  }
+
+  /** Gather-sum-apply variants (reference `library/GSAConnectedComponents
+    * .java`, `library/GSASingleSourceShortestPaths.java`): GSA is an
+    * execution strategy in Gelly, not different semantics — on Spark every
+    * superstep is already gather (join edges⋈state) → sum (aggregate) →
+    * apply (project), so these delegate to the same plans. */
+  def gsaConnectedComponents(g: Graph, maxIter: Int = 50): DataFrame =
+    connectedComponents(g, maxIter)
+
+  def gsaShortestPaths(g: Graph, sources: DataFrame, maxIter: Int = 50): DataFrame =
+    shortestPaths(g, sources, maxIter)
+
   /** PageRank with INTEGER-QUANTIZED rank mass (reference
     * `library/linkanalysis/PageRank` semantics; quantization ours):
     * ranks are longs in units of 1/scale, damping is the rational

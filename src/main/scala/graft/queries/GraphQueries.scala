@@ -114,8 +114,63 @@ object GraphQueries extends QuerySet {
       val verts = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("vid"), expr("doc_id div 10").as("value"))
       GraphAlgorithms.summarize(verts, chainGraph(s, dir).edges)._2
-    })
+    }),
+
+    // clustering metrics family on chain + skip-2 edges: the oracle restates
+    // the same math relationally (wedge-join triangles, degree combinatorics)
+    "graph_local_clustering" -> ((s, dir) =>
+      GraphAlgorithms.localClusteringCoefficient(skipGraph(s, dir))),
+
+    "graph_global_clustering" -> ((s, dir) =>
+      GraphAlgorithms.globalClusteringCoefficient(skipGraph(s, dir))),
+
+    "graph_avg_clustering" -> ((s, dir) =>
+      GraphAlgorithms.averageClusteringCoefficient(skipGraph(s, dir))),
+
+    // triad census from scalar aggregates (n, |E|, wedges, triangles)
+    "graph_triadic_census" -> ((s, dir) =>
+      GraphAlgorithms.triadicCensus(skipGraph(s, dir))),
+
+    "graph_vertex_metrics" -> ((s, dir) =>
+      GraphAlgorithms.vertexMetrics(skipGraph(s, dir))),
+
+    "graph_edge_metrics" -> ((s, dir) =>
+      GraphAlgorithms.edgeMetrics(skipGraph(s, dir))),
+
+    // order-independent digest of the vertex and edge sets
+    "graph_checksum" -> ((s, dir) =>
+      GraphAlgorithms.checksum(skipGraph(s, dir)))
   )
+
+  /** Shared oracle CTE prefix: the skip graph's directed edges, its
+    * undirected view, degrees, and wedge-closed triangles — the same
+    * relational restatement the jaccard/adamic-adar oracles use. */
+  private val skipCtes: String =
+    """WITH e AS (
+      |  SELECT doc_id AS src, doc_id + 1 AS dst
+      |  FROM documents WHERE doc_id % 10 <> 9
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 <= 7),
+      |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |deg AS (SELECT src AS vid, COUNT(*) AS degree FROM und GROUP BY src),
+      |o AS (SELECT src, dst FROM und WHERE src < dst),
+      |tri AS (
+      |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      |  FROM o o1 JOIN o o2 ON o1.dst = o2.src
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM o o3 WHERE o3.src = o1.src AND o3.dst = o2.dst)),
+      |tc AS (
+      |  SELECT vid, COUNT(*) AS tri_cnt FROM (
+      |    SELECT a AS vid FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) tv GROUP BY vid),
+      |lcc AS (
+      |  SELECT d.vid, d.degree,
+      |    CAST(COALESCE(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+      |    CAST(CASE WHEN d.degree >= 2
+      |      THEN (2000000 * COALESCE(t.tri_cnt, 0)) // (d.degree * (d.degree - 1))
+      |      ELSE 0 END AS BIGINT) AS lcc_q
+      |  FROM deg d LEFT JOIN tc t ON t.vid = d.vid)""".stripMargin
 
   /** chain + skip-2 graph over documents (shared by triangles / jaccard /
     * adamic-adar). */
@@ -268,6 +323,93 @@ object GraphQueries extends QuerySet {
         |FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
         |JOIN deg d ON d.vid = x.src
         |GROUP BY x.dst, y.dst""".stripMargin,
+
+    "graph_local_clustering" ->
+      s"""$skipCtes
+         |SELECT vid, degree, tri_cnt, lcc_q FROM lcc""".stripMargin,
+
+    "graph_global_clustering" ->
+      s"""$skipCtes,
+         |tp AS (SELECT SUM(degree * (degree - 1) // 2) AS triplet_count
+         |       FROM deg),
+         |tcnt AS (SELECT COUNT(*) AS triangle_count FROM tri)
+         |SELECT CAST(tp.triplet_count AS BIGINT) AS triplet_count,
+         |  CAST(tcnt.triangle_count AS BIGINT) AS triangle_count,
+         |  CAST(CASE WHEN tp.triplet_count > 0
+         |    THEN (3000000 * tcnt.triangle_count) // tp.triplet_count
+         |    ELSE 0 END AS BIGINT) AS gcc_q
+         |FROM tp, tcnt""".stripMargin,
+
+    "graph_avg_clustering" ->
+      s"""$skipCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS vertex_count,
+         |  CAST(SUM(lcc_q) AS BIGINT) AS sum_lcc_q,
+         |  CAST(SUM(lcc_q) AS DOUBLE) / COUNT(*) AS avg_lcc_q
+         |FROM lcc""".stripMargin,
+
+    "graph_triadic_census" ->
+      s"""$skipCtes,
+         |m AS (SELECT CAST(SUM(degree) // 2 AS BIGINT) AS e_cnt,
+         |        CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS w
+         |      FROM deg),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |tt AS (SELECT COUNT(*) AS t3 FROM tri)
+         |SELECT
+         |  CAST(n*(n-1)*(n-2) // 6 - (e_cnt*(n-2) - 2*(w - 3*t3) - 3*t3)
+         |    - (w - 3*t3) - t3 AS BIGINT) AS t0,
+         |  CAST(e_cnt*(n-2) - 2*(w - 3*t3) - 3*t3 AS BIGINT) AS t1,
+         |  CAST(w - 3*t3 AS BIGINT) AS t2,
+         |  CAST(t3 AS BIGINT) AS t3
+         |FROM nn, m, tt""".stripMargin,
+
+    "graph_vertex_metrics" ->
+      s"""$skipCtes,
+         |m AS (SELECT CAST(SUM(degree) // 2 AS BIGINT) AS edge_count,
+         |        CAST(SUM(degree * (degree - 1) // 2) AS BIGINT)
+         |          AS triplet_count,
+         |        CAST(MAX(degree) AS BIGINT) AS maximum_degree,
+         |        CAST(MAX(degree * (degree - 1) // 2) AS BIGINT)
+         |          AS maximum_triplets
+         |      FROM deg),
+         |nn AS (SELECT COUNT(*) AS vertex_count FROM documents)
+         |SELECT CAST(vertex_count AS BIGINT) AS vertex_count, edge_count,
+         |  CAST(edge_count AS DOUBLE) * 2 / vertex_count AS average_degree,
+         |  CAST(edge_count AS DOUBLE) * 2
+         |    / (vertex_count * (vertex_count - 1)) AS density,
+         |  triplet_count, maximum_degree, maximum_triplets
+         |FROM nn, m""".stripMargin,
+
+    "graph_edge_metrics" ->
+      s"""$skipCtes,
+         |ann AS (SELECT u.src, u.dst, ds.degree AS ds, dd.degree AS dd
+         |        FROM und u
+         |        JOIN deg ds ON ds.vid = u.src
+         |        JOIN deg dd ON dd.vid = u.dst),
+         |pv AS (SELECT src AS vid, ds AS degree,
+         |         SUM(CASE WHEN ds < dd OR (ds = dd AND src < dst)
+         |             THEN 1 ELSE 0 END) AS low
+         |       FROM ann GROUP BY src, ds),
+         |r AS (SELECT low * (low - 1) // 2 AS tt,
+         |        low * (low - 1) // 2 + low * (degree - low) AS rt
+         |      FROM pv)
+         |SELECT CAST(SUM(tt) AS BIGINT) AS triangle_triplet_count,
+         |  CAST(SUM(rt) AS BIGINT) AS rectangle_triplet_count,
+         |  CAST(MAX(tt) AS BIGINT) AS maximum_triangle_triplets,
+         |  CAST(MAX(rt) AS BIGINT) AS maximum_rectangle_triplets
+         |FROM r""".stripMargin,
+
+    "graph_checksum" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst
+        |  FROM documents WHERE doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 <= 7)
+        |SELECT
+        |  (SELECT CAST(SUM((31 * doc_id + 17) % 1000000007) AS BIGINT)
+        |   FROM documents) AS vertex_checksum,
+        |  (SELECT CAST(SUM((31 * (src * 1000003 + dst) + 17) % 1000000007)
+        |     AS BIGINT)
+        |   FROM e) AS edge_checksum""".stripMargin,
 
     // distance = prefix sum of (i%3)+1 weights from the block head
     "graph_sssp_chain" ->

@@ -136,4 +136,72 @@ class GraphSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 2L) -> 2 * wq, (1L, 3L) -> 2 * wq), s"$got")
   }
+
+  // triangle 1-2-3 with pendant 3-4: degrees 2,2,3,1; one triangle;
+  // wedges Σ C(deg,2) = 1+1+3+0 = 5
+  private def paw: Graph =
+    g(Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (3L, 4L, 1L)),
+      Seq(1L, 2L, 3L, 4L))
+
+  test("local clustering coefficient on the paw graph") {
+    val got = GraphAlgorithms.localClusteringCoefficient(paw).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1000000L)), s"$got")
+    assert(got(2L) == ((2L, 1L, 1000000L)), s"$got")
+    assert(got(3L) == ((3L, 1L, 333333L)), s"$got")
+    assert(got(4L) == ((1L, 0L, 0L)), s"$got")
+  }
+
+  test("global + average clustering coefficient on the paw graph") {
+    val gl = GraphAlgorithms.globalClusteringCoefficient(paw).collect().head
+    assert((gl.getLong(0), gl.getLong(1), gl.getLong(2)) == ((5L, 1L, 600000L)))
+    val av = GraphAlgorithms.averageClusteringCoefficient(paw).collect().head
+    assert(av.getLong(0) == 4L && av.getLong(1) == 2333333L)
+    assert(math.abs(av.getDouble(2) - 2333333.0 / 4) < 1e-9)
+  }
+
+  test("triadic census on the paw graph: (0,1,2,1)") {
+    val r = GraphAlgorithms.triadicCensus(paw).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 1L, 2L, 1L)), s"$r")
+  }
+
+  test("vertex metrics on the paw graph") {
+    val r = GraphAlgorithms.vertexMetrics(paw).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L) // vertices, edges
+    assert(r.getDouble(2) == 2.0)                    // average degree
+    assert(math.abs(r.getDouble(3) - 8.0 / 12) < 1e-12) // density
+    assert(r.getLong(4) == 5L && r.getLong(5) == 3L && r.getLong(6) == 3L)
+  }
+
+  test("edge metrics on the paw graph match the reference accumulator math") {
+    // low-order neighbor counts: v1→2, v2→1, v3→0, v4→1
+    // tt per vertex: 1,0,0,0 (Σ=1 = triangle count); rt: 1,1,0,0
+    val r = GraphAlgorithms.edgeMetrics(paw).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 2L, 1L, 1L)), s"$r")
+  }
+
+  test("checksum is order-independent and matches hand arithmetic") {
+    val r = GraphAlgorithms.checksum(paw).collect().head
+    assert(r.getLong(0) == 31L * (1 + 2 + 3 + 4) + 4 * 17, s"$r")
+    val eh = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .map { case (s0, d) => (31L * (s0 * 1000003L + d) + 17) % 1000000007L }
+      .sum
+    assert(r.getLong(1) == eh, s"$r")
+  }
+
+  test("GSA variants produce identical results to their base algorithms") {
+    import spark.implicits._
+    val graph = g(Seq((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 1L)),
+      Seq(1L, 2L, 3L, 10L, 11L))
+    val a = GraphAlgorithms.connectedComponents(graph).collect().toSet
+    val b = GraphAlgorithms.gsaConnectedComponents(graph).collect().toSet
+    assert(a == b)
+    val src = Seq(1L).toDF("vid")
+    val c = GraphAlgorithms.shortestPaths(graph, src).collect().toSet
+    val d = GraphAlgorithms.gsaShortestPaths(graph, src).collect().toSet
+    assert(c == d)
+  }
 }
