@@ -129,6 +129,49 @@ object Cep {
     }
   }
 
+  /** Apply the pattern's [[SkipStrategy]] to enumerated matches (reference
+    * `AfterMatchSkipStrategy.java`): process in ascending (start, end)
+    * order; a match starting before the pruning horizon is discarded; each
+    * emitted match advances the horizon per the strategy. `horizon0`
+    * carries the horizon across streaming micro-batches. Returns the kept
+    * matches and the final horizon. */
+  private[graft] def applySkip[T, M](ms: Vector[M], get: M => PatternMatch[T],
+                                     orderFn: T => (Long, Long),
+                                     skip: SkipStrategy,
+                                     horizon0: (Long, Long) = (Long.MinValue, Long.MinValue))
+      : (Vector[M], (Long, Long)) = skip match {
+    case NoSkip => (ms, horizon0)
+    case _ =>
+      val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+      def key(o: Option[T]): (Long, Long) =
+        o.map(orderFn).getOrElse((Long.MaxValue, Long.MaxValue))
+      def stageKey(m: PatternMatch[T], stage: String, last: Boolean): Option[(Long, Long)] =
+        m.bindings.collectFirst { case (n, es) if n == stage && es.nonEmpty =>
+          orderFn(if (last) es.last else es.head)
+        }
+      val strictPast = skip == SkipPastLastEvent
+      val sorted = ms.sortBy(m => (key(get(m).firstBound), key(get(m).lastBound)))(
+        Ordering.Tuple2(ord, ord))
+      var horizon = horizon0
+      val out = Vector.newBuilder[M]
+      for (m <- sorted) {
+        val pm = get(m)
+        val sk = key(pm.firstBound)
+        val keepIt = if (strictPast) ord.gt(sk, horizon) else ord.gteq(sk, horizon)
+        if (keepIt) {
+          out += m
+          val h = skip match {
+            case SkipPastLastEvent => key(pm.lastBound)
+            case SkipToFirst(st)   => stageKey(pm, st, last = false).getOrElse(sk)
+            case SkipToLast(st)    => stageKey(pm, st, last = true).getOrElse(sk)
+            case NoSkip            => horizon
+          }
+          if (ord.gt(h, horizon)) horizon = h
+        }
+      }
+      (out.result(), horizon)
+  }
+
   /** Timed-out partial matches (reference `PatternStream.select` with a
     * timeout handler, `PatternStream.java:301`): starts whose head stage
     * matched but where no full match completed before the `within` window
@@ -220,7 +263,9 @@ object Cep {
                              (implicit ke: Encoder[K]): Dataset[O] = {
     ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
       val sorted = it.toVector.sortBy(orderFn)
-      matchAll(sorted, pattern, (t: T) => orderFn(t)._1).map(m => select(k, m))
+      val all = matchAll(sorted, pattern, (t: T) => orderFn(t)._1).toVector
+      applySkip[T, PatternMatch[T]](all, identity, orderFn, pattern.skip)
+        ._1.iterator.map(m => select(k, m))
     }
   }
 
@@ -237,7 +282,9 @@ object Cep {
     ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
       val sorted = it.toVector.sortBy(orderFn)
       val t = (x: T) => orderFn(x)._1
-      matchAll(sorted, pattern, t).map(m => select(k, m)) ++
+      val all = matchAll(sorted, pattern, t).toVector
+      applySkip[T, PatternMatch[T]](all, identity, orderFn, pattern.skip)
+        ._1.iterator.map(m => select(k, m)) ++
         timedOut(sorted, pattern, t).map(m => timeoutSelect(k, m))
     }
   }
@@ -247,7 +294,8 @@ object Cep {
     * every bound event's order key) — branching quantifiers can yield
     * several distinct matches from one start index, so the full binding
     * identifies a match, not just its start. */
-  case class CepState[T](buffer: Vector[T], emitted: Vector[(Long, Long)])
+  case class CepState[T](buffer: Vector[T], emitted: Vector[(Long, Long)],
+                         skipHorizon: (Long, Long) = (Long.MinValue, Long.MinValue))
 
   private def matchSig[T](m: PatternMatch[T], orderFn: T => (Long, Long)): (Long, Long) = {
     val keys = m.bindings.flatMap(_._2).map(orderFn)
@@ -288,8 +336,13 @@ object Cep {
       !holdBackTail || m.lastBound.forall(b => !lastOrd.contains(orderFn(b)))
     }
     val seen = prev.emitted.toSet
-    val freshPairs = closed.map(m => (m, matchSig(m, orderFn)))
-      .filterNot { case (_, sig) => seen(sig) }
+    // skip pruning runs AFTER the seen-filter: matches emitted in earlier
+    // batches already advanced the persisted horizon, so re-derivations are
+    // dropped by signature and fresh ones race only against each other
+    val (freshPairs, newSkipHorizon) = applySkip[T, (PatternMatch[T], (Long, Long))](
+      closed.map(m => (m, matchSig(m, orderFn)))
+        .filterNot { case (_, sig) => seen(sig) },
+      _._1, orderFn, pattern.skip, prev.skipHorizon)
     val keep = horizonMs match {
       case Some(h) if buf.nonEmpty =>
         val maxTs = orderFn(buf.last)._1
@@ -301,7 +354,7 @@ object Cep {
       keep.headOption.map(e => orderFn(e)._1).getOrElse(Long.MaxValue)
     val emitted = (prev.emitted ++ freshPairs.map(_._2))
       .filter(_._1 >= minRetainedTs)
-    (CepState(keep, emitted), freshPairs.map(_._1))
+    (CepState(keep, emitted, newSkipHorizon), freshPairs.map(_._1))
   }
 
   def streaming[T, K, O: Encoder](ds: Dataset[T], keyFn: T => K,

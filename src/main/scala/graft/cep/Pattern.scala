@@ -62,6 +62,24 @@ object Times {
   def apply(n: Int): TimesRange = TimesRange(n, n, greedy = false)
 }
 
+/** After-match pruning (reference `AfterMatchSkipStrategy.java:121`):
+  * candidate matches are processed in ascending (start, end) order with a
+  * pruning horizon that advances as matches are emitted; a match starting
+  * before the horizon is discarded — exactly the reference's partial-match
+  * pruning, restated over the enumerated match stream.
+  *  - [[NoSkip]]: emit every match (default);
+  *  - [[SkipPastLastEvent]]: the next match must start strictly after the
+  *    emitted match's last event;
+  *  - [[SkipToFirst]] / [[SkipToLast]]: the next match must start at or
+  *    after the first/last event the named stage bound in the emitted
+  *    match (unbound stage → falls back to the match start: no pruning,
+  *    the reference's non-throwing behavior). */
+sealed trait SkipStrategy
+case object NoSkip extends SkipStrategy
+case object SkipPastLastEvent extends SkipStrategy
+final case class SkipToFirst(stage: String) extends SkipStrategy
+final case class SkipToLast(stage: String) extends SkipStrategy
+
 sealed trait Contiguity
 case object Strict extends Contiguity      // next
 case object Relaxed extends Contiguity     // followedBy
@@ -82,7 +100,8 @@ final case class Stage[T](name: String, predicate: T => Boolean,
 }
 
 final case class Pattern[T](stages: Vector[Stage[T]],
-                            withinMs: Option[Long] = None) {
+                            withinMs: Option[Long] = None,
+                            skip: SkipStrategy = NoSkip) {
 
   def next(name: String)(pred: T => Boolean): Pattern[T] =
     copy(stages = stages :+ Stage(name, pred, Strict, Once))
@@ -184,6 +203,10 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     where(t => ct.runtimeClass.isInstance(t))
 
   def within(ms: Long): Pattern[T] = copy(withinMs = Some(ms))
+
+  /** Attach an after-match skip strategy (reference passes it to
+    * `Pattern.begin(name, skipStrategy)`; fluent here). */
+  def afterMatchSkip(s: SkipStrategy): Pattern[T] = copy(skip = s)
 
   /** True if any stage can extend with more events (streaming hold-back). */
   private[cep] def hasExtendableLoop: Boolean = stages.exists { s =>

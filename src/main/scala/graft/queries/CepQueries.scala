@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.cep.{Cep, Pattern}
+import graft.cep.{Cep, Pattern, SkipPastLastEvent, SkipToLast}
 import graft.streaming.EventStream.EventRow
 
 /** CEP inventory (SURVEY §2.8): the Pattern API subset over the events
@@ -93,6 +93,29 @@ object CepQueries extends QuerySet {
       }.toDF("user_id", "k", "first_id", "last_id")
     }),
 
+    // afterMatchSkip(SKIP_PAST_LAST_EVENT): non-overlapping error pairs —
+    // within each maximal error run, pairs start at even offsets only
+    "cep_skip_past_last" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2)
+        .afterMatchSkip(SkipPastLastEvent)
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("e").event_id, m.last("e").event_id)
+      }.toDF("user_id", "first_id", "last_id")
+    }),
+
+    // afterMatchSkip(SKIP_TO_LAST e): times(2,3) candidates collapse to the
+    // k=2 pair at every start — the k=3 extension starts before the
+    // emitted pair's last event and is pruned
+    "cep_skip_to_last" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2, 3)
+        .afterMatchSkip(SkipToLast("e"))
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("e").event_id, m.last("e").event_id)
+      }.toDF("user_id", "first_id", "last_id")
+    }),
+
     // optional middle stage: click [view]? purchase — one match with the
     // view skipped (v_id = -1) plus one with the earliest view bound
     "cep_optional" -> ((s, dir) => {
@@ -181,6 +204,40 @@ object CepQueries extends QuerySet {
         |SELECT user_id, event_id AS first_id, i2 AS last_id
         |FROM seq
         |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'""".stripMargin,
+
+    // greedy left-to-right pairing inside each maximal error run: pairs at
+    // even 0-based offsets with a successor in the same run
+    "cep_skip_past_last" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_e,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) = 'error' THEN 1 ELSE 0 END AS prev_e
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, event_id, ts, is_e,
+        |    SUM(CASE WHEN is_e = 1 AND prev_e = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM seq),
+        |pos AS (
+        |  SELECT user_id, gid, event_id,
+        |    row_number() OVER pw - 1 AS p,
+        |    lead(event_id) OVER pw AS nxt
+        |  FROM grp WHERE is_e = 1
+        |  WINDOW pw AS (PARTITION BY user_id, gid ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS first_id, nxt AS last_id
+        |FROM pos WHERE p % 2 = 0 AND nxt IS NOT NULL""".stripMargin,
+
+    // SKIP_TO_LAST keeps exactly the adjacent pairs (k=2 at every start)
+    "cep_skip_to_last" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS t1, lead(event_id) OVER w AS i1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS first_id, i1 AS last_id
+        |FROM seq WHERE event_type = 'error' AND t1 = 'error'""".stripMargin,
 
     "cep_one_or_more_runs" ->
       """WITH seq AS (

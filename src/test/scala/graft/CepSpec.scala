@@ -186,6 +186,68 @@ class CepSpec extends SparkSpecBase {
     assert(outs.head.bindings.map(_._1) == Vector("s"))
   }
 
+  test("skipPastLastEvent keeps only non-overlapping pairs, left-greedy") {
+    import graft.cep.SkipPastLastEvent
+    // run of 5 errors: NO_SKIP pairs start at 1,2,3,4; skip keeps 1-2, 3-4
+    val evs = (1L to 5L).map(i => e(i, i, "r"))
+    val p = Pattern.begin[EventRow]("r")(_.event_type == "r").times(2)
+    assert(run(evs, p).size == 4)
+    val ms = runBatch(evs, p.afterMatchSkip(SkipPastLastEvent))
+    assert(ms == Vector("r:1,2", "r:3,4"), s"$ms")
+  }
+
+  test("skipToLast prunes the k=3 extension but keeps every adjacent pair") {
+    import graft.cep.SkipToLast
+    val evs = (1L to 4L).map(i => e(i, i, "r"))
+    val p = Pattern.begin[EventRow]("r")(_.event_type == "r").times(2, 3)
+    assert(run(evs, p).size == 5) // (1,2) (1,2,3) (2,3) (2,3,4) (3,4)
+    val ms = runBatch(evs, p.afterMatchSkip(SkipToLast("r")))
+    assert(ms == Vector("r:1,2", "r:2,3", "r:3,4"), s"$ms")
+  }
+
+  test("skipToFirst of a later stage prunes matches starting before it") {
+    import graft.cep.SkipToFirst
+    // a a b: followedBy binds earliest b for both starts; skipToFirst(t)
+    // emits the a1 match (horizon -> b at 30), then prunes the a2 match
+    val evs = Seq(e(1, 10, "a"), e(2, 20, "a"), e(3, 30, "b"))
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("t")(_.event_type == "b")
+    assert(run(evs, p).size == 2)
+    val ms = runBatch(evs, p.afterMatchSkip(SkipToFirst("t")))
+    assert(ms == Vector("s:1;t:3"), s"$ms")
+  }
+
+  test("streaming step persists the skip horizon across batches") {
+    import graft.cep.{Cep, SkipPastLastEvent}
+    import graft.cep.Cep.CepState
+    val p = Pattern.begin[EventRow]("r")(_.event_type == "r").times(2)
+      .afterMatchSkip(SkipPastLastEvent)
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    var st = CepState[EventRow](Vector.empty, Vector.empty)
+    var got = Vector.empty[Seq[Long]]
+    // errors 1..5 arrive one per batch: pairs (1,2) and (3,4) only — the
+    // (2,3) pair would be fresh in batch 3 but starts before the horizon
+    for (i <- 1 to 5) {
+      val (next, fresh) = Cep.step(st, Seq(e(i.toLong, i.toLong, "r")), p,
+        ordFn, None)
+      st = next
+      got ++= fresh.map(m => ids(m, "r"))
+    }
+    assert(got == Vector(Seq(1L, 2L), Seq(3L, 4L)), s"$got")
+  }
+
+  /** Run the skip-aware batch path on a local one-key dataset; each match
+    * serializes its non-empty bindings as "stage:id,id;stage:id". */
+  private def runBatch(events: Seq[EventRow], p: Pattern[EventRow]): Vector[String] = {
+    import spark.implicits._
+    Cep.batch(events.toDS(), (x: EventRow) => x.user_id,
+      (x: EventRow) => (x.ts.getTime, x.event_id), p) { (_, m) =>
+      m.bindings.filter(_._2.nonEmpty)
+        .map { case (n, es) => n + ":" + es.map(_.event_id).mkString(",") }
+        .mkString(";")
+    }.collect().toVector.sorted
+  }
+
   test("streaming step keeps buffer and emitted signatures bounded") {
     import graft.cep.Cep.CepState
     val w = 10 * 1000L
