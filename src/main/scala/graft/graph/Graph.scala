@@ -48,7 +48,7 @@ object GraphAlgorithms {
     // phantom result row (Gelly keys results to the vertex set)
     val und = g.undirectedEdges
       .join(g.vertices.select(col("vid").as("dst")), "dst", "left_semi")
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
     Iterate.bulk(init, maxIter,
       converged = (old, next) =>
@@ -72,7 +72,7 @@ object GraphAlgorithms {
   def connectedComponentsFast(g: Graph, maxIter: Int = 20): DataFrame = {
     val und = g.undirectedEdges
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
     Iterate.bulk(init, maxIter,
       converged = (old, next) =>
@@ -99,7 +99,7 @@ object GraphAlgorithms {
     * distance improved last round. */
   def shortestPaths(g: Graph, sources: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = g.edges.select(col("src"), col("dst"), col("weight"))
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices
       .join(sources.withColumn("is_src", lit(true)), Seq("vid"), "left")
       .select(col("vid"),
@@ -174,7 +174,7 @@ object GraphAlgorithms {
   def labelPropagation(g: Graph, maxIter: Int): DataFrame = {
     val und = g.undirectedEdges
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
     Iterate.bulk(init, maxIter) { cur =>
       val votes = und
@@ -202,7 +202,7 @@ object GraphAlgorithms {
       .union(g.edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
     Iterate.bulk(init, maxIter) { cur =>
       val votes = undW
@@ -444,14 +444,18 @@ object GraphAlgorithms {
                     dampDen: Long = 100L,
                     scale: Long = 1000000000000L): DataFrame = {
     val n = g.vertices.count()
-    val deg = g.outDegrees.localCheckpoint()
-    val e = g.edges.select(col("src"), col("dst")).localCheckpoint()
+    // static per-superstep inputs are built ONCE: edges carry their source
+    // degree (one join hoisted out of the loop), pre-partitioned on the
+    // join key so each round shuffles only the rank state, never the
+    // (much larger) edge set — localCheckpoint preserves the partitioning
+    val ew = g.edges.select(col("src"), col("dst"))
+      .join(g.outDegrees.withColumnRenamed("vid", "src"), "src")
+      .repartition(col("src")).localCheckpoint()
     val base = (dampDen - dampNum) * scale / dampDen / n
     val init = g.vertices.select(col("vid"), lit(scale / n).as("q"))
     Iterate.bulk(init, iters) { cur =>
-      val contribs = e
+      val contribs = ew
         .join(cur.withColumnRenamed("vid", "src"), "src")
-        .join(deg.withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"),
           expr(s"(q * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("c"))
@@ -467,13 +471,13 @@ object GraphAlgorithms {
     * by GraphSpec against hand-computed values instead of the SQL oracle. */
   def pageRank(g: Graph, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val n = g.vertices.count()
-    val deg = g.outDegrees.localCheckpoint()
-    val e = g.edges.select(col("src"), col("dst")).localCheckpoint()
+    val ew = g.edges.select(col("src"), col("dst"))
+      .join(g.outDegrees.withColumnRenamed("vid", "src"), "src")
+      .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), lit(1.0 / n).as("rank"))
     Iterate.bulk(init, iters) { cur =>
-      val contribs = e
+      val contribs = ew
         .join(cur.withColumnRenamed("vid", "src"), "src")
-        .join(deg.withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"), (col("rank") / col("deg")).as("c"))
         .groupBy("vid").agg(sum(col("c")).as("c"))
       g.vertices.select(col("vid"))

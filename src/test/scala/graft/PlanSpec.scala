@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Plan-quality regression guards (SURVEY §4 / DESIGN.md): the optimized
   * physical plans must keep the properties the 100 TB design relies on —
@@ -74,6 +75,22 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q18_large_volume_customer")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
     assert(p.contains("Join") || p.contains("join"))
+  }
+
+  test("localCheckpoint preserves hash partitioning (static loop side joins without re-shuffle)") {
+    // the Pregel loops pre-partition the edge set on the join key once; the
+    // superstep join must then shuffle ONLY the state side. If Spark ever
+    // stopped preserving outputPartitioning across localCheckpoint, every
+    // superstep would silently re-shuffle the edge set — this pins it.
+    import spark.implicits._
+    val eStatic = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+      .repartition(col("k")).localCheckpoint()
+    val state = (0L until 50L).map(i => (i, i * 10)).toDF("k", "s")
+    val joined = eStatic.join(state, "k")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"static side re-shuffled ($exchanges exchanges): ${p.take(2000)}")
   }
 
   test("whole-stage codegen spans cover the TPC-H spine") {
