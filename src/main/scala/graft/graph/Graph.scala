@@ -34,6 +34,139 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .join(keep.withColumnRenamed("vid", "src"), "src")
       .join(keep.withColumnRenamed("vid", "dst"), "dst"))
   }
+
+  // ---- transformation surface (reference Graph.java; SURVEY §2.8) ----
+
+  /** Map vertex values (reference `mapVertices` `Graph.java:528`): vertices
+    * become (vid, value) with `value` evaluated per vertex row. */
+  def mapVertices(value: Column): Graph =
+    copy(vertices = vertices.select(col("vid"), value.as("value")))
+
+  /** Map edge values (reference `mapEdges` `Graph.java:578`): edges become
+    * (src, dst, weight) with the new weight evaluated per edge row. */
+  def mapEdges(value: Column): Graph =
+    copy(edges = edges.select(col("src"), col("dst"), value.as("weight")))
+
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("vid")).agg(count(lit(1)).as("deg"))
+
+  /** in+out degree per vertex, zero for isolated vertices (reference
+    * `getDegrees` `Graph.java:974`). */
+  def degrees: DataFrame = {
+    val both = edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    vertices.select(col("vid")).join(both, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  def numberOfVertices: Long = vertices.count()
+  def numberOfEdges: Long = edges.count()
+
+  /** Edge triplets (reference `getTriplets` `Graph.java:483`): each edge
+    * with its endpoints' vertex rows — two equi-joins, the scatter-phase
+    * shape every vertex-centric superstep uses. */
+  def triplets: DataFrame = {
+    val sv = vertices.columns.filter(_ != "vid")
+      .foldLeft(vertices.withColumnRenamed("vid", "src")) {
+        (d, c) => d.withColumnRenamed(c, s"src_$c") }
+    val dv = vertices.columns.filter(_ != "vid")
+      .foldLeft(vertices.withColumnRenamed("vid", "dst")) {
+        (d, c) => d.withColumnRenamed(c, s"dst_$c") }
+    edges.join(sv, "src").join(dv, "dst")
+  }
+
+  /** Left-join extra columns onto the vertex set by vid (reference
+    * `joinWithVertices` `Graph.java:674`). */
+  def joinWithVertices(input: DataFrame): Graph =
+    copy(vertices = vertices.join(input, Seq("vid"), "left"))
+
+  def filterOnVertices(vpred: Column): Graph = subgraph(vpred)
+
+  /** Keep only edges satisfying the predicate; vertex set unchanged
+    * (reference `filterOnEdges` `Graph.java:907`). */
+  def filterOnEdges(epred: Column): Graph = copy(edges = edges.filter(epred))
+
+  /** Add vertices; existing vids win (reference `addVertices`
+    * `Graph.java:1379` — existing-wins dedup). */
+  def addVertices(vs: DataFrame): Graph =
+    copy(vertices = vertices.unionByName(
+      vs.join(vertices.select(col("vid")), Seq("vid"), "left_anti")))
+
+  /** Remove the given vertex ids AND their incident edges (reference
+    * `removeVertices` `Graph.java:1485`). */
+  def removeVertices(vids: DataFrame): Graph = {
+    val ids = vids.select(col("vid"))
+    // USING-joins move the key column first; re-select the original order
+    val kept = edges
+      .join(ids.withColumnRenamed("vid", "src"), Seq("src"), "left_anti")
+      .join(ids.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti")
+    Graph(
+      vertices.join(ids, Seq("vid"), "left_anti"),
+      kept.select(edges.columns.map(col).toIndexedSeq: _*))
+  }
+
+  def addEdges(es: DataFrame): Graph = copy(edges = edges.unionByName(es))
+
+  /** Remove every edge matching a (src, dst) pair (reference `removeEdges`
+    * `Graph.java:1571`). */
+  def removeEdges(pairs: DataFrame): Graph =
+    copy(edges = edges.join(pairs.select(col("src"), col("dst")),
+      Seq("src", "dst"), "left_anti"))
+
+  /** Graph union (reference `union` `Graph.java:1599`): vertices dedup by
+    * vid (this graph wins), edges concatenate — duplicates retained,
+    * exactly Gelly's contract. */
+  def union(other: Graph): Graph =
+    Graph(
+      vertices.unionByName(other.vertices
+        .join(vertices.select(col("vid")), Seq("vid"), "left_anti")),
+      edges.unionByName(other.edges))
+
+  /** Graph difference (reference `difference` `Graph.java:1623`): remove
+    * the other graph's vertices and their incident edges. */
+  def difference(other: Graph): Graph =
+    removeVertices(other.vertices.select(col("vid")))
+
+  /** Edge intersection (reference `intersect` `Graph.java:1647`): keep
+    * (src, dst) pairs present in BOTH graphs; vertices are the endpoints.
+    * `distinctEdges` mirrors the reference flag — true collapses duplicate
+    * pairs, false pairs up multiplicities (min of the two counts). */
+  def intersect(other: Graph, distinctEdges: Boolean = true): Graph = {
+    val es =
+      if (distinctEdges)
+        edges.select(col("src"), col("dst")).distinct()
+          .join(other.edges.select(col("src"), col("dst")).distinct(),
+            Seq("src", "dst"), "left_semi")
+      else {
+        val a = edges.groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("ca"))
+        val b = other.edges.groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("cb"))
+        a.join(b, Seq("src", "dst"))
+          .select(col("src"), col("dst"),
+            explode(sequence(lit(1), least(col("ca"), col("cb")))).as("i"))
+          .drop("i")
+      }
+    val vids = es.select(col("src").as("vid"))
+      .union(es.select(col("dst").as("vid"))).distinct()
+    Graph(vids, es)
+  }
+
+  /** True iff every edge endpoint exists in the vertex set (reference
+    * `validate(InvalidVertexIdsValidator)` `Graph.java:446`). */
+  def validate: Boolean =
+    edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid")))
+      .join(vertices.select(col("vid")), Seq("vid"), "left_anti")
+      .isEmpty
+
+  /** Rewrite every vertex id through an expression over `vid` (reference
+    * `translateGraphIds` `Graph.java:630`); `f` must be injective. */
+  def translateGraphIds(f: Column => Column): Graph =
+    Graph(
+      vertices.withColumn("vid", f(col("vid"))),
+      edges.withColumn("src", f(col("src"))).withColumn("dst", f(col("dst"))))
 }
 
 object GraphAlgorithms {
