@@ -351,6 +351,61 @@ object GraphAlgorithms {
     }
   }
 
+  /** Community detection with the reference's FULL score semantics
+    * (`graph/library/CommunityDetection.java`, after
+    * http://arxiv.org/pdf/0808.2633.pdf), integer-quantized so the result
+    * is cross-engine exact:
+    *  - state (label, score), init (vid, 1.0 → `scale`);
+    *  - each superstep every vertex sends (label, score·edgeWeight) along
+    *    undirected edges;
+    *  - receiver picks the label with the highest SUMMED score — ties to
+    *    the LOWEST label (the reference's ascending TreeMap + strict-max
+    *    scan, CommunityDetection.java:147-155);
+    *  - the new score is the highest INDIVIDUAL message score of the
+    *    chosen label (:159), minus the hop attenuation delta/superstep
+    *    when the label changed (:161);
+    *  - vertices with no messages keep their state.
+    * delta is the rational deltaNum/deltaDen; `scale·deltaNum` must be
+    * divisible by `deltaDen·i` for every superstep i ≤ maxIter so the
+    * penalty is integral (scale = 1e6 covers delta=1/2 up to 4 supersteps,
+    * i ∈ {1,2,4}; a require guards the rest). */
+  def communityDetectionExact(g: Graph, maxIter: Int, deltaNum: Long = 1L,
+                              deltaDen: Long = 2L,
+                              scale: Long = 1000000L): DataFrame = {
+    val undW = g.edges.select(col("src"), col("dst"), col("weight"))
+      .union(g.edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .repartition(col("src")).localCheckpoint()
+    var cur = g.vertices
+      .select(col("vid"), col("vid").as("label"), lit(scale).as("score_q"))
+      .localCheckpoint()
+    for (i <- 1 to maxIter) {
+      require(scale * deltaNum % (deltaDen * i) == 0,
+        s"hop penalty not integral at superstep $i: pick a scale divisible by ${deltaDen * i}")
+      val penalty = scale * deltaNum / (deltaDen * i)
+      val msgs = undW
+        .join(cur.withColumnRenamed("vid", "src"), "src")
+        .select(col("dst").as("vid"), col("label"),
+          (col("score_q") * col("weight")).as("s"))
+      val perLabel = msgs.groupBy(col("vid"), col("label"))
+        .agg(sum(col("s")).as("sum_s"), max(col("s")).as("max_s"))
+      // argmax by summed score, ties to the LOWEST label; max_s rides along
+      val chosen = perLabel.groupBy("vid")
+        .agg(min(struct((-col("sum_s")).as("neg"), col("label").as("l"),
+          col("max_s").as("m"))).as("c"))
+        .select(col("vid"), col("c.l").as("new_label"), col("c.m").as("new_max"))
+      val next = cur.join(chosen, Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("new_label"), col("label")).as("label"),
+          when(col("new_label").isNull, col("score_q"))
+            .when(col("new_label") === col("label"), col("new_max"))
+            .otherwise(col("new_max") - penalty).as("score_q"))
+      cur = next.localCheckpoint()
+    }
+    cur
+  }
+
   /** HITS hubs-and-authorities (reference
     * `graph/library/linkanalysis/HITS.java`), UN-normalized fixed-iteration
     * form: auth_k(v) = Σ_{u→v} hub_{k−1}(u), hub_k(v) = Σ_{v→w} auth_k(w),

@@ -89,6 +89,20 @@ object GraphQueries extends QuerySet {
       GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4)
     }),
 
+    // FULL-score community detection (hop attenuation, quantized), 2
+    // supersteps on the weighted star: customers adopt the nation's lowest
+    // max-weight custkey, hubs bounce back to their own id; scores are
+    // closed-form in the nation's max weight w*
+    "graph_community_exact" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val vertices = cust.select(col("c_custkey").as("vid"))
+        .union(cust.select((col("c_nationkey") + 1000000L).as("vid")).distinct())
+      val edges = cust.select(col("c_custkey").as("src"),
+        (col("c_nationkey") + 1000000L).as("dst"),
+        (col("c_custkey") % 5 + 1).cast("long").as("weight"))
+      GraphAlgorithms.communityDetectionExact(Graph(vertices, edges), maxIter = 2)
+    }),
+
     // HITS on the star graph, 2 unnormalized iterations: authority mass
     // concentrates on hubs (= nation size squared), hub mass on customers
     "graph_hits" -> ((s, dir) =>
@@ -276,6 +290,29 @@ object GraphQueries extends QuerySet {
         |SELECT DISTINCT c_nationkey + 1000000 AS vid,
         |  c_nationkey + 1000000 AS label
         |FROM customer""".stripMargin,
+
+    // closed form after 2 exact-CD supersteps on the weighted star (see
+    // query comment): w* = nation max weight, cstar = lowest argmax custkey
+    "graph_community_exact" ->
+      """WITH w AS (
+        |  SELECT c_custkey, c_nationkey, c_custkey % 5 + 1 AS wgt
+        |  FROM customer),
+        |best AS (
+        |  SELECT c_nationkey, wgt AS wstar, c_custkey AS cstar FROM (
+        |    SELECT c_nationkey, wgt, c_custkey,
+        |      row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY wgt DESC, c_custkey ASC) AS rn
+        |    FROM w) t WHERE rn = 1)
+        |SELECT w.c_custkey AS vid, b.cstar AS label,
+        |  CAST((1000000 * b.wstar - 500000) * w.wgt - 250000 AS BIGINT)
+        |    AS score_q
+        |FROM w JOIN best b ON b.c_nationkey = w.c_nationkey
+        |UNION ALL
+        |SELECT DISTINCT w.c_nationkey + 1000000 AS vid,
+        |  w.c_nationkey + 1000000 AS label,
+        |  CAST(1000000 * b.wstar * b.wstar - 500000 * b.wstar - 250000
+        |    AS BIGINT) AS score_q
+        |FROM w JOIN best b ON b.c_nationkey = w.c_nationkey""".stripMargin,
 
     // 2 unnormalized HITS iterations on the star: auth(hub) = n², and
     // hub(customer) = n² where n = customers in the nation

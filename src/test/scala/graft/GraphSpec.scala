@@ -137,6 +137,31 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Map((0L, 2L) -> 2 * wq, (1L, 3L) -> 2 * wq), s"$got")
   }
 
+  test("communityDetectionExact: path graph, 2 supersteps, hand-computed") {
+    // path 1-2-3, weight 1, delta 1/2, S=8 (penalties 4 then 2):
+    // step1: v1←(2,8)→label2 score4; v2←{(1,8),(3,8)} tie→label1 score4;
+    //        v3←(2,8)→label2 score4
+    // step2: v2 receives label2 from BOTH sides: sum=8 but the new score
+    //        uses the max INDIVIDUAL message (4) − 2 = 2 — pins sum-vs-max;
+    //        v1←(1,4)→label1 score2; v3←(1,4)→label1 score2
+    val graph = g(Seq((1L, 2L, 1L), (2L, 3L, 1L)), Seq(1L, 2L, 3L))
+    val got = GraphAlgorithms.communityDetectionExact(graph, maxIter = 2,
+      deltaNum = 1L, deltaDen = 2L, scale = 8L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 2L)), 2L -> ((2L, 2L)), 3L -> ((1L, 2L))),
+      s"$got")
+  }
+
+  test("communityDetectionExact: isolated vertex keeps state; tie to lowest") {
+    // star 1←3→2 (equal weights): center 3 ties between labels 1,2 → 1
+    val graph = g(Seq((1L, 3L, 2L), (2L, 3L, 2L)), Seq(1L, 2L, 3L, 9L))
+    val got = GraphAlgorithms.communityDetectionExact(graph, maxIter = 1,
+      scale = 1000000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(3L) == ((1L, 1500000L)), s"$got") // 2e6·1 max − 5e5
+    assert(got(9L) == ((9L, 1000000L)), s"$got") // untouched
+  }
+
   // triangle 1-2-3 with pendant 3-4: degrees 2,2,3,1; one triangle;
   // wedges Σ C(deg,2) = 1+1+3+0 = 5
   private def paw: Graph =
