@@ -167,6 +167,59 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     Graph(
       vertices.withColumn("vid", f(col("vid"))),
       edges.withColumn("src", f(col("src"))).withColumn("dst", f(col("dst"))))
+
+  // ---- generic vertex-centric iteration APIs (reference Graph.java) ----
+
+  /** Scatter-gather iteration (reference `runScatterGatherIteration`
+    * `Graph.java:1730`): per superstep, `scatter` maps the edge⋈source-state
+    * triplets (edge columns + the source vertex's state columns) to
+    * messages keyed by `vid`, and `gather` combines (current state,
+    * messages) into the next state. The edge set is pre-partitioned on the
+    * scatter key once; each round shuffles only state and messages — the
+    * same cost shape as Gelly's scatter-gather runtime. State must keep a
+    * `vid` column and fresh attribute identities each round (re-alias
+    * outputs, as the library algorithms do). */
+  def runScatterGatherIteration(initial: DataFrame, maxIter: Int,
+                                checkpointEvery: Int = 5,
+                                converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)
+                               (scatter: DataFrame => DataFrame)
+                               (gather: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    graft.operators.Iterate.bulk(initial, maxIter, checkpointEvery, converged) { cur =>
+      val triplets = e.join(cur.withColumnRenamed("vid", "src"), "src")
+      gather(cur, scatter(triplets))
+    }
+  }
+
+  /** Gather-sum-apply iteration (reference `runGatherSumApplyIteration`
+    * `Graph.java:1778`): `gatherExpr` computes one value per edge triplet,
+    * `sumExpr` folds the per-target values (an aggregate over column `g`),
+    * `apply` merges the folded value into the state. GSA is the structured
+    * special case of scatter-gather — on Spark the sum phase is a
+    * map-side-combining hash aggregation, which is precisely why the
+    * library algorithms need no separate GSA implementations. */
+  def runGatherSumApplyIteration(initial: DataFrame, maxIter: Int,
+                                 gatherExpr: Column, sumExpr: Column => Column,
+                                 checkpointEvery: Int = 5)
+                                (apply: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runScatterGatherIteration(initial, maxIter, checkpointEvery) { triplets =>
+      triplets.select(col("dst").as("vid"), gatherExpr.as("g"))
+    } { (cur, msgs) =>
+      apply(cur, msgs.groupBy("vid").agg(sumExpr(col("g")).as("m")))
+    }
+
+  /** Vertex-centric (Pregel) iteration (reference
+    * `runVertexCentricIteration` `Graph.java:1825`): `compute` receives
+    * (current state, incoming messages) and returns the next state AND the
+    * outgoing messages are produced by `messages` from the new state's
+    * triplets — the compute/send split of Pregel, expressed relationally.
+    * Equivalent in power to [[runScatterGatherIteration]] with the phases
+    * swapped; provided for API parity. */
+  def runVertexCentricIteration(initial: DataFrame, maxIter: Int,
+                                checkpointEvery: Int = 5)
+                               (messages: DataFrame => DataFrame)
+                               (compute: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runScatterGatherIteration(initial, maxIter, checkpointEvery)(messages)(compute)
 }
 
 object GraphAlgorithms {

@@ -109,4 +109,41 @@ class GraphApiSpec extends SparkSpecBase {
     assert(t.vertices.collect().map(_.getLong(0)).toSet == Set(1001L, 1002L, 1003L))
     assert(t.validate)
   }
+
+  test("runScatterGatherIteration re-derives connected components") {
+    import graft.graph.GraphAlgorithms
+    val und = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (10L, 11L, 1L), (11L, 10L, 1L))
+    val graph = g(und, Seq(1L, 2L, 3L, 10L, 11L, 99L))
+    val init = graph.vertices.select(col("vid"), col("vid").as("comp"))
+    val viaApi = graph.runScatterGatherIteration(init, maxIter = 6) {
+      triplets => triplets.select(col("dst").as("vid"), col("comp"))
+    } { (cur, msgs) =>
+      cur.select(col("vid"), col("comp")).unionByName(msgs)
+        .groupBy("vid").agg(min(col("comp")).as("comp"))
+    }
+    val viaLibrary = GraphAlgorithms
+      .connectedComponents(g(Seq((1L, 2L, 1L), (2L, 3L, 1L), (10L, 11L, 1L)),
+        Seq(1L, 2L, 3L, 10L, 11L, 99L)))
+    assert(viaApi.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      viaLibrary.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("runGatherSumApplyIteration computes multi-source min-distance") {
+    // gather = dist + weight per edge, sum = min, apply = elementwise min
+    val graph = g(Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L)),
+      Seq(1L, 2L, 3L))
+    val init = graph.vertices.select(col("vid"),
+      when(col("vid") === 1L, 0L).otherwise(Long.MaxValue).as("dist"))
+    val out = graph.runGatherSumApplyIteration(init, maxIter = 4,
+      gatherExpr = when(col("dist") =!= Long.MaxValue,
+        col("dist") + col("weight")).otherwise(Long.MaxValue),
+      sumExpr = c => min(c)) { (cur, folded) =>
+      cur.join(folded, Seq("vid"), "left")
+        .select(col("vid"),
+          least(col("dist"), coalesce(col("m"), col("dist"))).as("dist"))
+    }
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 1L), s"$got")
+  }
 }
