@@ -124,4 +124,42 @@ class MLSpec extends SparkSpecBase {
         assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9)
       }
   }
+
+  test("pipeline: scaler chained into a predictor fits on transformed data") {
+    import spark.implicits._
+    import graft.ml.{LinearRegressionStage, MinMaxScalerStage}
+    // y = 2·scaled(x) + 1 with scaled = x/10 on train — exactly linear, so
+    // the normal-equation predictor is exact; the chain must scale BEFORE
+    // the regression sees the data (the reference's chainedFitOperation)
+    val train = (0 to 10).map(i => (i.toDouble, 0.2 * i + 1.0)).toDF("x", "y")
+    val chain = MinMaxScalerStage("x", "sx")
+      .chain(LinearRegressionStage(Seq("sx"), "y", "pred"))
+    val fitted = chain.fit(train)
+    val fresh = Seq((5.0, 0.0)).toDF("x", "y")
+    val pred = fitted(fresh).select("pred").head().getDouble(0)
+    assert(math.abs(pred - 2.0) < 1e-9, s"pred=$pred")
+  }
+
+  test("pipeline: chained transformers compose left-to-right on new data") {
+    import spark.implicits._
+    import graft.ml.{MinMaxScalerStage, PolynomialFeaturesStage}
+    val train = (0 to 4).map(i => Tuple1(i.toDouble)).toDF("x")
+    val fitted = MinMaxScalerStage("x", "sx")
+      .chain(PolynomialFeaturesStage(Seq("sx"), 2)).fit(train)
+    val out = fitted(Seq(Tuple1(2.0)).toDF("x")).head()
+    assert(out.getAs[Double]("sx") == 0.5)
+    assert(out.getAs[Double]("poly_sx_sx") == 0.25)
+  }
+
+  test("pipeline: fitted parameters are frozen, not refit on new data") {
+    import spark.implicits._
+    import graft.ml.StandardScalerStage
+    val train = Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val fitted = StandardScalerStage("v", "z").fit(train)
+    // mean 2, population std sqrt(2/3); new data must use TRAIN's moments
+    val z = fitted(Seq(Tuple1(2.0)).toDF("v")).head().getAs[Double]("z")
+    assert(math.abs(z) < 1e-12, s"z=$z")
+    val z4 = fitted(Seq(Tuple1(4.0)).toDF("v")).head().getAs[Double]("z")
+    assert(math.abs(z4 - 2.0 / math.sqrt(2.0 / 3.0)) < 1e-9, s"z4=$z4")
+  }
 }
