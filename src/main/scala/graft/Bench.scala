@@ -17,6 +17,7 @@ object Bench {
     // charged to whichever query the Map happens to order first
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    var idx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -27,6 +28,12 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
+      // Spark's ContextCleaner reclaims dead broadcasts/shuffle files only
+      // after a JVM GC; the default periodic GC (30 min) never fires inside
+      // one bench run, so force one at a stride — keeps late queries from
+      // paying the accumulated heap of 170 earlier plans
+      idx += 1
+      if (idx % 25 == 0) System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -323,10 +323,18 @@ object Cep {
     * should set one. */
   /** One micro-batch transition of the per-key state machine — pure, so
     * the spec can drive it over many batches and assert the state bound
-    * directly. Returns (next state, fresh matches to emit). */
+    * directly. Returns (next state, fresh matches, timed-out partials).
+    *
+    * Timeout emission is final exactly when it happens: a start times out
+    * when maxTs − startTs > within, which is precisely the eviction
+    * condition (horizon = within), so the start leaves the buffer in the
+    * same transition and can never re-emit — cumulative streaming timeout
+    * output equals [[timedOut]] over the whole stream under in-order
+    * arrival (every event a timed-out prefix could bind is ≤ start+within
+    * and therefore still buffered when the decision is made). */
   private[graft] def step[T](prev: CepState[T], incoming: Seq[T],
                            pattern: Pattern[T], orderFn: T => (Long, Long),
-                           retentionMs: Option[Long]): (CepState[T], Vector[PatternMatch[T]]) = {
+                           retentionMs: Option[Long]): (CepState[T], Vector[PatternMatch[T]], Vector[PatternMatch[T]]) = {
     val holdBackTail = pattern.hasExtendableLoop
     val horizonMs = pattern.withinMs.orElse(retentionMs)
     val buf = (prev.buffer ++ incoming).sortBy(orderFn)
@@ -354,7 +362,11 @@ object Cep {
       keep.headOption.map(e => orderFn(e)._1).getOrElse(Long.MaxValue)
     val emitted = (prev.emitted ++ freshPairs.map(_._2))
       .filter(_._1 >= minRetainedTs)
-    (CepState(keep, emitted, newSkipHorizon), freshPairs.map(_._1))
+    val timeouts =
+      if (pattern.withinMs.isDefined && buf.nonEmpty)
+        timedOut(buf, pattern, (t: T) => orderFn(t)._1).toVector
+      else Vector.empty
+    (CepState(keep, emitted, newSkipHorizon), freshPairs.map(_._1), timeouts)
   }
 
   def streaming[T, K, O: Encoder](ds: Dataset[T], keyFn: T => K,
@@ -368,9 +380,35 @@ object Cep {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: K, it: Iterator[T], state: GroupState[CepState[T]]) =>
           val prev = state.getOption.getOrElse(CepState[T](Vector.empty, Vector.empty))
-          val (next, fresh) = step(prev, it.toSeq, pattern, orderFn, retentionMs)
+          val (next, fresh, _) = step(prev, it.toSeq, pattern, orderFn, retentionMs)
           state.update(next)
           fresh.iterator.map(m => select(k, m))
+      }
+  }
+
+  /** Streaming application with a timeout side output (reference
+    * `PatternStream.flatSelect(timeoutHandler, selectHandler)`
+    * `PatternStream.java:301` on streams): completed matches map through
+    * `select`, and starts whose `within` window provably closed without a
+    * match map through `timeoutSelect` in the micro-batch that evicts
+    * them. Cumulative end-of-stream output equals [[batchWithTimeout]]
+    * under in-order arrival (see [[step]]). Requires `Pattern.within`. */
+  def streamingWithTimeout[T, K, O: Encoder](ds: Dataset[T], keyFn: T => K,
+                                             orderFn: T => (Long, Long),
+                                             pattern: Pattern[T])
+                                            (select: (K, PatternMatch[T]) => O)
+                                            (timeoutSelect: (K, PatternMatch[T]) => O)
+                                            (implicit ke: Encoder[K],
+                                             se: Encoder[CepState[T]]): Dataset[O] = {
+    require(pattern.withinMs.isDefined, "streamingWithTimeout requires Pattern.within")
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: K, it: Iterator[T], state: GroupState[CepState[T]]) =>
+          val prev = state.getOption.getOrElse(CepState[T](Vector.empty, Vector.empty))
+          val (next, fresh, timeouts) = step(prev, it.toSeq, pattern, orderFn, None)
+          state.update(next)
+          fresh.iterator.map(m => select(k, m)) ++
+            timeouts.iterator.map(m => timeoutSelect(k, m))
       }
   }
 }

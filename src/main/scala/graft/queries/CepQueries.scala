@@ -168,6 +168,24 @@ object CepQueries extends QuerySet {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id, false)
       } { (k, m) => (k, m.first("a").event_id, -1L, true)
       }.toDF("user_id", "a_id", "b_id", "timed_out")
+    }),
+
+    // STREAMING timeout side output: same pattern through the real
+    // Structured Streaming path — timeouts fire in the micro-batch that
+    // evicts the start, so end-of-stream output equals the batch form and
+    // the same oracle pins both
+    "cep_stream_timeout" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .followedBy("b")(_.event_type == "purchase")
+        .within(30 * 60 * 1000L)
+      val stream = graft.streaming.EventStream.read(s, dir).as[EventRow]
+      val out = Cep.streamingWithTimeout(stream,
+        (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id, false)
+      } { (k, m) => (k, m.first("a").event_id, -1L, true)
+      }.toDF("user_id", "a_id", "b_id", "timed_out")
+      graft.streaming.EventStream.runToTable(s, out, "append")
     })
   )
 
@@ -371,7 +389,14 @@ object CepQueries extends QuerySet {
         |  WINDOW pw AS (PARTITION BY user_id, gid ORDER BY ts, event_id))
         |SELECT user_id, k, first_id, last_id FROM pref""".stripMargin,
 
-    "cep_timeout_select" ->
+    "cep_timeout_select" -> timeoutOracle,
+
+    // identical SQL: the streaming timeout path must converge to the batch
+    // semantics at end of stream
+    "cep_stream_timeout" -> timeoutOracle
+  )
+
+  private val timeoutOracle: String =
       """WITH lastev AS (
         |  SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id),
         |a AS (
@@ -395,5 +420,4 @@ object CepQueries extends QuerySet {
         |    WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
         |      AND (p.ts > a.a_ts OR (p.ts = a.a_ts AND p.event_id > a.a_id))
         |      AND p.ts <= a.a_ts + INTERVAL 30 MINUTE)""".stripMargin
-  )
 }

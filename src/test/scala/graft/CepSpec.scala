@@ -228,7 +228,7 @@ class CepSpec extends SparkSpecBase {
     // errors 1..5 arrive one per batch: pairs (1,2) and (3,4) only — the
     // (2,3) pair would be fresh in batch 3 but starts before the horizon
     for (i <- 1 to 5) {
-      val (next, fresh) = Cep.step(st, Seq(e(i.toLong, i.toLong, "r")), p,
+      val (next, fresh, _) = Cep.step(st, Seq(e(i.toLong, i.toLong, "r")), p,
         ordFn, None)
       st = next
       got ++= fresh.map(m => ids(m, "r"))
@@ -248,6 +248,27 @@ class CepSpec extends SparkSpecBase {
     }.collect().toVector.sorted
   }
 
+  test("streaming step emits each timed-out start exactly once") {
+    import graft.cep.Cep.CepState
+    val w = 10 * 1000L
+    val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+      .followedBy("b")(_.event_type == "purchase").within(w)
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    val st0 = CepState[EventRow](Vector.empty, Vector.empty)
+    // lone click at t=0; window still open while maxTs ≤ 10s
+    val (s1, f1, t1) = Cep.step(st0, Seq(e(1, 0, "click")), p, ordFn, None)
+    assert(f1.isEmpty && t1.isEmpty)
+    val (s2, _, t2) = Cep.step(s1, Seq(e(2, 5, "view")), p, ordFn, None)
+    assert(t2.isEmpty)
+    // t=11 closes the window: timeout fires AND the start is evicted
+    val (s3, _, t3) = Cep.step(s2, Seq(e(3, 11, "view")), p, ordFn, None)
+    assert(t3.map(_.first("a").event_id) == Vector(1L), s"$t3")
+    assert(!s3.buffer.exists(_.event_id == 1L))
+    // later batches cannot re-emit the evicted start
+    val (_, _, t4) = Cep.step(s3, Seq(e(4, 12, "view")), p, ordFn, None)
+    assert(t4.isEmpty)
+  }
+
   test("streaming step keeps buffer and emitted signatures bounded") {
     import graft.cep.Cep.CepState
     val w = 10 * 1000L
@@ -259,7 +280,7 @@ class CepSpec extends SparkSpecBase {
     // 200 batches of an a→b pair each, marching forward in time
     for (i <- 0 until 200) {
       val t0 = i * 60L
-      val (next, fresh) = Cep.step(st,
+      val (next, fresh, _) = Cep.step(st,
         Seq(e(2L * i, t0, "a"), e(2L * i + 1, t0 + 1, "b")), p, ordFn, None)
       st = next
       total += fresh.size
@@ -278,7 +299,7 @@ class CepSpec extends SparkSpecBase {
     var st = CepState[EventRow](Vector.empty, Vector.empty)
     for (i <- 0 until 100) {
       val t0 = i * 60L
-      val (next, _) = Cep.step(st,
+      val (next, _, _) = Cep.step(st,
         Seq(e(2L * i, t0, "a"), e(2L * i + 1, t0 + 1, "b")), p, ordFn,
         retentionMs = Some(120 * 1000L))
       st = next
