@@ -43,7 +43,26 @@ object TextAnalysis extends QuerySet {
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextOps.docFingerprint(col("text")).as("fp")))
+        TextOps.docFingerprint(col("text")).as("fp"))),
+
+    // flagship corpus-prep composition: language gate → quality gate →
+    // exact dedup (min doc_id per content hash) → per-doc stats. One
+    // codegen'd scan + one window shuffle on the content digest — the
+    // canonical first pass of a training-data pipeline at 100 TB
+    "corpus_prep_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val annotated = docs(s, dir).select(col("doc_id"), col("text"),
+        TextOps.langId(t).as("lang_pred"),
+        TextOps.qualityScore(t).as("quality"),
+        TextOps.tokenStats(t).head)
+      annotated
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .withColumn("is_kept", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("is_kept"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -100,6 +119,31 @@ object TextAnalysis extends QuerySet {
          |  CAST(list_aggregate(list_transform(range(len($T)), i ->
          |    (CAST(concat('0x', substr(md5($T[i+1]), 1, 15)) AS BIGINT)
          |      % 1000000000039) * (i + 1)), 'sum') AS BIGINT) AS fp
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "corpus_prep_pipeline" ->
+      s"""WITH ann AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($T) AS INT) AS n_tokens,
+         |    CASE WHEN (length(text) - length(regexp_replace(text,
+         |           '[^ -~]', '', 'g'))) * 10 > length(text) THEN 'non_latin'
+         |         WHEN len(list_filter($T, x -> list_contains($StopList, x)))
+         |           * 50 >= len($T) THEN 'en'
+         |         ELSE 'unk' END AS lang_pred,
+         |    round((
+         |      least(CAST(len($T) AS DOUBLE) / 50.0, 1.0) +
+         |      least(CAST(len(list_filter($T, x -> list_contains($StopList,
+         |        x))) AS DOUBLE) * 10.0 / len($T), 1.0) +
+         |      (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+         |        '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) * 5.0 /
+         |        length(text), 1.0))) / 3.0, 6) AS quality
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM ann WHERE lang_pred = 'en' AND quality >= 0.5),
+         |ded AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+         |  FROM kept)
+         |SELECT doc_id, n_tokens, quality FROM ded WHERE is_kept""".stripMargin
   )
 }
