@@ -17,11 +17,19 @@ object Bench {
     // charged to whichever query the Map happens to order first
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // GC attribution (stderr only — the stdout JSON line is the driver
+    // contract): how much of each query's wall time was collector pauses
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     var idx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val g0 = gcMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gd = gcMs - g0
+      if (gd > 500) System.err.println(f"[bench-gc] $name ${dt}%.1fs gc=${gd}ms")
       // drop per-query residue (localCheckpoint RDDs, memory-sink tables) —
       // 120+ queries in one JVM otherwise accumulate storage until GC thrash
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

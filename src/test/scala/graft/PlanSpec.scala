@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("corpus prep pipeline: one shuffle (content digest), filters before it") {
+    val p = plan("corpus_prep_pipeline")
+    // the lang/quality gates and stats are per-row expressions over ONE
+    // scan; the only exchange is the dedup window's hashpartitioning on
+    // md5(text) — a second exchange would mean a lost composition
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(1000))
+  }
+
   test("localCheckpoint preserves hash partitioning (static loop side joins without re-shuffle)") {
     // the Pregel loops pre-partition the edge set on the join key once; the
     // superstep join must then shuffle ONLY the state side. If Spark ever
