@@ -52,6 +52,45 @@ object MultimodalOps {
       fakeWidth(col("bytes")).as("width"),
       fakeHeight(col("bytes")).as("height"))
 
+  /** Aspect-preserving resize plan for image rows: fit (width, height)
+    * into (targetW, targetH) with integer floor arithmetic — no floats, so
+    * the oracle restates it exactly. The dimensions come from the stubbed
+    * decode; a real deployment swaps the codec's dims into the SAME plan
+    * (narrow per-row map, no shuffle). */
+  def resizePlan(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"),
+        fakeWidth(col("bytes")).as("width"),
+        fakeHeight(col("bytes")).as("height"))
+      .withColumn("out_w",
+        when(col("width") * targetH >= col("height") * targetW,
+          lit(targetW).cast("long"))
+          .otherwise(greatest(lit(1L),
+            expr(s"(width * $targetH) div height"))))
+      .withColumn("out_h",
+        when(col("width") * targetH >= col("height") * targetW,
+          greatest(lit(1L), expr(s"(height * $targetW) div width")))
+          .otherwise(lit(targetH).cast("long")))
+
+  /** Fixed-LENGTH window slicing for audio payloads — the dual of
+    * [[sampleFrames]] (fixed count): hop = window length, variable window
+    * count per row. Real waveform windowing replaces the byte slices with
+    * sample frames; the explode/digest plumbing is identical. */
+  def sampleAudioWindows(media: DataFrame, winLen: Int): DataFrame = {
+    val slice = (idx: Column) =>
+      col("bytes").substr(idx * winLen + lit(1), lit(winLen))
+    media.filter(col("media_type") === "audio")
+      .select(col("media_id"), col("bytes"),
+        expr(s"(length(bytes) + $winLen - 1) div $winLen").as("n_win"))
+      .select(col("media_id"),
+        posexplode(sequence(lit(0), (col("n_win") - 1).cast("int")))
+          .as(Seq("win_idx", "w")),
+        col("bytes"))
+      .select(col("media_id"), col("win_idx"),
+        length(slice(col("win_idx"))).as("win_len"),
+        md5(slice(col("win_idx"))).as("win_digest"))
+  }
+
   /** Fixed-count frame sampling for video rows: split the payload into
     * `frames` contiguous byte ranges (a real implementation seeks to
     * keyframes; the slicing plumbing is identical). */

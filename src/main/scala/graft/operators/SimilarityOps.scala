@@ -143,6 +143,41 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF multi-probe top-k — the `nprobe` recall knob of a production IVF
+    * index: the query probes its `nprobe` nearest cells instead of one and
+    * candidates re-rank by EXACT cosine. Cost scales with nprobe/cells of
+    * the corpus; recall approaches brute force as nprobe → cells. Each
+    * corpus vector lives in exactly one cell, so no candidate dedup is
+    * needed. */
+  def topKIvfProbe(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
+                   nprobe: Int, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < cells)
+    val c = ivfAssign(corpus, seeds, vecCol, idCol)
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qcells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        quantize(col(vecCol)).as("qq"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), l2norm(col("qvec")).as("qn"),
+        col("cid").as("qcell"))
+    val scored = c.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-label centroids in exact integer arithmetic: dims are quantized
     * (×1e6, round) so the cross-row sum is associative, then the mean is
     * surfaced as a rounded double. Output one row per (label, dim) —

@@ -113,7 +113,19 @@ object IoQueries extends QuerySet {
     "media_frame_sample" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
         MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")),
-        frames = 4))
+        frames = 4)),
+
+    // multimodal: aspect-fit resize plan for image rows (integer math)
+    "media_resize" -> ((s, dir) =>
+      MultimodalOps.resizePlan(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")),
+        targetW = 320, targetH = 180)),
+
+    // multimodal: fixed-length audio window slicing (variable count)
+    "media_audio_windows" -> ((s, dir) =>
+      MultimodalOps.sampleAudioWindows(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")),
+        winLen = 100))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -170,6 +182,37 @@ object IoQueries extends QuerySet {
         |SELECT media_id, frame_idx,
         |  CAST(length(frame) AS INT) AS frame_len,
         |  md5(frame) AS frame_digest
-        |FROM f WHERE length(frame) > 0""".stripMargin
+        |FROM f WHERE length(frame) > 0""".stripMargin,
+
+    "media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1280 + 1
+        |      AS width,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 720 + 1
+        |      AS height
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, width, height,
+        |  CAST(CASE WHEN width * 180 >= height * 320 THEN 320
+        |    ELSE greatest(1, (width * 180) // height) END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN width * 180 >= height * 320
+        |    THEN greatest(1, (height * 320) // width)
+        |    ELSE 180 END AS BIGINT) AS out_h
+        |FROM m""".stripMargin,
+
+    "media_audio_windows" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text,
+        |    (length(text) + 99) // 100 AS n_win
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT media_id,
+        |    CAST(unnest(range(n_win)) AS INT) AS win_idx,
+        |    unnest(list_transform(range(n_win),
+        |      i -> substr(text, CAST(i * 100 + 1 AS INT), 100))) AS w
+        |  FROM a)
+        |SELECT media_id, win_idx,
+        |  CAST(length(w) AS INT) AS win_len, md5(w) AS win_digest
+        |FROM f""".stripMargin
   )
 }

@@ -41,6 +41,15 @@ object Similarity extends QuerySet {
       SimilarityOps.topKIvf(all, all.filter(col("vec_id") % 100 === 0),
           k = 3, cells = 16)
         .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    }),
+
+    // IVF with nprobe=4: the recall/cost knob — probe the 4 nearest cells,
+    // exact-cosine rerank
+    "sim_topk_ivf_probe" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKIvfProbe(all, all.filter(col("vec_id") % 100 === 0),
+          k = 3, cells = 16, nprobe = 4)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
     })
   )
 
@@ -121,6 +130,40 @@ object Similarity extends QuerySet {
          |   AND q.cell = c.cell)
          |SELECT qid, cell, nid, CAST(rank AS INT) AS rank, cos FROM (
          |  SELECT qid, cell, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // same assignment CTEs as sim_topk_ivf; queries keep their 4 nearest
+    // cells (rk <= 4) before the exact-cosine rerank
+    "sim_topk_ivf_probe" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, v.e, v.nrm, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rk FROM assign),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM qcells q JOIN cells c
+         |    ON q.vec_id <> c.vec_id AND q.cell = c.cell)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
 
