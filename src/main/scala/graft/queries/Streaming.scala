@@ -96,6 +96,55 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, joined, "append")
     }),
 
+    // stream-stream LEFT OUTER interval join (Flink CoGroupedStreams outer
+    // window join): matched pairs emit immediately; unmatched clicks emit
+    // their null row when the global watermark passes click_ts + upper
+    // bound — i.e. once the state store can prove no purchase can arrive.
+    // The oracle mirrors that: wm = min(max click ts, max purchase ts) −
+    // 10 min delay, outer rows appear iff click_ts + 10 min < wm
+    "stream_interval_join_left" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("user_id"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // FULL OUTER interval join: adds unmatched purchases, evicted (and
+    // emitted) once the watermark passes their own timestamp — any later
+    // click would start after them and cannot satisfy the interval
+    "stream_interval_join_full" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "fullOuter")
+        .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("user_id"), col("p_user_id")).as("user_id"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
     // stateful streaming dedup (dropDuplicates state store)
     "stream_dedup" -> ((s, dir) => {
       val dd = events(s, dir)
@@ -235,6 +284,57 @@ object Streaming extends QuerySet {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    "stream_interval_join_left" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS w)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |UNION ALL
+        |SELECT c.event_id, CAST(-1 AS BIGINT), c.user_id
+        |FROM events c, wm
+        |WHERE c.event_type = 'click'
+        |  AND c.ts + INTERVAL 10 MINUTE < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)""".stripMargin,
+
+    "stream_interval_join_full" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS w)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |UNION ALL
+        |SELECT c.event_id, CAST(-1 AS BIGINT), c.user_id
+        |FROM events c, wm
+        |WHERE c.event_type = 'click'
+        |  AND c.ts + INTERVAL 10 MINUTE < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), p.event_id, p.user_id
+        |FROM events p, wm
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events c
+        |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)""".stripMargin,
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
