@@ -153,8 +153,32 @@ object GraphQueries extends QuerySet {
 
     // order-independent digest of the vertex and edge sets
     "graph_checksum" -> ((s, dir) =>
-      GraphAlgorithms.checksum(skipGraph(s, dir)))
+      GraphAlgorithms.checksum(skipGraph(s, dir))),
+
+    // bipartite projections: docs belong to their own 10-block AND the
+    // next one; top projection links docs sharing a block (one edge per
+    // shared block), bottom projection links adjacent blocks per doc
+    "graph_bipartite_top" -> ((s, dir) =>
+      docBlockBipartite(s, dir).projectionTopSimple.edges),
+
+    "graph_bipartite_bottom" -> ((s, dir) =>
+      docBlockBipartite(s, dir).projectionBottomSimple.edges)
   )
+
+  /** doc→{own block, next block} bipartite fixture, weight d%7+1. */
+  private def docBlockBipartite(s: SparkSession, dir: String): graft.graph.BipartiteGraph = {
+    val docs = Tables.load(s, dir, "documents")
+    val tops = docs.select(col("doc_id").as("vid"))
+    val bottoms = docs.select(expr("doc_id div 10").as("vid"))
+      .union(docs.select((expr("doc_id div 10") + 1).as("vid"))).distinct()
+    val edges = docs.select(col("doc_id").as("top"),
+        expr("doc_id div 10").as("bottom"),
+        (col("doc_id") % 7 + 1).as("weight"))
+      .union(docs.select(col("doc_id").as("top"),
+        (expr("doc_id div 10") + 1).as("bottom"),
+        (col("doc_id") % 7 + 1).as("weight")))
+    graft.graph.BipartiteGraph(tops, bottoms, edges)
+  }
 
   /** Shared oracle CTE prefix: the skip graph's directed edges, its
     * undirected view, degrees, and wedge-closed triangles — the same
@@ -447,6 +471,26 @@ object GraphQueries extends QuerySet {
         |  (SELECT CAST(SUM((31 * (src * 1000003 + dst) + 17) % 1000000007)
         |     AS BIGINT)
         |   FROM e) AS edge_checksum""".stripMargin,
+
+    // wedge self-joins over the doc→{block, block+1} membership edges
+    "graph_bipartite_top" ->
+      """WITH e AS (
+        |  SELECT doc_id AS top, doc_id // 10 AS bottom,
+        |    doc_id % 7 + 1 AS weight FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id // 10 + 1, doc_id % 7 + 1 FROM documents)
+        |SELECT a.top AS src, b.top AS dst, a.weight AS w1, b.weight AS w2
+        |FROM e a JOIN e b ON a.bottom = b.bottom AND a.top <> b.top""".stripMargin,
+
+    "graph_bipartite_bottom" ->
+      """WITH e AS (
+        |  SELECT doc_id AS top, doc_id // 10 AS bottom,
+        |    doc_id % 7 + 1 AS weight FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id // 10 + 1, doc_id % 7 + 1 FROM documents)
+        |SELECT a.bottom AS src, b.bottom AS dst,
+        |  a.weight AS w1, b.weight AS w2
+        |FROM e a JOIN e b ON a.top = b.top AND a.bottom <> b.bottom""".stripMargin,
 
     // distance = prefix sum of (i%3)+1 weights from the block head
     "graph_sssp_chain" ->

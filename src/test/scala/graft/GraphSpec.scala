@@ -162,6 +162,22 @@ class GraphSpec extends SparkSpecBase {
     assert(got(9L) == ((9L, 1000000L)), s"$got") // untouched
   }
 
+  test("bipartite projections: one edge per wedge, both orders, values carried") {
+    import spark.implicits._
+    import graft.graph.BipartiteGraph
+    // tops 1,2 both linked to bottom 10; top 2 also to bottom 20
+    val bg = BipartiteGraph(
+      Seq(1L, 2L).toDF("vid"), Seq(10L, 20L).toDF("vid"),
+      Seq((1L, 10L, 5L), (2L, 10L, 7L), (2L, 20L, 9L))
+        .toDF("top", "bottom", "weight"))
+    val top = bg.projectionTopSimple.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(top == Set((1L, 2L, 5L, 7L), (2L, 1L, 7L, 5L)), s"$top")
+    val bottom = bg.projectionBottomSimple.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bottom == Set((10L, 20L, 7L, 9L), (20L, 10L, 9L, 7L)), s"$bottom")
+  }
+
   // triangle 1-2-3 with pendant 3-4: degrees 2,2,3,1; one triangle;
   // wedges Σ C(deg,2) = 1+1+3+0 = 5
   private def paw: Graph =
