@@ -335,7 +335,13 @@ object Cep {
   private[graft] def step[T](prev: CepState[T], incoming: Seq[T],
                            pattern: Pattern[T], orderFn: T => (Long, Long),
                            retentionMs: Option[Long]): (CepState[T], Vector[PatternMatch[T]], Vector[PatternMatch[T]]) = {
-    val holdBackTail = pattern.hasExtendableLoop
+    // hold back matches still decidable by FUTURE events: a loop ending at
+    // the tail could extend, and a trailing notNext evaluated AT the tail
+    // is provisional — the negation is only proven once a later event
+    // exists (emitting early would be retracted when an adjacent negative
+    // event arrives in the next batch)
+    val holdBackTail = pattern.hasExtendableLoop ||
+      pattern.stages.last.contiguity == StrictNot
     val horizonMs = pattern.withinMs.orElse(retentionMs)
     val buf = (prev.buffer ++ incoming).sortBy(orderFn)
     val all = matchAll(buf, pattern, (t: T) => orderFn(t)._1).toVector

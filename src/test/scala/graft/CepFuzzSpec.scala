@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.{Cep, NoSkip, Pattern, PatternMatch, SkipPastLastEvent}
+import graft.cep.Cep.CepState
+import graft.streaming.EventStream.EventRow
+
+/** Seeded randomized equivalence properties for the CEP engine (pure
+  * matcher — no Spark session needed). The load-bearing property: feeding
+  * the SAME in-order event sequence through `Cep.step` under ARBITRARY
+  * micro-batch splits must emit exactly the batch matcher's output — this
+  * is what makes the streaming path's oracle (the batch SQL) sound for any
+  * trigger cadence the driver happens to produce. */
+class CepFuzzSpec extends AnyFunSuite {
+
+  private def e(id: Long, t: Long, typ: String): EventRow =
+    EventRow(id, new Timestamp(t * 1000L), 1L, typ, 1.0, "{}")
+
+  private val ord = (x: EventRow) => (x.ts.getTime, x.event_id)
+  private val tOf = (x: EventRow) => x.ts.getTime
+
+  private def sig(m: PatternMatch[EventRow]): String =
+    m.bindings.map { case (n, es) => n + ":" + es.map(_.event_id).mkString(",") }
+      .mkString(";")
+
+  /** Random in-order event sequence over types a/b/c with 1–4 s gaps. */
+  private def randomEvents(rnd: scala.util.Random, n: Int): Vector[EventRow] = {
+    var t = 0L
+    (0 until n).map { i =>
+      t += 1 + rnd.nextInt(4)
+      e(i.toLong, t, Seq("a", "b", "c")(rnd.nextInt(3)))
+    }.toVector
+  }
+
+  /** Split a sequence into random contiguous chunks (in order). */
+  private def randomChunks(rnd: scala.util.Random,
+                           evs: Vector[EventRow]): Vector[Vector[EventRow]] = {
+    if (evs.isEmpty) Vector.empty
+    else {
+      val cuts = (0 until evs.length - 1).filter(_ => rnd.nextBoolean()).toSet
+      val out = Vector.newBuilder[Vector[EventRow]]
+      var cur = Vector.newBuilder[EventRow]
+      evs.zipWithIndex.foreach { case (ev, i) =>
+        cur += ev
+        if (cuts(i)) { out += cur.result(); cur = Vector.newBuilder }
+      }
+      out += cur.result()
+      out.result()
+    }
+  }
+
+  // non-loop patterns: no tail hold-back, so cumulative streaming output
+  // must equal the batch matcher exactly
+  private def patterns: Seq[Pattern[EventRow]] = Seq(
+    Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("t")(_.event_type == "b").within(8 * 1000L),
+    Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .next("t")(_.event_type == "b"),
+    Pattern.begin[EventRow]("r")(_.event_type == "a").times(2),
+    Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notFollowedBy("n")(_.event_type == "c")
+      .followedBy("t")(_.event_type == "b"),
+    Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedByAny("t")(_.event_type == "b").within(10 * 1000L),
+    Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notNext("n")(_.event_type == "b"))
+
+  test("chunked streaming emission equals the batch matcher (300 random runs)") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (iter <- 1 to 300) {
+      // trailing sentinel (matches no stage) closes tail-held matches —
+      // a trailing notNext is only decidable once a later event exists
+      val base = randomEvents(rnd, rnd.nextInt(30))
+      val evs =
+        if (base.isEmpty) base
+        else base :+ e(9999L, tOf(base.last) / 1000L + 1, "z")
+      val p = patterns(rnd.nextInt(patterns.length))
+      val expect = Cep.matchAll(evs, p, tOf).toVector.map(sig).sorted
+      var st = CepState[EventRow](Vector.empty, Vector.empty)
+      val got = Vector.newBuilder[String]
+      randomChunks(rnd, evs).foreach { chunk =>
+        val (next, fresh, _) = Cep.step(st, chunk, p, ord, None)
+        st = next
+        got ++= fresh.map(sig)
+      }
+      assert(got.result().sorted == expect,
+        s"iter $iter: events=${evs.map(x => x.event_id -> x.event_type)}")
+    }
+  }
+
+  test("cumulative streaming timeouts equal the batch timedOut (200 random runs)") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val p = Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("t")(_.event_type == "b").within(6 * 1000L)
+    for (iter <- 1 to 200) {
+      val evs = randomEvents(rnd, rnd.nextInt(30))
+      val expect = Cep.timedOut(evs, p, tOf).toVector.map(sig).sorted
+      var st = CepState[EventRow](Vector.empty, Vector.empty)
+      val got = Vector.newBuilder[String]
+      randomChunks(rnd, evs).foreach { chunk =>
+        val (next, _, timeouts) = Cep.step(st, chunk, p, ord, None)
+        st = next
+        got ++= timeouts.map(sig)
+      }
+      assert(got.result().sorted == expect,
+        s"iter $iter: events=${evs.map(x => x.event_id -> x.event_type)}")
+    }
+  }
+
+  test("skip strategies prune to a subset; PAST_LAST output never overlaps") {
+    val rnd = new scala.util.Random(0xFACADE)
+    for (_ <- 1 to 200) {
+      val evs = randomEvents(rnd, rnd.nextInt(30))
+      val p = Pattern.begin[EventRow]("r")(_.event_type == "a").times(2)
+      val all = Cep.matchAll(evs, p, tOf).toVector
+      val (kept, _) = Cep.applySkip[EventRow, PatternMatch[EventRow]](
+        all, identity, ord, SkipPastLastEvent)
+      val (noskip, _) = Cep.applySkip[EventRow, PatternMatch[EventRow]](
+        all, identity, ord, NoSkip)
+      assert(noskip == all)
+      assert(kept.map(sig).toSet.subsetOf(all.map(sig).toSet))
+      // non-overlap: sorted by start, each match starts after the previous ends
+      val spans = kept.map(m =>
+        (ord(m.firstBound.get), ord(m.lastBound.get))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(Ordering[(Long, Long)].lt(e1, s2), s"$spans")
+        case _ =>
+      }
+    }
+  }
+}
