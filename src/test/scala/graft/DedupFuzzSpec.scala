@@ -1,0 +1,100 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.DedupOps
+
+/** Seeded randomized equivalence for the dedup operators: random short
+  * documents from a small vocabulary, checked against independent local
+  * recomputations (including a local mirror of the md5-based stable hash).
+  * Pins completeness of the SimHash chunk blocking (pigeonhole: hamming ≤
+  * chunks−1 always collides on a chunk) and exactness of the inverted-index
+  * Jaccard join — properties the fixture oracles exercise only on one
+  * corpus shape. */
+class DedupFuzzSpec extends SparkSpecBase {
+
+  private val rnd = new scala.util.Random(0xD00D)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private val docsLocal: Vector[(Long, String)] = {
+    val base = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toVector
+    // force exact duplicates and near-duplicates into the mix
+    base ++ Vector(
+      (40L, base(3)._2), (41L, base(7)._2),
+      (42L, base(5)._2 + " extra"))
+  }
+
+  private def docsDf = {
+    import spark.implicits._
+    docsLocal.toDF("doc_id", "text")
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def stableHashLocal(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  private def toks(t: String): Vector[String] =
+    t.toLowerCase.split("\\s+").toVector
+
+  private def shingleSet(t: String, n: Int = 3): Set[String] = {
+    val ts = toks(t)
+    if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toSet
+    else Set(ts.mkString(" "))
+  }
+
+  test("exact dedup matches local grouping (min id kept, sizes right)") {
+    val byText = docsLocal.groupBy(_._2)
+    val got = DedupOps.exact(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Boolean]("is_kept")))).toMap
+    docsLocal.foreach { case (id, text) =>
+      val grp = byText(text)
+      assert(got(id) == ((grp.size.toLong, grp.map(_._1).min == id)), s"doc $id")
+    }
+  }
+
+  test("ngram jaccard pairs match local pairwise computation exactly") {
+    val sets = docsLocal.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expect = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size if inter > 0
+      jac = inter.toDouble / (si.size + sj.size - inter) if jac >= 0.2
+    } yield (i, j, inter.toLong, jac)).toSet
+    val got = DedupOps.ngramJaccardPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("simhash chunk blocking finds exactly the close-hamming pairs") {
+    val width = 48
+    // local mirror of DedupOps.simhash (same md5-based stable hash)
+    def simhashLocal(t: String): Long = {
+      val counts = toks(t).groupBy(identity).map { case (k, v) => k -> v.size }
+      (0 until width).map { bit =>
+        val s = counts.map { case (tok, c) =>
+          ((stableHashLocal(tok + "#" + bit) % 2) * 2 - 1) * c
+        }.sum
+        if (s > 0) 1L << bit else 0L
+      }.sum
+    }
+    val local = docsLocal.map { case (id, t) => id -> simhashLocal(t) }.toMap
+    val sims = DedupOps.simhash(docsDf)
+    val gotSims = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSims == local, "simhash values diverged from local mirror")
+    val expectPairs = (for {
+      (i, si) <- local; (j, sj) <- local if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    val gotPairs = DedupOps.simhashPairs(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(gotPairs == expectPairs)
+  }
+}
