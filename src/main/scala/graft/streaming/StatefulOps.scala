@@ -22,6 +22,35 @@ import EventStream.EventRow
   */
 object StatefulOps {
 
+  /** User-defined aggregate with RETRACTION (reference
+    * `flink-table/.../functions/AggregateFunction.java` —
+    * createAccumulator/accumulate/retract/getValue; `retract` is what the
+    * bounded-OVER and retract-stream runtimes demand of a UDAGG). The
+    * contract: retraction must be exact under add-then-subtract, so
+    * accumulator state should be integer/decimal, never floats. The
+    * accumulator never crosses a micro-batch boundary — runtimes rebuild
+    * it from the persisted frame contents — so implementations need no
+    * Spark Encoder. */
+  trait RetractableAggregateFunction[In, Acc, Out] extends Serializable {
+    def createAccumulator(): Acc
+    def accumulate(acc: Acc, in: In): Acc
+    def retract(acc: Acc, in: In): Acc
+    def getValue(acc: Acc): Out
+  }
+
+  /** (count, sum) over integer cents — the instance backing the built-in
+    * RANGE frame (reference CountAggFunction + SumAggFunction pairing in
+    * `RowTimeBoundedRangeOver`). */
+  object CountSumCents
+    extends RetractableAggregateFunction[Long, (Long, Long), (Long, Long)] {
+    override def createAccumulator(): (Long, Long) = (0L, 0L)
+    override def accumulate(acc: (Long, Long), c: Long): (Long, Long) =
+      (acc._1 + 1, acc._2 + c)
+    override def retract(acc: (Long, Long), c: Long): (Long, Long) =
+      (acc._1 - 1, acc._2 - c)
+    override def getValue(acc: (Long, Long)): (Long, Long) = acc
+  }
+
   // ---- count windows ------------------------------------------------------
 
   /** Per-key buffer of not-yet-complete window events + windows emitted. */
@@ -143,26 +172,40 @@ object StatefulOps {
     * contents: O(rows in range) per key. */
   def overRangeBounded(events: Dataset[EventRow], rangeMs: Long): Dataset[RangeOverOut] = {
     import events.sparkSession.implicits._
+    overRangeBoundedAgg(events, rangeMs, CountSumCents) {
+      (e, key, v) => RangeOverOut(e.event_id, key, v._1, v._2)
+    }
+  }
+
+  /** RANGE frame over an arbitrary [[RetractableAggregateFunction]] — the
+    * user-facing UDAGG-with-retract surface. The accumulator is rebuilt
+    * from the persisted frame once per batch, then maintained
+    * incrementally: entering rows `accumulate`, rows leaving the frame
+    * `retract` — per-emission cost O(evicted), not O(frame). */
+  def overRangeBoundedAgg[Acc, Out, R: org.apache.spark.sql.Encoder](
+      events: Dataset[EventRow], rangeMs: Long,
+      agg: RetractableAggregateFunction[Long, Acc, Out])(
+      emit: (EventRow, Long, Out) => R): Dataset[R] = {
+    import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[EventRow], state: GroupState[RangeOverState]) =>
           var s = state.getOption.getOrElse(RangeOverState(Nil, Nil))
-          // running accumulator rebuilt from state once per batch, then
+          // accumulator rebuilt from the frame once per batch, then
           // maintained incrementally (accumulate/retract) per timestamp
-          var accCnt = s.winTs.length.toLong
-          var accSum = s.winCents.sum
-          val out = scala.collection.mutable.ArrayBuffer[RangeOverOut]()
+          var acc = s.winCents.foldLeft(agg.createAccumulator())(agg.accumulate)
+          val out = scala.collection.mutable.ArrayBuffer[R]()
           val byTs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .groupBy(_.ts.getTime).toSeq.sortBy(_._1)
           byTs.foreach { case (ts, peers) =>
             val entering = peers.map(e => math.round(e.value * 100))
-            accCnt += entering.length; accSum += entering.sum // accumulate
+            entering.foreach(c => acc = agg.accumulate(acc, c))
             val wTs = s.winTs ++ peers.map(_ => ts)
             val wCents = s.winCents ++ entering
             val (evict, keep) = wTs.zip(wCents).span(_._1 < ts - rangeMs)
-            evict.foreach { case (_, c) => accCnt -= 1; accSum -= c } // retract
+            evict.foreach { case (_, c) => acc = agg.retract(acc, c) }
             s = RangeOverState(keep.map(_._1), keep.map(_._2))
-            peers.foreach(e => out += RangeOverOut(e.event_id, key, accCnt, accSum))
+            peers.foreach(e => out += emit(e, key, agg.getValue(acc)))
           }
           state.update(s)
           out.iterator

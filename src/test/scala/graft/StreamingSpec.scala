@@ -184,6 +184,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("custom retractable UDAGG drives the RANGE frame (sum of squares)") {
+    import spark.implicits._
+    // exact under add-then-subtract: integer cents squared
+    object SumSquares
+      extends StatefulOps.RetractableAggregateFunction[Long, Long, Long] {
+      override def createAccumulator(): Long = 0L
+      override def accumulate(acc: Long, c: Long): Long = acc + c * c
+      override def retract(acc: Long, c: Long): Long = acc - c * c
+      override def getValue(acc: Long): Long = acc
+    }
+    val input = mem()
+    val out = StatefulOps.overRangeBoundedAgg(input.toDS(), 5 * 60000L,
+      SumSquares) { (e, k, v) => (e.event_id, k, v) }
+    val q = out.toDF("event_id", "user_id", "ssq").writeStream
+      .format("memory").queryName("range_udagg_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(41, 1, 6, value = 1.0), ev(42, 3, 6, value = 2.0))
+      q.processAllAvailable()
+      input.addData(ev(43, 8, 6, value = 3.0)) // minute-1 row retracts
+      q.processAllAvailable()
+      val rows = spark.table("range_udagg_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows(41L) == 100L * 100)                  // 1.00²
+      assert(rows(42L) == 100L * 100 + 200L * 200)
+      assert(rows(43L) == 200L * 200 + 300L * 300,
+        s"retract must remove the evicted square: $rows")
+    } finally q.stop()
+  }
+
   test("retract adapter emits (retract, add) pairs for updated keys") {
     import spark.implicits._
     val input = mem()
