@@ -122,6 +122,28 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, joined, "append")
     }),
 
+    // RIGHT OUTER interval join: unmatched purchases emit once the
+    // watermark passes their own timestamp (no later click can precede
+    // them within the interval)
+    "stream_interval_join_right" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "rightOuter")
+        .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("purchase_id"), col("p_user_id").as("user_id"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
     // FULL OUTER interval join: adds unmatched purchases, evicted (and
     // emitted) once the watermark passes their own timestamp — any later
     // click would start after them and cannot satisfy the interval
@@ -304,6 +326,27 @@ object Streaming extends QuerySet {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM events p
         |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)""".stripMargin,
+
+    "stream_interval_join_right" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS w)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), p.event_id, p.user_id
+        |FROM events p, wm
+        |WHERE p.event_type = 'purchase'
+        |  AND p.ts < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events c
+        |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)""".stripMargin,
 
     "stream_interval_join_full" ->
