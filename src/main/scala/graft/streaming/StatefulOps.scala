@@ -59,17 +59,46 @@ object StatefulOps {
   case class CountWindowOut(user_id: Long, win_idx: Long, n_events: Int,
                             sum_cents: Long)
 
+  /** Pre-aggregation window evictors (reference `windowing/evictors/` —
+    * `Evictor.java`, `TimeEvictor.java`, `CountEvictor.java`,
+    * `DeltaEvictor.java`): run before the window function and shrink what
+    * it sees; window ASSIGNMENT is unchanged — exactly the reference
+    * contract. Elements are the window's (event-time ms, integer cents). */
+  sealed trait Evictor extends Serializable {
+    def evict(win: Seq[(Long, Long)]): Seq[(Long, Long)]
+  }
+
+  /** Drop elements older than (window max timestamp − maxAge). */
+  final case class TimeEvictor(maxAgeMs: Long) extends Evictor {
+    override def evict(win: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val cutoff = win.map(_._1).max - maxAgeMs
+      win.filter(_._1 >= cutoff)
+    }
+  }
+
+  /** Keep only the LAST maxCount elements (reference CountEvictor keeps
+    * from the end of the buffer). */
+  final case class CountEvictor(maxCount: Int) extends Evictor {
+    override def evict(win: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      win.takeRight(maxCount)
+  }
+
+  /** Evict elements whose |value delta| from the window's last element
+    * reaches the threshold (reference DeltaEvictor: evicts where
+    * deltaFunction(element, last) >= threshold). */
+  final case class DeltaEvictor(thresholdCents: Long) extends Evictor {
+    override def evict(win: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val last = win.last._2
+      win.filter(e => (e._2 - last).abs < thresholdCents)
+    }
+  }
+
   /** Tumbling count windows of `size` events per key; only complete windows
-    * are emitted (Flink countWindow semantics).
-    *
-    * `evictorMaxAgeMs` is the reference TimeEvictor
-    * (`windowing/evictors/TimeEvictor.java`): before the window function
-    * runs, elements older than (window max timestamp − maxAge) are evicted
-    * from the buffer, so the emitted aggregate may cover fewer than `size`
-    * elements — exactly the evictor contract (eviction does NOT change
-    * window assignment, only what the function sees). */
+    * are emitted (Flink countWindow semantics). The optional [[Evictor]]
+    * runs before the window aggregate, so the emitted aggregate may cover
+    * fewer than `size` elements. */
   def countWindows(events: Dataset[EventRow], size: Int,
-                   evictorMaxAgeMs: Option[Long] = None): Dataset[CountWindowOut] = {
+                   evictor: Option[Evictor] = None): Dataset[CountWindowOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -84,11 +113,9 @@ object StatefulOps {
           while (ts.length >= size) {
             val (wTs, restTs) = ts.splitAt(size)
             val (wCents, restCents) = cents.splitAt(size)
-            val (keptTs, keptCents) = evictorMaxAgeMs match {
-              case Some(age) =>
-                val cutoff = wTs.max - age
-                wTs.zip(wCents).filter(_._1 >= cutoff).unzip
-              case None => (wTs, wCents)
+            val (keptTs, keptCents) = evictor match {
+              case Some(ev) => ev.evict(wTs.zip(wCents)).unzip
+              case None     => (wTs, wCents)
             }
             out += CountWindowOut(key, emitted, keptTs.length, keptCents.sum)
             emitted += 1

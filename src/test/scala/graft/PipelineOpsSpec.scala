@@ -128,6 +128,19 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf with exhaustive probing equals brute force exactly") {
+    // nprobe = cells means every cell is probed, so the candidate set is
+    // the full corpus and the exact-cosine rerank must reproduce brute
+    // force row for row — recall converges to 1 as nprobe → cells
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val cells = 16
+    val ivf = SimilarityOps.topKIvfProbe(embs, qs, k = 3, cells, nprobe = cells)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val bf = SimilarityOps.topKBruteForce(embs, qs, 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
+  }
+
   test("lsh topk is a subset-ranking consistent with brute force") {
     val qs = embs.filter(col("vec_id") % 100 === 0)
     val lsh = SimilarityOps.topKLsh(embs, qs, 3)

@@ -82,7 +82,7 @@ class StreamingSpec extends SparkSpecBase {
     val input = mem()
     // windows of 3; evict elements older than 5 min behind the window max
     val out = StatefulOps.countWindows(input.toDS(), size = 3,
-      evictorMaxAgeMs = Some(5 * 60000L))
+      evictor = Some(StatefulOps.TimeEvictor(5 * 60000L)))
     val q = out.toDF().writeStream.format("memory").queryName("cwe_test")
       .outputMode("append").start()
     try {
@@ -96,6 +96,38 @@ class StreamingSpec extends SparkSpecBase {
       assert(w.head.n_events == 2, s"evictor must drop the stale row: ${w.toSeq}")
       assert(w.head.sum_cents == 600L)
     } finally q.stop()
+  }
+
+  test("count- and delta-evictors shrink the window, not the assignment") {
+    import spark.implicits._
+    // CountEvictor(2): windows of 3 keep only their last 2 elements
+    val in1 = mem()
+    val q1 = StatefulOps.countWindows(in1.toDS(), size = 3,
+        evictor = Some(StatefulOps.CountEvictor(2)))
+      .toDF().writeStream.format("memory").queryName("cwe_count")
+      .outputMode("append").start()
+    try {
+      in1.addData(ev(61, 1, 7, value = 1.0), ev(62, 2, 7, value = 2.0),
+        ev(63, 3, 7, value = 4.0), ev(64, 4, 7, value = 8.0))
+      q1.processAllAvailable()
+      val r = spark.table("cwe_count").as[StatefulOps.CountWindowOut]
+        .collect().map(w => w.win_idx -> ((w.n_events, w.sum_cents))).toMap
+      assert(r(0L) == ((2, 600L)), s"$r") // 2.00+4.00, 1.00 evicted
+    } finally q1.stop()
+    // DeltaEvictor(300 cents): elements ≥3.00 away from the last are evicted
+    val in2 = mem()
+    val q2 = StatefulOps.countWindows(in2.toDS(), size = 3,
+        evictor = Some(StatefulOps.DeltaEvictor(300L)))
+      .toDF().writeStream.format("memory").queryName("cwe_delta")
+      .outputMode("append").start()
+    try {
+      in2.addData(ev(71, 1, 8, value = 9.0), ev(72, 2, 8, value = 1.5),
+        ev(73, 3, 8, value = 2.0))
+      q2.processAllAvailable()
+      val r = spark.table("cwe_delta").as[StatefulOps.CountWindowOut]
+        .collect().map(w => w.win_idx -> ((w.n_events, w.sum_cents))).toMap
+      assert(r(0L) == ((2, 350L)), s"$r") // 9.00 is 7.00 from last → evicted
+    } finally q2.stop()
   }
 
   test("streaming OVER continues running totals across batches") {
