@@ -1,0 +1,86 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions.col
+import graft.operators.TextOps
+
+/** Seeded randomized equivalence for the text operators: random texts
+  * (incl. punctuation, digits, stopwords, and non-ASCII) checked against
+  * local recomputations — the fingerprint through an independent md5
+  * mirror, counts/ratios through plain Scala arithmetic. */
+class TextFuzzSpec extends SparkSpecBase {
+
+  private val rnd = new scala.util.Random(0x7E47)
+  private val words = Vector("the", "a", "of", "to", "ship", "ocean", "data",
+    "42", "x9", "graph", "très", "naïve", "spark!", "k,v", "σ")
+
+  private val docsLocal: Vector[(Long, String)] =
+    (0 until 60).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i.toLong, Vector.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toVector
+
+  private def docsDf = {
+    import spark.implicits._
+    docsLocal.toDF("doc_id", "text")
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def stableHashLocal(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  private def toks(t: String): Vector[String] =
+    t.toLowerCase.split("\\s+").toVector
+
+  test("doc fingerprint matches a local md5 rolling-hash mirror") {
+    val expect = docsLocal.map { case (id, t) =>
+      id -> toks(t).zipWithIndex
+        .map { case (w, i) => (stableHashLocal(w) % 1000000000039L) * (i + 1) }
+        .sum
+    }.toMap
+    val got = docsDf.select(col("doc_id"),
+        TextOps.docFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("token stats and bpe counts match local arithmetic") {
+    val got = docsDf.select(
+        (col("doc_id") +: (TextOps.tokenStats(col("text")) :+
+          TextOps.bpeTokenCount(col("text")).as("bpe"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+    val bpeRe = TextOps.BpePattern.r
+    docsLocal.foreach { case (id, t) =>
+      val ts = toks(t)
+      val mean = ts.map(_.length.toLong).sum.toDouble / ts.length
+      val bpe = bpeRe.findAllIn(t.toLowerCase).length
+      assert(got(id) == ((ts.length, ts.distinct.length, mean, bpe)), s"doc $id '$t'")
+    }
+  }
+
+  test("language id and quality signals match local counting") {
+    val got = docsDf.select(
+        (col("doc_id") +: (TextOps.qualitySignals(col("text")) :+
+          TextOps.langId(col("text")).as("lang"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(4), r.getString(5)))).toMap
+    docsLocal.foreach { case (id, t) =>
+      val ts = toks(t)
+      val stop = ts.count(TextOps.Stopwords.contains)
+      val nonAscii = t.count(c => c < ' ' || c > '~')
+      val lang =
+        if (nonAscii * 10 > t.length) "non_latin"
+        else if (stop * 50 >= ts.length) "en"
+        else "unk"
+      val (sr, nar, gl) = got(id)
+      assert(sr == stop.toDouble / ts.length, s"doc $id stopword_ratio")
+      assert(nar == nonAscii.toDouble / t.length, s"doc $id non_ascii_ratio")
+      assert(gl == lang, s"doc $id lang")
+    }
+  }
+}
