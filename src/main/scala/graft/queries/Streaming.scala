@@ -184,6 +184,15 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // sliding count windows: every 4th arrival aggregates the last ≤10
+    // (KeyedStream.countWindow(size, slide))
+    "stream_count_window_slide" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.slidingCountWindows(
+        events(s, dir).as[EventRow], size = 10, slide = 4).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // custom streaming OVER: per-row running aggregates in event-time order
     // (DataStreamOverAggregate / RowTimeUnboundedOver)
     "stream_over_rows" -> ((s, dir) => {
@@ -393,6 +402,21 @@ object Streaming extends QuerySet {
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM seq GROUP BY user_id, rn // 10
          |HAVING COUNT(*) = 10""".stripMargin,
+
+    // emission at every 4th arrival, window = last ≤10 elements
+    "stream_count_window_slide" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, $C AS cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |em AS (SELECT user_id, rn AS p FROM seq WHERE rn % 4 = 0)
+         |SELECT s.user_id, CAST(e.p // 4 - 1 AS BIGINT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_events,
+         |  CAST(SUM(s.cents) AS BIGINT) AS sum_cents
+         |FROM em e JOIN seq s ON s.user_id = e.user_id
+         |  AND s.rn <= e.p AND s.rn > e.p - 10
+         |GROUP BY s.user_id, e.p""".stripMargin,
 
     "stream_over_rows" ->
       s"""SELECT event_id, user_id,

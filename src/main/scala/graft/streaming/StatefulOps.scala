@@ -126,6 +126,35 @@ object StatefulOps {
       }
   }
 
+  /** Sliding count windows (reference `KeyedStream.countWindow(size,
+    * slide)` `KeyedStream.java:425` = GlobalWindows + CountTrigger(slide)
+    * + CountEvictor(size)): every `slide` arrivals per key, emit the
+    * aggregate of the last min(size, seen) elements. State = the last
+    * `size` elements + the arrival counter — O(size) per key. */
+  def slidingCountWindows(events: Dataset[EventRow], size: Int,
+                          slide: Int): Dataset[CountWindowOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[CountWindowState]) =>
+          val prev = state.getOption.getOrElse(CountWindowState(Nil, Nil, 0L))
+          var bufTs = prev.pendingTs
+          var bufCents = prev.pendingCents
+          var seen = prev.emitted // reuse the counter slot: arrivals seen
+          val out = scala.collection.mutable.ArrayBuffer[CountWindowOut]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            bufTs = (bufTs :+ e.ts.getTime).takeRight(size)
+            bufCents = (bufCents :+ math.round(e.value * 100)).takeRight(size)
+            seen += 1
+            if (seen % slide == 0)
+              out += CountWindowOut(key, seen / slide - 1,
+                bufCents.length, bufCents.sum)
+          }
+          state.update(CountWindowState(bufTs, bufCents, seen))
+          out.iterator
+      }
+  }
+
   // ---- streaming OVER (unbounded preceding, event-time rows) --------------
 
   case class OverState(cnt: Long, cents: Long)

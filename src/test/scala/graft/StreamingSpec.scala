@@ -98,6 +98,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding count windows emit every slide arrivals across batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.slidingCountWindows(input.toDS(), size = 3, slide = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("scw_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(81, 1, 9, value = 1.0), ev(82, 2, 9, value = 2.0),
+        ev(83, 3, 9, value = 4.0))
+      q.processAllAvailable()
+      input.addData(ev(84, 4, 9, value = 8.0)) // 4th arrival: window = last 3
+      q.processAllAvailable()
+      val r = spark.table("scw_test").as[StatefulOps.CountWindowOut]
+        .collect().map(w => w.win_idx -> ((w.n_events, w.sum_cents))).toMap
+      assert(r(0L) == ((2, 300L)), s"$r")   // arrivals 1,2
+      assert(r(1L) == ((3, 1400L)), s"$r")  // arrivals 2,3,4 (last 3)
+    } finally q.stop()
+  }
+
   test("count- and delta-evictors shrink the window, not the assignment") {
     import spark.implicits._
     // CountEvictor(2): windows of 3 keep only their last 2 elements
