@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.stableHash
+
+/** Deterministic distinct-count sketching (the "novel sketch" custom
+  * aggregate of the LLM-pipeline extension; no reference counterpart —
+  * the reference has no sketch library).
+  *
+  * K-minimum-values (KMV): keep the k smallest DISTINCT 60-bit stable
+  * hashes of the input; with the hash domain [0, 2^60), the estimator is
+  * (k−1)·2^60 / kth_min, exact when fewer than k distinct values exist.
+  * Because the hash is md5-derived and the state is exact integers, the
+  * ESTIMATE itself is reproducible on any engine — unlike HLL sketches,
+  * whose register layouts differ per implementation, KMV results can sit
+  * in the value oracle.
+  *
+  * Scale shape: the aggregation buffer is a bounded sorted vector —
+  * O(k) state, associatively mergeable, so Spark runs it as partial +
+  * final aggregation with map-side combine like any built-in. */
+object SketchOps {
+
+  /** Typed aggregate keeping the k smallest distinct hash values. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.contains(h)) b
+      else if (b.length < k) (b :+ h).sorted
+      else if (h < b.last) (b.init :+ h).sorted
+      else b
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+      (x ++ y).distinct.sorted.take(k)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Grouped distinct estimate: one row per group with the capped distinct
+    * observation count and the KMV estimate (exact below k). */
+  def kmvDistinct(df: DataFrame, groupCol: Column, valueCol: Column,
+                  k: Int = 64): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    df.select(groupCol.as("grp"),
+        stableHash(valueCol.cast("string")).as("h"))
+      .groupBy(col("grp")).agg(kmv(col("h")).as("mins"))
+      .select(col("grp"), size(col("mins")).as("nd_capped"),
+        round(when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("mins"), k).cast("double")), 4).as("est"))
+  }
+}

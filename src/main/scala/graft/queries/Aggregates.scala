@@ -89,6 +89,12 @@ object Aggregates extends QuerySet {
         .groupBy(col("l_returnflag"))
         .agg(median(col("l_quantity")).as("med_qty"))),
 
+    // KMV distinct sketch: deterministic md5 order statistics, so even the
+    // ESTIMATE hash-matches DuckDB (unlike HLL); O(k) mergeable state
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.operators.SketchOps.kmvDistinct(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_partkey"), k = 64)),
+
     // FILTER-style conditional aggregation (pivot-shaped output)
     "agg_conditional" -> ((s, dir) =>
       t(s, dir, "events")
@@ -158,6 +164,26 @@ object Aggregates extends QuerySet {
     "agg_median" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // kth-smallest md5 hash per group: identical order statistics → the
+    // same KMV estimate, computed relationally
+    "sketch_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS grp,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, hv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS nd
+        |  FROM h)
+        |SELECT grp, CAST(least(nd, 64) AS INT) AS nd_capped,
+        |  round(CASE WHEN nd < 64 THEN CAST(least(nd, 64) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 /
+        |      CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
+        |    END, 4) AS est
+        |FROM r GROUP BY grp, nd""".stripMargin,
     "agg_conditional" ->
       s"""SELECT user_id,
          |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -128,6 +128,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kmv sketch: exact below k, estimate within 20% above k, merge-stable") {
+    import spark.implicits._
+    import graft.operators.SketchOps
+    // exact regime: 40 distinct values < k=64
+    val small = (0 until 200).map(i => ("g", i % 40)).toDF("grp", "v")
+    val ex = SketchOps.kmvDistinct(small, col("grp"), col("v"), k = 64)
+      .head()
+    assert(ex.getInt(1) == 40 && ex.getDouble(2) == 40.0)
+    // estimate regime: 5000 distinct ≫ k; KMV with k=64 has ~12% rsd
+    val big = (0 until 5000).map(i => ("g", i)).toDF("grp", "v")
+      .repartition(8) // forces partial buffers + merge
+    val est = SketchOps.kmvDistinct(big, col("grp"), col("v"), k = 64)
+      .head().getDouble(2)
+    assert(math.abs(est - 5000) / 5000.0 < 0.2, s"est=$est")
+    // determinism across partitionings (merge associativity)
+    val est2 = SketchOps.kmvDistinct(big.repartition(3), col("grp"), col("v"),
+      k = 64).head().getDouble(2)
+    assert(est == est2)
+  }
+
   test("ivf with exhaustive probing equals brute force exactly") {
     // nprobe = cells means every cell is probed, so the candidate set is
     // the full corpus and the exact-cosine rerank must reproduce brute
