@@ -26,7 +26,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMs
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench-fail] $name ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       val gd = gcMs - g0
       if (gd > 500) System.err.println(f"[bench-gc] $name ${dt}%.1fs gc=${gd}ms")
