@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("kmv sketch aggregates partial+final (mergeable bounded buffer)") {
+    // the O(k) sketch buffer must combine map-side like any built-in —
+    // a single-phase plan would ship every raw hash to one reducer
+    val p = plan("sketch_kmv_distinct")
+    val aggs = "Aggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(1500)}")
+  }
+
   test("corpus prep pipeline: one shuffle (content digest), filters before it") {
     val p = plan("corpus_prep_pipeline")
     // the lang/quality gates and stats are per-row expressions over ONE
