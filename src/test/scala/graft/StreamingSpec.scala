@@ -98,6 +98,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state expires with the watermark") {
+    // Flink's dedup-with-TTL (StreamQueryConfig idle-state retention on the
+    // dedup operator): duplicates are dropped only while the key's state is
+    // within the watermark bound; once the watermark passes, the same key
+    // is emitted again — unbounded-state dedup is stream_dedup's job
+    import spark.implicits._
+    val input = mem()
+    val out = input.toDS().toDF()
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("event_id"))
+    val q = out.writeStream.format("memory").queryName("ddww_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(91, 1, 11), ev(92, 2, 11)) // same key: 92 dropped
+      q.processAllAvailable()
+      input.addData(ev(93, 3, 11))                // still within bound
+      q.processAllAvailable()
+      // the watermark derives from the PREVIOUS batch's max event time, so
+      // minute-30 data first ADVANCES the watermark (to 25 min) while being
+      // deduped itself; the next batch then sees the expired state
+      input.addData(ev(94, 30, 11))
+      q.processAllAvailable()
+      input.addData(ev(95, 31, 11))
+      q.processAllAvailable()
+      val ids = spark.table("ddww_test").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(91L) && !ids.contains(92L) && !ids.contains(93L),
+        s"$ids")
+      assert(ids.contains(95L), s"state must expire with the watermark: $ids")
+    } finally q.stop()
+  }
+
   test("sliding count windows emit every slide arrivals across batches") {
     import spark.implicits._
     val input = mem()
