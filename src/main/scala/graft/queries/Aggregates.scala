@@ -89,6 +89,14 @@ object Aggregates extends QuerySet {
         .groupBy(col("l_returnflag"))
         .agg(median(col("l_quantity")).as("med_qty"))),
 
+    // boolean aggregates (SQL EVERY/ANY) + conditional count
+    "agg_bool" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.05).as("any_big_disc"),
+          count_if(col("l_tax") > 0.03).as("n_taxed"))),
+
     // KMV distinct sketch: deterministic md5 order statistics, so even the
     // ESTIMATE hash-matches DuckDB (unlike HLL); O(k) mergeable state
     "sketch_kmv_distinct" -> ((s, dir) =>
@@ -163,6 +171,12 @@ object Aggregates extends QuerySet {
         |FROM nation GROUP BY n_regionkey""".stripMargin,
     "agg_median" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_returnflag, bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_big_disc,
+        |  COUNT(*) FILTER (WHERE l_tax > 0.03) AS n_taxed
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // kth-smallest md5 hash per group: identical order statistics → the
