@@ -47,10 +47,31 @@ object Bench {
       if (idx % 25 == 0) System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Full per-query timings go to stderr (human/debug record). The stdout
+    // JSON line is the driver contract, and the driver retains only the LAST
+    // 2000 chars of stdout — a map of all queries (~8 KB) pushes the line's
+    // opening brace out of that window and the driver records parsed=null
+    // (observed in BENCH_r01/r02). So stdout carries the total plus a fixed
+    // headline subset, compact-rounded, sized well under the window.
+    val allQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench-all] $allQs")
+    val headline = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+      "q06_forecast_revenue", "q09_product_type_profit", "q10_returned_items",
+      "q13_customer_distribution", "q18_large_volume_customer",
+      "q21_late_majority_suppliers", "agg_basic", "join_inner", "window_tumble",
+      "over_ranking", "setop_union_all", "typed_map_filter", "io_csv_roundtrip",
+      "stream_tumble_agg", "stream_interval_join", "stream_over_rows",
+      "cep_strict_next", "graph_cc_chain", "graph_pagerank", "dedup_exact",
+      "dedup_minhash_lsh", "sim_topk_lsh", "text_stats", "corpus_prep_pipeline",
+      "media_features", "ml_knn_classify")
+    val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char stdout tail")
+    println(line)
     spark.stop()
   }
 }

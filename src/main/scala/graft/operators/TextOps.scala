@@ -90,6 +90,32 @@ object TextOps {
     * [[graft.functions.GraftFunctions.fingerprint]]. */
   def docFingerprint(text: Column): Column = fingerprint(tokens(text))
 
+  /** Repetition signals (Gopher/RefinedWeb-style quality gates): token
+    * duplication and the dominance of the most frequent bigram. All-integer
+    * outputs so the comparison is exact on any engine; the caller derives
+    * ratios. Relational shape: explode bigrams → two same-key aggregations
+    * (the second reuses the first's hash partitioning — one real shuffle on
+    * doc id, partial-aggregated map-side). */
+  def repetition(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        explode_outer(when(size(col("tk")) >= 2, expr(
+          "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"
+        ))).as("bg"))
+    base.groupBy(col("doc_id"), col("bg"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        count(col("bg")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(when(col("bg").isNotNull, col("c")).otherwise(0L)).as("n_bigrams"),
+        max(when(col("bg").isNotNull, col("c")).otherwise(0L)).as("top_bigram_n"))
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -103,7 +103,21 @@ object BatchCore extends QuerySet {
                |WHERE o.o_orderkey IN (
                |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
                |  HAVING ${sqlDsum("l_quantity")} > 250)""".stripMargin)
-    })
+    }),
+
+    // per-stratum deterministic Bernoulli (corpus-curation mix control):
+    // urgent orders kept at 20%, high at 10%, the rest at 2%
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.SamplingOps.stratified(
+          t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          Map("1-URGENT" -> 0.20, "2-HIGH" -> 0.10), defaultRate = 0.02)
+        .select(col("o_orderkey"), col("o_orderpriority"))),
+
+    // exactly k per stratum by smallest hash — deterministic reservoir
+    "sample_bottomk" -> ((s, dir) =>
+      graft.operators.SamplingOps.bottomK(
+          t(s, dir, "customer"), "c_mktsegment", "c_custkey", 20)
+        .select(col("c_custkey"), col("c_mktsegment")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -158,6 +172,19 @@ object BatchCore extends QuerySet {
          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          |WHERE o.o_orderkey IN (
          |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-         |  HAVING ${sqlDsum("l_quantity")} > 250)""".stripMargin
+         |  HAVING ${sqlDsum("l_quantity")} > 250)""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 1000000
+        |  < CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 0.20
+        |         WHEN '2-HIGH' THEN 0.10 ELSE 0.02 END * 1000000 AS BIGINT)""".stripMargin,
+
+    "sample_bottomk" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+        |             AS BIGINT) ASC, c_custkey ASC) <= 20""".stripMargin
   )
 }

@@ -35,7 +35,27 @@ object Dedup extends QuerySet {
       DedupOps.embeddingCosinePairs(embs(s, dir))),
 
     "dedup_pipeline" -> ((s, dir) =>
-      DedupOps.dedupCorpus(docs(s, dir)).select(col("doc_id")))
+      DedupOps.dedupCorpus(docs(s, dir)).select(col("doc_id"))),
+
+    // near-duplicate GROUPS, not just pairs: connected components over the
+    // LSH candidate graph (est_jaccard >= 0.5) — the form a curation
+    // pipeline consumes (keep one doc per cluster). Pointer-jumping CC, so
+    // transitively-linked near-dups land in one cluster in O(log d) rounds.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.minhashLshPairs(docs(s, dir))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val verts = pairs.select(col("id1").as("vid"))
+        .union(pairs.select(col("id2").as("vid"))).distinct()
+      val cc = graft.graph.GraphAlgorithms.connectedComponentsFast(
+        graft.graph.Graph(verts,
+          pairs.select(col("id1").as("src"), col("id2").as("dst"))))
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("comp"))))
+        .select(col("vid").as("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"))
+    })
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -172,6 +192,47 @@ object Dedup extends QuerySet {
          |    AS DOUBLE) / 16 >= 0.5)
          |SELECT doc_id FROM kept
          |WHERE doc_id NOT IN (SELECT id2 FROM drops)""".stripMargin,
+
+    // transitive closure via recursive CTE (clusters are tiny after the
+    // est-jaccard gate, so enumeration is safe oracle-side). MATERIALIZED
+    // keeps DuckDB from re-deriving the md5 signature pipeline inside the
+    // recursion (measured 150 s → 14 s at sf0.01).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sig AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(1, 17), i ->
+         |      list_aggregate(list_transform($Sh, s ->
+         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+         |          % 1000000007), 'min')) AS sig
+         |  FROM documents),
+         |bands AS (
+         |  SELECT id,
+         |    CAST(unnest(range(4)) AS INT) AS band,
+         |    unnest(list_transform(range(4), b ->
+         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+         |  FROM sig),
+         |pairs AS MATERIALIZED (
+         |  SELECT id1, id2 FROM (
+         |    SELECT DISTINCT a.id AS id1, b.id AS id2
+         |    FROM bands a JOIN bands b
+         |      ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id) cand
+         |  JOIN sig s1 ON s1.id = id1
+         |  JOIN sig s2 ON s2.id = id2
+         |  WHERE CAST(list_aggregate(list_transform(range(16), i ->
+         |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
+         |    AS DOUBLE) / 16 >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labeled AS (
+         |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM labeled""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH v AS (

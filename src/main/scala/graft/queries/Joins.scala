@@ -121,8 +121,40 @@ object Joins extends QuerySet {
       su.cogroup(cu) { case (k, s1, s2) =>
         Iterator((k, s1.size.toLong, s2.size.toLong))
       }.toDF("n_key", "n_supp", "n_cust")
-    })
+    }),
+
+    // as-of joins (point-in-time feature attachment): each click gets the
+    // nearest purchase of the same user — one union+sort pass, no range join
+    // (operators/AsofJoin.scala). Purchases pre-aggregated to unique
+    // (user_id, ts) per the operator contract.
+    "join_asof_backward" -> ((s, dir) => asofClicksPurchases(s, dir, "back")),
+    "join_asof_forward" -> ((s, dir) => asofClicksPurchases(s, dir, "fwd")),
+    "join_asof_tolerance" -> ((s, dir) => asofClicksPurchases(s, dir, "tol"))
   )
+
+  private def asofClicksPurchases(s: SparkSession, dir: String,
+                                  mode: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("n_p"),
+        max(dec2(col("value"))).cast("double").as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = mode match {
+      case "back" => graft.operators.AsofJoin.backward(
+        clicks, purchases, "user_id", "ts", "ts")
+      case "fwd" => graft.operators.AsofJoin.forward(
+        clicks, purchases, "user_id", "ts", "ts")
+      case "tol" => graft.operators.AsofJoin.backward(
+        clicks, purchases, "user_id", "ts", "ts",
+        tolerance = Some("INTERVAL 1 HOUR"))
+    }
+    joined.select(col("event_id"), col("user_id"),
+      col("asof._t").as("asof_ts"),
+      coalesce(col("asof.p_value"), lit(-1.0)).as("p_value"),
+      coalesce(col("asof.n_p"), lit(0L)).as("n_p"))
+  }
 
   override def oracle: Map[String, String] = {
     val innerSql =
@@ -178,7 +210,37 @@ object Joins extends QuerySet {
           |FULL OUTER JOIN
           |     (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
           |      WHERE c_acctbal > 9000 GROUP BY 1) c
-          |  ON s.k = c.k""".stripMargin
+          |  ON s.k = c.k""".stripMargin,
+      "join_asof_backward" ->
+        s"""$asofCte
+           |SELECT c.event_id, c.user_id, p.ts AS asof_ts,
+           |  COALESCE(p.p_value, -1) AS p_value, COALESCE(p.n_p, 0) AS n_p
+           |FROM c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+      "join_asof_forward" ->
+        s"""$asofCte
+           |SELECT c.event_id, c.user_id, p.ts AS asof_ts,
+           |  COALESCE(p.p_value, -1) AS p_value, COALESCE(p.n_p, 0) AS n_p
+           |FROM c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+      "join_asof_tolerance" ->
+        s"""$asofCte
+           |SELECT c.event_id, c.user_id,
+           |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.ts END AS asof_ts,
+           |  COALESCE(CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+           |           THEN p.p_value END, -1) AS p_value,
+           |  COALESCE(CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+           |           THEN p.n_p END, 0) AS n_p
+           |FROM c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
     )
   }
+
+  /** Shared as-of oracle prelude: clicks + purchases unique per (user, ts). */
+  private val asofCte =
+    """WITH p AS (SELECT user_id, ts, COUNT(*) AS n_p,
+      |             CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS p_value
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |     c AS (SELECT event_id, user_id, ts
+      |           FROM events WHERE event_type = 'click')""".stripMargin
 }

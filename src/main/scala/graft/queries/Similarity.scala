@@ -50,7 +50,11 @@ object Similarity extends QuerySet {
       SimilarityOps.topKIvfProbe(all, all.filter(col("vec_id") % 100 === 0),
           k = 3, cells = 16, nprobe = 4)
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
-    })
+    }),
+
+    // vector prep: l2-normalize + int8 codes (narrow, scan-composed)
+    "sim_normalize_quantize" -> ((s, dir) =>
+      SimilarityOps.normalizeQuantize(embs(s, dir)))
   )
 
   // ---- DuckDB fragments ---------------------------------------------------
@@ -176,6 +180,15 @@ object Similarity extends QuerySet {
          |  FROM embeddings)
          |SELECT label, dim,
          |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
-         |FROM q GROUP BY label, dim""".stripMargin
+         |FROM q GROUP BY label, dim""".stripMargin,
+
+    "sim_normalize_quantize" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, $E AS e, $VNorm AS nrm FROM embeddings)
+         |SELECT vec_id, round(nrm, 6) AS qnorm,
+         |  array_to_string(CASE WHEN nrm > 0
+         |    THEN list_transform(e, x -> CAST(floor(x / nrm * 127) AS BIGINT))
+         |    ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END, ',') AS qvec
+         |FROM n""".stripMargin
   )
 }

@@ -62,10 +62,34 @@ object TextAnalysis extends QuerySet {
           min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .filter(col("is_kept"))
         .select(col("doc_id"), col("n_tokens"), col("quality"))
-    })
+    }),
+
+    // repetition gates (Gopher-style): duplicate-token and dominant-bigram
+    // counts — all-integer, exact on any engine
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir)))
   )
 
   override def oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $T AS t FROM documents),
+         |sized AS (
+         |  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         |    CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+         |      i -> t[i+1] || ' ' || t[i+2]) ELSE [] END AS bgs
+         |  FROM base),
+         |cnt AS (
+         |  SELECT doc_id, bg, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM sized) GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+         |  FROM cnt GROUP BY 1)
+         |SELECT s.doc_id, s.n_tokens, s.n_distinct,
+         |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  COALESCE(a.top_bigram_n, 0) AS top_bigram_n
+         |FROM sized s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($T) AS INT) AS n_tokens,
