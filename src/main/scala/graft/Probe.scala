@@ -20,11 +20,16 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // time the construction separately: streaming queries run to completion
+    // inside the query function (runToTable awaits termination), so their
+    // cost lands in build, not count
+    val tb = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    val buildS = (System.nanoTime() - tb) / 1e9
     if (doExplain) df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    println(f"[probe] $name rows=$n build=$buildS%.2fs count=${(System.nanoTime() - t0) / 1e9}%.2fs")
     spark.stop()
   }
 }
