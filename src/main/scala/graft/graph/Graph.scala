@@ -236,7 +236,9 @@ object GraphAlgorithms {
       .join(g.vertices.select(col("vid").as("dst")), "dst", "left_semi")
       .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
-    Iterate.bulk(init, maxIter,
+    // stride 1: the step references `cur` twice (neighbor join + union), so
+    // un-checkpointed plans double per round — see connectedComponentsFast
+    Iterate.bulk(init, maxIter, checkpointEvery = 1,
       converged = (old, next) =>
         old.join(next, "vid")
           .filter(old("comp") =!= next("comp")).isEmpty) { cur =>
@@ -260,7 +262,13 @@ object GraphAlgorithms {
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
       .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
-    Iterate.bulk(init, maxIter,
+    // checkpointEvery = 1: the step references `cur` THREE times (neighbor
+    // join, own labels, jump self-join), so an un-checkpointed plan grows
+    // 3^stride between cuts — stride-5 compiles a 243-reference tree before
+    // the first materialization. Linear-step loops (PageRank) measure equal
+    // at stride 1 vs 5 (DESIGN.md); a self-referencing step must cut every
+    // round.
+    Iterate.bulk(init, maxIter, checkpointEvery = 1,
       converged = (old, next) =>
         old.join(next, "vid")
           .filter(old("comp") =!= next("comp")).isEmpty) { cur =>
@@ -362,7 +370,8 @@ object GraphAlgorithms {
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
       .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
-    Iterate.bulk(init, maxIter) { cur =>
+    // stride 1: two `cur` references per step (votes + adoption join)
+    Iterate.bulk(init, maxIter, checkpointEvery = 1) { cur =>
       val votes = und
         .join(cur.withColumnRenamed("vid", "src"), "src")
         .groupBy(col("dst").as("vid"), col("label"))
@@ -390,7 +399,8 @@ object GraphAlgorithms {
       .join(g.vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
       .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
-    Iterate.bulk(init, maxIter) { cur =>
+    // stride 1: two `cur` references per step (votes + adoption join)
+    Iterate.bulk(init, maxIter, checkpointEvery = 1) { cur =>
       val votes = undW
         .join(cur.withColumnRenamed("vid", "src"), "src")
         .groupBy(col("dst").as("vid"), col("label"))

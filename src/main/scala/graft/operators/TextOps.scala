@@ -116,6 +116,24 @@ object TextOps {
         max(when(col("bg").isNotNull, col("c")).otherwise(0L)).as("top_bigram_n"))
   }
 
+  /** Regex redaction (PII scrub): each (name, regex, replacement) pattern is
+    * counted and then replaced, in order — counts for pattern k are taken on
+    * the text AFTER patterns 1..k-1 were applied, so overlapping patterns
+    * (phone → generic number) don't double-count. Emits one count column per
+    * pattern plus a stable md5 digest of the fully-scrubbed text (the
+    * audit-friendly surface: the digest proves WHAT was shipped without
+    * carrying the cleartext through downstream stages). Narrow per-row map,
+    * codegen'd regexes — composes into the scan at any scale. */
+  def scrub(df: DataFrame, textCol: Column, idCol: Column,
+            patterns: Seq[(String, String, String)]): DataFrame = {
+    val (cols, scrubbed) = patterns.foldLeft(
+      (Vector.empty[Column], textCol)) { case ((acc, t), (nm, re, repl)) =>
+      (acc :+ regexp_count(t, lit(re)).as(s"n_$nm"),
+        regexp_replace(t, re, repl))
+    }
+    df.select((idCol +: cols :+ md5(scrubbed).as("scrubbed_fp")): _*)
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -67,10 +67,45 @@ object TextAnalysis extends QuerySet {
     // repetition gates (Gopher-style): duplicate-token and dominant-bigram
     // counts — all-integer, exact on any engine
     "text_repetition" -> ((s, dir) =>
-      TextOps.repetition(docs(s, dir)))
+      TextOps.repetition(docs(s, dir))),
+
+    // PII-style scrub over a composed customer record: the structured
+    // customer id is redacted first, then remaining digit runs (the
+    // balance) — counts + digest of the scrubbed text. The balance is
+    // stringified via DECIMAL so both engines print the identical text.
+    "text_scrub" -> ((s, dir) =>
+      TextOps.scrub(
+        Tables.load(s, dir, "customer"),
+        concat_ws(" ", col("c_name"),
+          col("c_acctbal").cast("decimal(12,2)").cast("string"),
+          col("c_mktsegment")),
+        col("c_custkey"),
+        Seq(
+          ("custid", "Customer#[0-9]+", "<CUST>"),
+          ("num", "[0-9]+\\.?[0-9]*", "<NUM>"))))
   )
 
   override def oracle: Map[String, String] = Map(
+    "text_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ', c_name,
+        |      CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+        |      c_mktsegment) AS txt
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey,
+        |    CAST(len(regexp_extract_all(txt, 'Customer#[0-9]+')) AS INT)
+        |      AS n_custid,
+        |    regexp_replace(txt, 'Customer#[0-9]+', '<CUST>', 'g') AS txt1
+        |  FROM t)
+        |SELECT c_custkey, n_custid,
+        |  CAST(len(regexp_extract_all(txt1, '[0-9]+\.?[0-9]*')) AS INT)
+        |    AS n_num,
+        |  md5(regexp_replace(txt1, '[0-9]+\.?[0-9]*', '<NUM>', 'g'))
+        |    AS scrubbed_fp
+        |FROM p""".stripMargin,
+
     "text_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id, $T AS t FROM documents),
