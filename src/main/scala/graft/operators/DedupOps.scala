@@ -175,9 +175,16 @@ object DedupOps {
                         minJaccard: Double = 0.2,
                         maxDocFreq: Long = 10000L): DataFrame = {
     // one tokenize+shingle pass feeds the index, the sizes, and both join
-    // sides — materialize it instead of replaying the text pipeline 4x
+    // sides — materialize it instead of replaying the text pipeline 4x.
+    // The index carries the md5-derived 60-bit hash of each shingle, not
+    // the string: the self-join shuffles fixed 8-byte keys instead of
+    // ~20-40-byte phrases (the exchange IS the cost of this operator at
+    // corpus scale). Distinctness is per-doc pre-hash, so a (vanishingly
+    // rare) cross-doc collision merges two shingles identically in every
+    // engine that uses the same hash — the DuckDB oracle does.
     val sh = docs.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("str"))
+      .select(col("id"), stableHash(col("str")).as("s"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // document-frequency cap: a stop-phrase shingle shared by k docs makes

@@ -135,7 +135,27 @@ object Aggregates extends QuerySet {
     "agg_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // equi-width histogram: one partial-aggregated shuffle over bucket ids
+    // (floor division, engine-portable — no width_bucket dialect)
+    "agg_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))),
+
+    // exact heavy hitters: corpus-wide top-20 tokens. Two-phase aggregation
+    // (map-side combine) then a 20-row ordered take — the exact form of the
+    // count-min/space-saving question, chosen because corpus vocabulary is
+    // bounded; at open vocab swap the final take for SketchOps
+    "agg_top_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text")))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -219,6 +239,17 @@ object Aggregates extends QuerySet {
     "agg_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS sum_price
-         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "agg_top_tokens" ->
+      raw"""SELECT tok, COUNT(*) AS n
+           |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+           |      FROM documents)
+           |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
   )
 }

@@ -153,9 +153,13 @@ object Dedup extends QuerySet {
          |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
+    // the engine's inverted index joins on the 60-bit md5 hash of each
+    // shingle (8-byte shuffle keys); the oracle hashes identically
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id AS id, unnest($Sh) AS s FROM documents),
+      s"""WITH raw AS (
+         |  SELECT doc_id AS id, unnest($Sh) AS str FROM documents),
+         |sh AS (
+         |  SELECT id, ${H("str")} AS s FROM raw),
          |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
          |inter AS (
          |  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS inter

@@ -167,6 +167,35 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, joined, "append")
     }),
 
+    // streaming AS-OF join: each click's LATEST purchase within the
+    // 10-minute look-back — a stream-stream interval join feeding a
+    // watermarked per-click argmax (chained stateful operators; the
+    // batch AsofJoin's tolerance semantics, continuously). Inner form:
+    // clicks with no purchase in window don't emit (see join_asof_* for
+    // the outer batch surface).
+    "stream_asof_join" -> ((s, dir) => {
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") <= col("click_ts") &&
+          col("purchase_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+      val agg = joined
+        .groupBy(window(col("click_ts"), "10 minutes"), col("click_id"),
+          col("user_id"))
+        .agg(max(struct(col("purchase_ts"), col("purchase_id"))).as("m"))
+        .select(col("click_id"), col("user_id"),
+          col("m.purchase_ts").as("asof_ts"),
+          col("m.purchase_id").as("asof_id"))
+      EventStream.runToTable(s, agg, "append")
+    }),
+
     // stateful streaming dedup (dropDuplicates state store)
     "stream_dedup" -> ((s, dir) => {
       val dd = events(s, dir)
@@ -315,6 +344,29 @@ object Streaming extends QuerySet {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    // as-of: inner interval join then per-click argmax; a window(click_ts)
+    // group emits once the propagated watermark passes its end. The join
+    // leaves the click-side watermark UNSHIFTED (a future purchase only
+    // binds clicks at-or-after its own ts, so no new output can carry an
+    // event time below the global watermark) — the cutoff is the plain
+    // tumble end vs wm.
+    "stream_asof_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS w)
+        |SELECT c.event_id AS click_id, c.user_id,
+        |  p.ts AS asof_ts, p.event_id AS asof_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 10 MINUTE, wm
+        |WHERE to_timestamp(CAST(floor(epoch(c.ts) / 600) * 600 + 600
+        |    AS BIGINT))::TIMESTAMP <= wm.w
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY p.ts DESC, p.event_id DESC) = 1""".stripMargin,
 
     "stream_interval_join_left" ->
       """WITH wm AS (
