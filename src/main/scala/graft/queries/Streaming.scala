@@ -240,6 +240,15 @@ object Streaming extends QuerySet {
 
     // time-bounded RANGE frame streaming OVER (RowTimeBoundedRangeOver):
     // count+sum over the trailing 10 minutes per key, peer rows equal
+    // unbounded RANGE: running aggregate with peer semantics (rows at the
+    // same ts share one result) — RowTimeUnboundedOver RANGE variant
+    "stream_over_range_unbounded" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.overRangeUnbounded(
+        events(s, dir).as[EventRow]).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     "stream_over_range" -> ((s, dir) => {
       import s.implicits._
       val out = StatefulOps.overRangeBounded(
@@ -493,6 +502,15 @@ object Streaming extends QuerySet {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
          |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // RANGE UNBOUNDED PRECEDING is SQL's default peers-inclusive frame
+    "stream_over_range_unbounded" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS win_cnt,
+         |  CAST(SUM($C) OVER w AS BIGINT) AS win_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |  RANGE UNBOUNDED PRECEDING)""".stripMargin,
 
     "stream_sorted_emit" ->
       """SELECT user_id,

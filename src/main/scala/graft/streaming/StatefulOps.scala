@@ -268,6 +268,35 @@ object StatefulOps {
       }
   }
 
+  case class RangeUnbState(cnt: Long, cents: Long)
+
+  /** Per-row running count + sum over ALL prior events per key in event-time
+    * order, with RANGE peer semantics: rows sharing a timestamp receive the
+    * SAME aggregate, each including all of its peers — the
+    * RowTimeUnboundedRangeOver runtime (`flink-table/.../runtime/aggregate/
+    * RowTimeUnboundedOver.scala` RANGE variant; completes the row-time
+    * {Rows,Range} × {Bounded,Unbounded} matrix). O(1) state per key: only
+    * the running accumulator survives, no frame buffer — the unbounded
+    * frame never retracts. */
+  def overRangeUnbounded(events: Dataset[EventRow]): Dataset[RangeOverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[RangeUnbState]) =>
+          var s = state.getOption.getOrElse(RangeUnbState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[RangeOverOut]()
+          val byTs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .groupBy(_.ts.getTime).toSeq.sortBy(_._1)
+          byTs.foreach { case (_, peers) =>
+            s = RangeUnbState(s.cnt + peers.size,
+              s.cents + peers.map(e => math.round(e.value * 100)).sum)
+            peers.foreach(e => out += RangeOverOut(e.event_id, key, s.cnt, s.cents))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   // ---- streaming OVER, processing-time rows -------------------------------
 
   /** Per-row running count + sum in ARRIVAL order — the ProcTimeUnboundedOver
@@ -284,6 +313,29 @@ object StatefulOps {
           val out = it.map { e =>
             s = OverState(s.cnt + 1, s.cents + math.round(e.value * 100))
             OverOut(e.event_id, key, s.cnt, s.cents)
+          }.toVector
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Last-`frame` rows in ARRIVAL order per key — the ProcTimeBoundedRowsOver
+    * runtime (`flink-table/.../runtime/aggregate/ProcTimeBoundedRowsOver
+    * .scala`). Completes the proc-time ROWS column of the OVER matrix; like
+    * [[overRowsProcTime]], results are arrival-order-defined (verified by
+    * spec under a controlled MemoryStream, not by the value oracle). State
+    * is the O(frame) sliding window per key. */
+  def overRowsProcTimeBounded(events: Dataset[EventRow],
+                              frame: Int): Dataset[BoundedOverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[BoundedOverState]) =>
+          var s = state.getOption.getOrElse(BoundedOverState(Nil, 0L))
+          val out = it.map { e =>
+            val w = (s.window :+ math.round(e.value * 100)).takeRight(frame)
+            s = BoundedOverState(w, s.cnt + 1)
+            BoundedOverOut(e.event_id, key, s.cnt, w.sum)
           }.toVector
           state.update(s)
           out.iterator

@@ -224,6 +224,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("proc-time bounded ROWS OVER keeps the last-N arrival window across batches") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.overRowsProcTimeBounded(input.toDS(), frame = 2)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("proc_over_bounded_test").outputMode("append").start()
+    try {
+      input.addData(ev(31, 9, 5, value = 1.0), ev(32, 2, 5, value = 2.0))
+      q.processAllAvailable()
+      // third arrival evicts the first: window is (2.0, 4.0) cents = 600
+      input.addData(ev(33, 5, 5, value = 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("proc_over_bounded_test")
+        .as[StatefulOps.BoundedOverOut].collect().sortBy(_.run_cnt)
+      assert(rows.map(r => (r.event_id, r.run_cnt, r.win_cents)).toSeq ==
+        Seq((31L, 1L, 100L), (32L, 2L, 300L), (33L, 3L, 600L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("proc-time OVER accumulates in arrival order across batches") {
     import spark.implicits._
     val input = mem()
