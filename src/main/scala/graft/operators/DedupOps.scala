@@ -149,6 +149,27 @@ object DedupOps {
   /** SimHash near-dup pairs: block on `chunks` sub-signatures (a pair within
     * hamming d of each other collides on ≥1 chunk when d < chunks), then
     * exact hamming via bit_count(xor). */
+  /** Edit-distance near-duplicates: SimHash chunk blocking proposes
+    * candidates (pigeonhole-complete for hamming ≤ chunks−1), then exact
+    * `levenshtein` (codegen'd built-in) confirms on the pair. The string
+    * comparison runs only on blocked candidates — never all pairs — so at
+    * corpus scale the cost is the blocking join, and the O(len²) DP only
+    * touches near-identical texts. */
+  def editDistancePairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        maxDist: Int = 8): DataFrame = {
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .localCheckpoint()
+    val cand = simhashPairs(simhash(docs, textCol, idCol))
+      .select(col("id1"), col("id2"))
+    cand
+      .join(texts.select(col("id").as("id1"), col("txt").as("t1")), "id1")
+      .join(texts.select(col("id").as("id2"), col("txt").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def simhashPairs(sims: DataFrame, width: Int = 48, chunks: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     val cw = width / chunks

@@ -31,6 +31,10 @@ object Dedup extends QuerySet {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(docs(s, dir))),
 
+    // fuzzy dedup: SimHash blocking proposes, exact levenshtein confirms
+    "dedup_edit_distance" -> ((s, dir) =>
+      DedupOps.editDistancePairs(docs(s, dir), maxDist = 16)),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       DedupOps.embeddingCosinePairs(embs(s, dir))),
 
@@ -155,6 +159,39 @@ object Dedup extends QuerySet {
 
     // the engine's inverted index joins on the 60-bit md5 hash of each
     // shingle (8-byte shuffle keys); the oracle hashes identically
+    // SimHash chunk blocking (same CTEs as dedup_simhash_pairs) then exact
+    // levenshtein on the candidate pairs only
+    "dedup_edit_distance" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id, unnest($T) AS tok FROM documents),
+         |votes AS (
+         |  SELECT id, bit,
+         |    SUM(${H("tok || '#' || bit")} % 2 * 2 - 1) AS s
+         |  FROM tk CROSS JOIN (SELECT unnest(range(48)) AS bit)
+         |  GROUP BY id, bit),
+         |sh AS (
+         |  SELECT id,
+         |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+         |        ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY id),
+         |chunked AS (
+         |  SELECT id, simhash,
+         |    CAST(unnest(range(4)) AS INT) AS chunk,
+         |    unnest(list_transform(range(4), c ->
+         |      (simhash >> (c*12)) % 4096)) AS cval
+         |  FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM chunked a JOIN chunked b
+         |    ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT id1, id2,
+         |  CAST(levenshtein(d1.text, d2.text) AS INT) AS dist
+         |FROM cand
+         |JOIN documents d1 ON d1.doc_id = id1
+         |JOIN documents d2 ON d2.doc_id = id2
+         |WHERE levenshtein(d1.text, d2.text) <= 16""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH raw AS (
          |  SELECT doc_id AS id, unnest($Sh) AS str FROM documents),

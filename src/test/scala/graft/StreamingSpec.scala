@@ -224,6 +224,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint restarts exactly-once: no loss, no duplicates") {
+    import spark.implicits._
+    val input = mem()
+    val dir = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def start() = input.toDS().toDF()
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(ev(50, 1, 9), ev(51, 2, 9))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint — the committed batch must not replay
+    val q2 = start()
+    try {
+      input.addData(ev(52, 3, 9))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(50L, 51L, 52L), s"expected exactly-once ids, got $ids")
+  }
+
   test("proc-time bounded ROWS OVER keeps the last-N arrival window across batches") {
     import spark.implicits._
     val input = mem()
