@@ -55,4 +55,25 @@ object PartitionOps {
           expr(s"$mergeFn(__p${i + 1})").as(s"agg${i + 1}") }: _*)
     merged
   }
+
+  /** Salted equi-join — the manual skew-join for a hot key too big for one
+    * reducer and a right side too big to broadcast outright: the skewed
+    * (big) side gets a deterministic per-row salt in [0, saltBuckets); the
+    * build (small-but-not-tiny) side is replicated `saltBuckets`× with every
+    * salt value; the join key becomes (key, salt), spreading each hot key
+    * over `saltBuckets` reducers. Row-identical to the plain equi-join —
+    * replication only multiplies the BUILD side's shuffle volume, the skewed
+    * side moves once. (AQE's skew-join split handles the same shape
+    * adaptively when statistics see it; this is the explicit form the
+    * reference's DataSet API required the user to write, and the fallback
+    * when a single key exceeds what AQE can split.) */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -117,7 +117,18 @@ object BatchCore extends QuerySet {
     "sample_bottomk" -> ((s, dir) =>
       graft.operators.SamplingOps.bottomK(
           t(s, dir, "customer"), "c_mktsegment", "c_custkey", 20)
-        .select(col("c_custkey"), col("c_mktsegment")))
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // manual skew-join: salted lineitem⋈orders must equal the plain join
+    "salted_join" -> ((s, dir) =>
+      graft.operators.PartitionOps.saltedJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          t(s, dir, "orders")
+            .filter(col("o_totalprice") > 450000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderkey", saltBuckets = 8)
+        .select(col("o_orderkey"), col("l_quantity"), col("o_orderpriority")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -185,6 +196,11 @@ object BatchCore extends QuerySet {
       """SELECT c_custkey, c_mktsegment FROM customer
         |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
         |  ORDER BY CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
-        |             AS BIGINT) ASC, c_custkey ASC) <= 20""".stripMargin
+        |             AS BIGINT) ASC, c_custkey ASC) <= 20""".stripMargin,
+
+    "salted_join" ->
+      """SELECT l_orderkey AS o_orderkey, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000""".stripMargin
   )
 }

@@ -67,6 +67,25 @@ class PartitionOpsSpec extends SparkSpecBase {
     assert(joined.count() > 0)
   }
 
+  test("saltedJoin: hot key spreads across reducers, result equals plain join") {
+    import spark.implicits._
+    // one pathologically hot key (900 of 1000 rows) + a long-tail side
+    val skewed = ((1 to 900).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 5, i.toLong))).toDF("k", "payload")
+    val build = (0L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = PartitionOps.saltedJoin(skewed, build, "k", saltBuckets = 8)
+    val plain = skewed.join(build, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(
+      plain.select("k", "payload", "name")).isEmpty)
+    // the hot key's rows must occupy >1 (key, salt) group pre-merge: check
+    // the salt actually fans out under the deterministic row hash
+    val saltSpread = skewed.filter(col("k") === 7)
+      .withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(saltSpread > 1, s"hot key stayed on $saltSpread salt bucket(s)")
+  }
+
   test("sortPartition: rows sorted within each partition, no global shuffle") {
     val parted = PartitionOps.sortPartition(
       PartitionOps.byHash(orders, 4, col("o_custkey")), col("o_totalprice"))
