@@ -72,6 +72,30 @@ object MultimodalOps {
           greatest(lit(1L), expr(s"(height * $targetW) div width")))
           .otherwise(lit(targetH).cast("long")))
 
+  /** Perceptual-hash analog (average-hash shape): sample 16 bytes at evenly
+    * spaced offsets, set bit i when sample i exceeds the sample mean —
+    * integer-compare form `v_i * 16 > Σv` so no division is involved. With
+    * a real decoder the samples become downscaled grayscale pixels; the
+    * bit-threshold plumbing (and its shuffle-free, codegen'd plan) is
+    * identical. Near-duplicate media then joins on hash chunks exactly like
+    * [[DedupOps.simhashPairs]]. */
+  def perceptualHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), col("media_type"),
+        expr("""transform(sequence(0, 15), i ->
+                  ascii(substring(CAST(bytes AS STRING),
+                    CAST((i * length(CAST(bytes AS STRING))) DIV 16 AS INT) + 1,
+                    1)))""").as("v"))
+      .select(col("media_id"), col("media_type"), col("v"),
+        expr("aggregate(v, CAST(0 AS BIGINT), (a, y) -> a + y)").as("vsum"))
+      .select(col("media_id"), col("media_type"),
+        expr("""aggregate(
+                  zip_with(v, sequence(0, 15), (x, i) ->
+                    IF(x * 16 > vsum,
+                       shiftleft(CAST(1 AS BIGINT), CAST(15 - i AS INT)),
+                       CAST(0 AS BIGINT))),
+                  CAST(0 AS BIGINT), (a, x) -> a + x)""").as("phash"))
+
   /** Fixed-LENGTH window slicing for audio payloads — the dual of
     * [[sampleFrames]] (fixed count): hop = window length, variable window
     * count per row. Real waveform windowing replaces the byte slices with

@@ -145,6 +145,20 @@ object Aggregates extends QuerySet {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"))),
 
+    // exact equi-DEPTH histogram: decile boundaries via NTILE over a pinned
+    // total order. The global sort is the price of exactness — at corpus
+    // scale swap for per-partition quantile sketches; this is the exact
+    // reference surface those approximate
+    "agg_decile_bounds" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))),
+
     // exact heavy hitters: corpus-wide top-20 tokens. Two-phase aggregation
     // (map-side combine) then a 20-row ordered take — the exact form of the
     // count-min/space-saving question, chosen because corpus vocabulary is
@@ -245,6 +259,14 @@ object Aggregates extends QuerySet {
       s"""SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "agg_decile_bounds" ->
+      """SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo,
+        |  MAX(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice, ntile(10) OVER (
+        |        ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY decile""".stripMargin,
 
     "agg_top_tokens" ->
       raw"""SELECT tok, COUNT(*) AS n

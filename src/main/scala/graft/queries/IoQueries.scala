@@ -125,7 +125,13 @@ object IoQueries extends QuerySet {
     "media_audio_windows" -> ((s, dir) =>
       MultimodalOps.sampleAudioWindows(
         MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")),
-        winLen = 100))
+        winLen = 100)),
+
+    // multimodal: average-hash shape perceptual fingerprint (16 sampled
+    // bytes thresholded at their mean; a real decoder swaps pixels in)
+    "media_phash" -> ((s, dir) =>
+      MultimodalOps.perceptualHash(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents"))))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -213,6 +219,25 @@ object IoQueries extends QuerySet {
         |  FROM a)
         |SELECT media_id, win_idx,
         |  CAST(length(w) AS INT) AS win_len, md5(w) AS win_digest
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "media_phash" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+        |      AS media_type,
+        |    list_transform(range(16), i ->
+        |      ord(substr(text, CAST((i * length(text)) // 16 AS INT) + 1, 1)))
+        |      AS v
+        |  FROM documents),
+        |t AS (SELECT media_id, media_type, v,
+        |        list_aggregate(v, 'sum') AS vsum FROM s)
+        |SELECT media_id, media_type,
+        |  CAST(list_aggregate(list_transform(range(16), i ->
+        |    CASE WHEN v[i+1] * 16 > vsum
+        |      THEN (CAST(1 AS BIGINT) << CAST(15 - i AS INT))
+        |      ELSE 0 END), 'sum') AS BIGINT) AS phash
+        |FROM t""".stripMargin
   )
 }
