@@ -162,12 +162,15 @@ object DedupOps {
       .localCheckpoint()
     val cand = simhashPairs(simhash(docs, textCol, idCol))
       .select(col("id1"), col("id2"))
+    // thresholded levenshtein: the banded DP early-exits (returns -1) once
+    // the distance provably exceeds maxDist — O(len·maxDist) instead of
+    // O(len²) on the non-duplicate majority of candidates
     cand
       .join(texts.select(col("id").as("id1"), col("txt").as("t1")), "id1")
       .join(texts.select(col("id").as("id2"), col("txt").as("t2")), "id2")
       .select(col("id1"), col("id2"),
-        levenshtein(col("t1"), col("t2")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("t1"), col("t2"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   def simhashPairs(sims: DataFrame, width: Int = 48, chunks: Int = 4,
