@@ -419,4 +419,26 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  case class TaggedEvent(event_id: Long, user_id: Long, is_late: Boolean)
+
+  /** Late-data side output (reference `WindowedStream.sideOutputLateData`,
+    * `flink-streaming-java/.../datastream/WindowedStream.java:184`): rows
+    * whose event time is already behind the watermark when they arrive are
+    * TAGGED instead of silently dropped — Flink's side output becomes a
+    * boolean route column, demuxed by `filter` (exactly how split/select
+    * maps too). Spark exposes the running watermark to stateful operators
+    * (`GroupState.getCurrentWatermarkMs`), which is all the mechanism the
+    * semantics needs; downstream windowed aggs see only the on-time rows.
+    * State: none (the decision is per-row against the global watermark). */
+  def withLateTag(events: Dataset[EventRow]): Dataset[TaggedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
+          val wm = state.getCurrentWatermarkMs()
+          it.map(e => TaggedEvent(e.event_id, key, e.ts.getTime < wm)).toVector
+            .iterator
+      }
+  }
 }

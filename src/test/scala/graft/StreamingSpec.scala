@@ -224,6 +224,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("late rows are tagged to the side output instead of silently dropped") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.withLateTag(
+      input.toDS().withWatermark("ts", "2 minutes"))
+    val q = out.toDF().writeStream.format("memory").queryName("late_tag_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to minute 30 - 2
+      input.addData(ev(60, 30, 6))
+      q.processAllAvailable()
+      // batch 2: minute 5 is far behind the watermark (late); minute 29 is not
+      input.addData(ev(61, 5, 6), ev(62, 29, 6))
+      q.processAllAvailable()
+      val rows = spark.table("late_tag_test").as[StatefulOps.TaggedEvent]
+        .collect().map(t => t.event_id -> t.is_late).toMap
+      assert(rows == Map(60L -> false, 61L -> true, 62L -> false), s"got $rows")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint restarts exactly-once: no loss, no duplicates") {
     import spark.implicits._
     val input = mem()
