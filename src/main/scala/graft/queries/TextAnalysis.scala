@@ -69,6 +69,38 @@ object TextAnalysis extends QuerySet {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(docs(s, dir))),
 
+    // training-mix flagship: prep pipeline → deterministic per-band mix
+    // control (short docs kept fully, long at 50% by hash gate) → global
+    // token-budget cap via running sum in a pinned order. The budget scan is
+    // inherently sequential — one narrow window after heavy filtering; at
+    // corpus scale budgets are allocated per shard and this exact form runs
+    // per-shard
+    "corpus_training_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val annotated = docs(s, dir).select(col("doc_id"), col("text"),
+        TextOps.langId(t).as("lang_pred"),
+        TextOps.qualityScore(t).as("quality"),
+        TextOps.tokenStats(t).head)
+      val kept = annotated
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .withColumn("is_kept", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("is_kept"))
+      val sampled = kept
+        .withColumn("band",
+          when(col("n_tokens") < 40, "short").otherwise("long"))
+        .filter(col("band") === "short" ||
+          graft.functions.GraftFunctions.stableHash(
+            col("doc_id").cast("string")) % 100 < 50)
+      sampled
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(
+          Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= 20000)
+        .select(col("doc_id"), col("n_tokens"), col("band"), col("cum_tokens"))
+    }),
+
     // PII-style scrub over a composed customer record: the structured
     // customer id is redacted first, then remaining digit runs (the
     // balance) — counts + digest of the scrubbed text. The balance is
@@ -203,6 +235,47 @@ object TextAnalysis extends QuerySet {
          |  SELECT doc_id, n_tokens, quality,
          |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
          |  FROM kept)
-         |SELECT doc_id, n_tokens, quality FROM ded WHERE is_kept""".stripMargin
+         |SELECT doc_id, n_tokens, quality FROM ded WHERE is_kept""".stripMargin,
+
+    "corpus_training_mix" ->
+      s"""WITH ann AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($T) AS INT) AS n_tokens,
+         |    CASE WHEN (length(text) - length(regexp_replace(text,
+         |           '[^ -~]', '', 'g'))) * 10 > length(text) THEN 'non_latin'
+         |         WHEN len(list_filter($T, x -> list_contains($StopList, x)))
+         |           * 50 >= len($T) THEN 'en'
+         |         ELSE 'unk' END AS lang_pred,
+         |    round((
+         |      least(CAST(len($T) AS DOUBLE) / 50.0, 1.0) +
+         |      least(CAST(len(list_filter($T, x -> list_contains($StopList,
+         |        x))) AS DOUBLE) * 10.0 / len($T), 1.0) +
+         |      (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+         |        '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) * 5.0 /
+         |        length(text), 1.0))) / 3.0, 6) AS quality
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM ann WHERE lang_pred = 'en' AND quality >= 0.5),
+         |ded AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+         |  FROM kept),
+         |banded AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens < 40 THEN 'short' ELSE 'long' END AS band
+         |  FROM ded WHERE is_kept),
+         |sampled AS (
+         |  SELECT * FROM banded
+         |  WHERE band = 'short'
+         |     OR CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |          AS BIGINT) % 100 < 50),
+         |budgeted AS (
+         |  SELECT doc_id, n_tokens, band,
+         |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM sampled)
+         |SELECT doc_id, n_tokens, band, cum_tokens
+         |FROM budgeted WHERE cum_tokens <= 20000""".stripMargin
   )
 }
