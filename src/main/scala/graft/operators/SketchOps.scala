@@ -38,6 +38,43 @@ object SketchOps {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** KMV sketch algebra: union and intersection cardinality estimates from
+    * the two sides' sketches ALONE — the reason sketches exist at 100 TB
+    * (combine per-partition/per-day sketches without touching raw data).
+    * Union: merge the two k-min vectors, keep k smallest, apply the same
+    * estimator. Intersection: the fraction ρ of the merged sketch present
+    * in BOTH input sketches estimates Jaccard, and |A∩B| ≈ ρ·|A∪B|. Below
+    * k the sketch holds the whole union and both results are exact. All
+    * sketch state is exact integers, so the estimates hash-match any
+    * engine that hashes the same way. */
+  def kmvSetEstimate(a: DataFrame, b: DataFrame, valueCol: Column,
+                     k: Int = 64): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    val sa = a.select(stableHash(valueCol.cast("string")).as("h"))
+      .agg(kmv(col("h")).as("ma"))
+    val sb = b.select(stableHash(valueCol.cast("string")).as("h"))
+      .agg(kmv(col("h")).as("mb"))
+    val estOf = (mu: Column) =>
+      when(size(mu) < k, size(mu).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          element_at(mu, k).cast("double"))
+    sa.crossJoin(sb)
+      .select(col("ma"), col("mb"),
+        slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k)
+          .as("mu"))
+      .select(
+        size(col("mu")).as("n_union_capped"),
+        round(estOf(col("mu")), 4).as("est_union"),
+        size(array_intersect(array_intersect(col("mu"), col("ma")), col("mb")))
+          .as("n_both"),
+        round(when(size(col("mu")) < k,
+          size(array_intersect(col("ma"), col("mb"))).cast("double"))
+          .otherwise(
+            size(array_intersect(array_intersect(col("mu"), col("ma")),
+              col("mb"))).cast("double") / k * estOf(col("mu"))), 4)
+          .as("est_intersection"))
+  }
+
   /** Grouped distinct estimate: one row per group with the capped distinct
     * observation count and the KMV estimate (exact below k). */
   def kmvDistinct(df: DataFrame, groupCol: Column, valueCol: Column,

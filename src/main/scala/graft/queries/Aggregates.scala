@@ -103,6 +103,15 @@ object Aggregates extends QuerySet {
       graft.operators.SketchOps.kmvDistinct(t(s, dir, "lineitem"),
         col("l_returnflag"), col("l_partkey"), k = 64)),
 
+    // KMV sketch ALGEBRA: union + intersection estimates from the two
+    // sides' k-min sketches alone (no raw-data rescan — the point of
+    // sketches at scale)
+    "sketch_kmv_setops" -> ((s, dir) =>
+      graft.operators.SketchOps.kmvSetEstimate(
+        t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        t(s, dir, "lineitem").filter(col("l_returnflag") === "A"),
+        col("l_partkey"), k = 64)),
+
     // FILTER-style conditional aggregation (pivot-shaped output)
     "agg_conditional" -> ((s, dir) =>
       t(s, dir, "events")
@@ -232,6 +241,36 @@ object Aggregates extends QuerySet {
         |      CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
         |    END, 4) AS est
         |FROM r GROUP BY grp, nd""".stripMargin,
+
+    "sketch_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT list_sort(list_distinct(list(
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT)))) AS l
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |hb AS (
+        |  SELECT list_sort(list_distinct(list(
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT)))) AS l
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |s AS (SELECT ha.l[1:64] AS ma, hb.l[1:64] AS mb FROM ha, hb),
+        |m AS (SELECT ma, mb,
+        |        list_sort(list_distinct(flatten([ma, mb])))[1:64] AS mu
+        |      FROM s)
+        |SELECT CAST(len(mu) AS INT) AS n_union_capped,
+        |  round(CASE WHEN len(mu) < 64 THEN CAST(len(mu) AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(mu[64] AS DOUBLE)
+        |    END, 4) AS est_union,
+        |  CAST(len(list_filter(mu, x -> list_contains(ma, x)
+        |    AND list_contains(mb, x))) AS INT) AS n_both,
+        |  round(CASE WHEN len(mu) < 64
+        |    THEN CAST(len(list_filter(ma, x -> list_contains(mb, x)))
+        |      AS DOUBLE)
+        |    ELSE CAST(len(list_filter(mu, x -> list_contains(ma, x)
+        |        AND list_contains(mb, x))) AS DOUBLE) / 64
+        |      * (63.0 * 1152921504606846976.0 / CAST(mu[64] AS DOUBLE))
+        |    END, 4) AS est_intersection
+        |FROM m""".stripMargin,
     "agg_conditional" ->
       s"""SELECT user_id,
          |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
