@@ -95,6 +95,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), p.take(1000))
   }
 
+  test("training mix: the single-partition budget window sits above all gates") {
+    val p = plan("corpus_training_mix")
+    // the global running-sum budget needs exactly one SinglePartition
+    // exchange, and it must be fed by the already-gated/sampled rows —
+    // more than one would mean the budget scan sees ungated data
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1, s"expected 1 single-partition exchange, got $single:\n${p.take(2000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected only the dedup-window hash exchange, got $hashEx")
+  }
+
   test("localCheckpoint preserves hash partitioning (static loop side joins without re-shuffle)") {
     // the Pregel loops pre-partition the edge set on the join key once; the
     // superstep join must then shuffle ONLY the state side. If Spark ever
