@@ -96,6 +96,27 @@ object MultimodalOps {
                        CAST(0 AS BIGINT))),
                   CAST(0 AS BIGINT), (a, x) -> a + x)""").as("phash"))
 
+  /** Near-duplicate media pairs: the 16-bit perceptual hash is cut into 4
+    * chunks of 4 bits; pairs colliding on any chunk (pigeonhole-complete
+    * for hamming ≤ 3) are confirmed by exact hamming distance — the same
+    * block-join shape as [[DedupOps.simhashPairs]], over media
+    * fingerprints instead of token sketches. */
+  def perceptualHashPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val ph = perceptualHash(media).localCheckpoint()
+    val chunkVals = array((0 until 4).map(c =>
+      shiftrightunsigned(col("phash"), c * 4) % 16): _*)
+    val chunked = ph.select(col("media_id"), col("phash"),
+      posexplode(chunkVals).as(Seq("chunk", "cval")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.cval") === col("b.cval") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Fixed-LENGTH window slicing for audio payloads — the dual of
     * [[sampleFrames]] (fixed count): hop = window length, variable window
     * count per row. Real waveform windowing replaces the byte slices with

@@ -131,6 +131,11 @@ object IoQueries extends QuerySet {
     // bytes thresholded at their mean; a real decoder swaps pixels in)
     "media_phash" -> ((s, dir) =>
       MultimodalOps.perceptualHash(
+        MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")))),
+
+    // multimodal: near-duplicate media via phash chunk blocking + hamming
+    "media_phash_pairs" -> ((s, dir) =>
+      MultimodalOps.perceptualHashPairs(
         MultimodalOps.asMediaTable(Tables.load(s, dir, "documents"))))
   )
 
@@ -238,6 +243,34 @@ object IoQueries extends QuerySet {
         |    CASE WHEN v[i+1] * 16 > vsum
         |      THEN (CAST(1 AS BIGINT) << CAST(15 - i AS INT))
         |      ELSE 0 END), 'sum') AS BIGINT) AS phash
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "media_phash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(16), i ->
+        |      ord(substr(text, CAST((i * length(text)) // 16 AS INT) + 1, 1)))
+        |      AS v
+        |  FROM documents),
+        |t AS (SELECT media_id, v, list_aggregate(v, 'sum') AS vsum FROM s),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(list_aggregate(list_transform(range(16), i ->
+        |      CASE WHEN v[i+1] * 16 > vsum
+        |        THEN (CAST(1 AS BIGINT) << CAST(15 - i AS INT))
+        |        ELSE 0 END), 'sum') AS BIGINT) AS phash
+        |  FROM t),
+        |chunked AS (
+        |  SELECT media_id, phash,
+        |    CAST(unnest(range(4)) AS INT) AS chunk,
+        |    unnest(list_transform(range(4), c -> (phash >> (c*4)) % 16))
+        |      AS cval
+        |  FROM ph)
+        |SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |FROM chunked a JOIN chunked b
+        |  ON a.chunk = b.chunk AND a.cval = b.cval
+        | AND a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
   )
 }
