@@ -66,6 +66,10 @@ object Bench {
       "cep_strict_next", "graph_cc_chain", "graph_pagerank", "dedup_exact",
       "dedup_minhash_lsh", "sim_topk_lsh", "text_stats", "corpus_prep_pipeline",
       "media_features", "ml_knn_classify")
+    // fail fast on drift: a renamed/misspelled headline entry would
+    // otherwise vanish silently from the driver contract
+    require(headline.forall(results.contains),
+      s"headline names missing from query map: ${headline.filterNot(results.contains)}")
     val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

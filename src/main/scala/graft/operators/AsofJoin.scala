@@ -50,6 +50,12 @@ object AsofJoin {
   private def joined(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
                      tolerance: Option[String], forward: Boolean): DataFrame = {
+    // the output appends a struct column named `asof`; reject a left input
+    // that already carries one (e.g. an un-renamed previous attachment) —
+    // a duplicate name only explodes later as AMBIGUOUS_REFERENCE far from
+    // the cause. Chain attachments by renaming between calls.
+    require(!left.columns.contains("asof"),
+      "left input already has an 'asof' column — rename it before chaining")
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val rStruct = struct(col(rightTime).as("_t") +: rPayload.map(col): _*)
     val rStructType = right.select(rStruct).schema.head.dataType

@@ -256,16 +256,36 @@ object DedupOps {
     * greedy drop: downstream policies (keep longest, keep newest) pick per
     * cluster instead of per pair. Composition of hash-partitioned stages +
     * the CC join-iteration — nothing quadratic. */
+  /** Near-duplicate clusters: pointer-jumping connected components over the
+    * LSH candidate graph (est_jaccard ≥ minJaccard), labeled by min doc id,
+    * with the cluster size alongside. `includeSingletons` keeps unpaired
+    * docs as their own clusters (the full-corpus view); `false` restricts to
+    * docs that participate in at least one pair (the curation view). The CC
+    * supersteps run at a partition count sized to the candidate graph — it
+    * is O(near-dups), orders smaller than the corpus — because each
+    * superstep's fixed job cost scales with shuffle partitions. */
   def dedupClusters(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id",
-                    minJaccard: Double = 0.5): DataFrame = {
+                    minJaccard: Double = 0.5,
+                    includeSingletons: Boolean = true): DataFrame = {
     val pairs = minhashLshPairs(docs, textCol, idCol)
       .filter(col("est_jaccard") >= minJaccard)
-    val verts = docs.select(col(idCol).as("vid"))
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    graft.graph.GraphAlgorithms
-      .connectedComponents(graft.graph.Graph(verts, edges), maxIter = 20)
-      .select(col("vid").as(idCol), col("comp").as("cluster_id"))
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val spark = docs.sparkSession
+    val cc = PartitionOps.withShufflePartitions(spark, 8) {
+      val verts =
+        if (includeSingletons) docs.select(col(idCol).as("vid"))
+        else pairs.select(col("id1").as("vid"))
+          .union(pairs.select(col("id2").as("vid"))).distinct()
+      graft.graph.GraphAlgorithms.connectedComponentsFast(
+          graft.graph.Graph(verts,
+            pairs.select(col("id1").as("src"), col("id2").as("dst"))))
+        .localCheckpoint()
+    }
+    cc.withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("comp"))))
+      .select(col("vid").as(idCol), col("comp").as("cluster_id"),
+        col("cluster_size"))
   }
 
   /** Embedding cosine near-duplicates above `minCos`. Brute-force all-pairs

@@ -70,10 +70,29 @@ object PartitionOps {
   def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    // round-robin salt, NOT a hash of the row: the classic skew shape is
+    // millions of bitwise-identical rows for one hot key, and any function
+    // of the row's values assigns them all the same salt — no fan-out.
+    // Unlike saltedAggregate (where a re-executed map task must regenerate
+    // identical (key, salt) partials), the join is salt-agnostic: the build
+    // side carries EVERY salt value, so a row joins identically whatever
+    // salt it gets — per-partition-offset ids are stable under replay and
+    // correctness would hold even if they weren't.
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets)))
     val replicated = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` capped at `n`, restoring
+    * the previous value afterwards — the load-derived sizing knob shared by
+    * the fixture-scale streaming runs and small-graph iteration phases. */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                               n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, math.min(n, prev.toInt)); body }
+    finally spark.conf.set(key, prev)
   }
 }

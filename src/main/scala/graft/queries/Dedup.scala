@@ -45,31 +45,8 @@ object Dedup extends QuerySet {
     // LSH candidate graph (est_jaccard >= 0.5) — the form a curation
     // pipeline consumes (keep one doc per cluster). Pointer-jumping CC, so
     // transitively-linked near-dups land in one cluster in O(log d) rounds.
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = DedupOps.minhashLshPairs(docs(s, dir))
-        .filter(col("est_jaccard") >= 0.5)
-        .select(col("id1"), col("id2")).localCheckpoint()
-      // the candidate graph is orders smaller than the corpus (O(near-dups),
-      // not O(docs)) — run the CC supersteps at a partition count sized to
-      // IT, not to the session: each superstep's fixed job cost scales with
-      // shuffle partitions, and the loop runs several supersteps
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      val cc = try {
-        s.conf.set(key, math.min(8, prev.toInt))
-        val verts = pairs.select(col("id1").as("vid"))
-          .union(pairs.select(col("id2").as("vid"))).distinct()
-        graft.graph.GraphAlgorithms.connectedComponentsFast(
-          graft.graph.Graph(verts,
-            pairs.select(col("id1").as("src"), col("id2").as("dst"))))
-          .localCheckpoint()
-      } finally s.conf.set(key, prev)
-      cc.withColumn("cluster_size",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("comp"))))
-        .select(col("vid").as("doc_id"), col("comp").as("cluster_id"),
-          col("cluster_size"))
-    })
+    "dedup_clusters" -> ((s, dir) =>
+      DedupOps.dedupClusters(docs(s, dir), includeSingletons = false))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------

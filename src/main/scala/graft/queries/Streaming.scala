@@ -238,8 +238,6 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
-    // time-bounded RANGE frame streaming OVER (RowTimeBoundedRangeOver):
-    // count+sum over the trailing 10 minutes per key, peer rows equal
     // unbounded RANGE: running aggregate with peer semantics (rows at the
     // same ts share one result) — RowTimeUnboundedOver RANGE variant
     "stream_over_range_unbounded" -> ((s, dir) => {
@@ -249,6 +247,8 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // time-bounded RANGE frame streaming OVER (RowTimeBoundedRangeOver):
+    // count+sum over the trailing 10 minutes per key, peer rows equal
     "stream_over_range" -> ((s, dir) => {
       import s.implicits._
       val out = StatefulOps.overRangeBounded(

@@ -72,15 +72,12 @@ object EventStream {
     * cores × state volume instead. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
                  statePartitions: Int = 8): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    try {
-      spark.conf.set(key, math.min(statePartitions, prev.toInt))
+    graft.operators.PartitionOps.withShufflePartitions(spark, statePartitions) {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 }

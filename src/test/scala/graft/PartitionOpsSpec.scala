@@ -78,12 +78,20 @@ class PartitionOpsSpec extends SparkSpecBase {
     assert(salted.count() == plain.count())
     assert(salted.select("k", "payload", "name").except(
       plain.select("k", "payload", "name")).isEmpty)
-    // the hot key's rows must occupy >1 (key, salt) group pre-merge: check
-    // the salt actually fans out under the deterministic row hash
+    // the hot key's rows must occupy >1 (key, salt) group pre-merge —
+    // including the worst case of bitwise-IDENTICAL rows, which a
+    // row-value hash would all send to one salt
     val saltSpread = skewed.filter(col("k") === 7)
-      .withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
       .select("__salt").distinct().count()
     assert(saltSpread > 1, s"hot key stayed on $saltSpread salt bucket(s)")
+    val dupRows = Seq.fill(200)((7L, 1L)).toDF("k", "payload")
+    val dupJoined = PartitionOps.saltedJoin(dupRows, build, "k", saltBuckets = 8)
+    assert(dupJoined.count() == 200L)
+    val dupSpread = dupRows
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
+      .select("__salt").distinct().count()
+    assert(dupSpread > 1, s"identical rows stayed on $dupSpread salt bucket(s)")
   }
 
   test("sortPartition: rows sorted within each partition, no global shuffle") {

@@ -76,11 +76,17 @@ class PipelineOpsSpec extends SparkSpecBase {
       (2L, "the quick brown fox jumps over the lazy dog today"),
       (5L, "completely different content with no overlap at all here")
     ).toDF("doc_id", "text")
-    val clusters = DedupOps.dedupClusters(fixture)
-      .as[(Long, Long)].collect().toMap
+    val rows = DedupOps.dedupClusters(fixture).collect()
+    val clusters = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(clusters(1L) == 1L && clusters(2L) == 1L,
       s"identical docs must share the min-id cluster: $clusters")
     assert(clusters(5L) == 5L, s"singleton keeps its own id: $clusters")
+    assert(sizes(1L) == 2L && sizes(5L) == 1L, s"cluster sizes: $sizes")
+    // curation view drops singletons
+    val paired = DedupOps.dedupClusters(fixture, includeSingletons = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(paired == Set(1L, 2L), s"pair-participants only: $paired")
   }
 
   test("jaccard pairs: 0 < jaccard <= 1 and symmetric-free ordering") {
