@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.streaming.{BroadcastedSideInput, EventStream, KeyedSideInput, SideInput, StatefulOps}
+import Exact.dec2
 
 /** Structured Streaming inventory (SURVEY §2.2 / M3-M4) — every query runs a
   * REAL streaming query (file source → state → memory sink,
@@ -196,6 +197,21 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, agg, "append")
     }),
 
+    // toRetractStream end-to-end with a VALUE oracle: the events fixture
+    // replays as 4 deterministic time-quarter micro-batches
+    // (EventStream.readMultiBatch), an update-mode per-user aggregation
+    // runs through the distributed retract adapter, and the full tagged
+    // changelog — retraction of each superseded row version + addition of
+    // its successor, per batch — is the query result. The oracle re-derives
+    // it from quarter-cumulative window sums.
+    "stream_retract_changelog" -> ((s, dir) => {
+      val agg = EventStream.readMultiBatch(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+      graft.streaming.RetractStream.run(agg, Seq("user_id")).changesDf
+    }),
+
     // stateful streaming dedup (dropDuplicates state store)
     "stream_dedup" -> ((s, dir) => {
       val dd = events(s, dir)
@@ -353,6 +369,31 @@ object Streaming extends QuerySet {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    // changelog = per-quarter cumulative agg: an addition per (quarter,
+    // user) with activity, plus a retraction of the previous cumulative
+    // row where one exists
+    "stream_retract_changelog" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+        |    CAST((EXTRACT(day FROM ts) - 1) // 8 AS INT) AS q
+        |  FROM events),
+        |pq AS (
+        |  SELECT q, user_id, COUNT(*) AS n_q, SUM(v) AS s_q
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT q, user_id,
+        |    CAST(SUM(n_q) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(s_q) OVER w AS DOUBLE) AS sum_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY q) AS rn
+        |  FROM pq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY q
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT q AS batch_id, TRUE AS is_add, user_id, n, sum_value FROM cum
+        |UNION ALL
+        |SELECT c.q AS batch_id, FALSE AS is_add, c.user_id, p.n, p.sum_value
+        |FROM cum c JOIN cum p
+        |  ON p.user_id = c.user_id AND p.rn = c.rn - 1""".stripMargin,
 
     // as-of: inner interval join then per-click argmax; a window(click_ts)
     // group emits once the propagated watermark passes its end. The join

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Streaming ingestion of the `events` fixture + run helpers.
   *
@@ -54,6 +55,52 @@ object EventStream {
     }
     stage.toString
   }
+
+  /** Deterministic MULTI-batch replay: the events fixture split into 4
+    * time-quarter parquet files with strictly increasing modification
+    * times, read with `maxFilesPerTrigger = 1` — the file source then
+    * processes exactly one quarter per micro-batch, in time order, so
+    * micro-batch ids (and everything derived from them, like retract
+    * changelogs) are data-determined and oracle-comparable. */
+  def readMultiBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageQuarters(spark, dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def stageQuarters(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      val stage = Paths.get(sys.props("java.io.tmpdir"),
+        "graft-stream-quarters", Integer.toHexString(dir.hashCode))
+      if (!Files.exists(stage.resolve("q3.parquet"))) {
+        Files.createDirectories(stage)
+        val raw = spark.read.schema(rawSchema)
+          .parquet(Paths.get(dir, "events.parquet").toString)
+          .withColumn("__q",
+            ((dayofmonth(timestamp_micros(expr("ts div 1000"))) - 1) / 8)
+              .cast("int"))
+        (0 to 3).foreach { q =>
+          val tmpOut = stage.resolve(s"tmp_q$q")
+          raw.filter(col("__q") === q).drop("__q")
+            .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val listing = Files.list(tmpOut)
+          val part =
+            try listing.iterator().asScala.toVector
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally listing.close()
+          Files.move(part, stage.resolve(s"q$q.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes pin the micro-batch order
+          stage.resolve(s"q$q.parquet").toFile
+            .setLastModified(1700000000000L + q * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
+        }
+      }
+      stage.toString
+    }
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -76,6 +76,15 @@ class RetractStream(keyCols: Seq[String]) {
 
   /** Current materialized table (upsert view of the changelog). */
   def snapshot: Seq[Row] = snap.map(_.collect().toSeq).getOrElse(Nil)
+
+  /** The tagged changelog as a DataFrame — (batch_id, is_add, data columns),
+    * fully distributed (reads the parquet changelog the batches wrote). */
+  def changesDf: DataFrame = {
+    val df = sparkRef.read.parquet(outDir)
+    df.select(Seq(col("__batch_id").cast("int").as("batch_id"),
+      col("__is_add").as("is_add")) ++
+      baseSchema.fieldNames.toSeq.map(col): _*)
+  }
 }
 
 object RetractStream {
