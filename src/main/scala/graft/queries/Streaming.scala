@@ -220,6 +220,36 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, dd, "append")
     }),
 
+    // cross-micro-batch join state: the SAME interval join over the
+    // 4-quarter deterministic replay — matches spanning batch boundaries
+    // must come out of the state store; result (and oracle) identical to
+    // the single-batch run
+    "stream_interval_join_multibatch" -> ((s, dir) => {
+      val ev = EventStream.readMultiBatch(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // cross-micro-batch dedup state, same oracle as the single-batch form
+    "stream_dedup_multibatch" -> ((s, dir) => {
+      val dd = EventStream.readMultiBatch(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      EventStream.runToTable(s, dd, "append")
+    }),
+
     // custom count windows over flatMapGroupsWithState (KeyedStream
     // .countWindow — no Spark equivalent)
     "stream_count_window" -> ((s, dir) => {
@@ -492,6 +522,18 @@ object Streaming extends QuerySet {
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_dedup_multibatch" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batching must not change join results — same SQL as the
+    // single-batch interval join
+    "stream_interval_join_multibatch" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
 
     "stream_count_window" ->
       s"""WITH seq AS (
