@@ -156,6 +156,22 @@ object CepQueries extends QuerySet {
       graft.streaming.EventStream.runToTable(s, out, "append")
     }),
 
+    // cross-micro-batch NFA state: the SAME pattern over the deterministic
+    // 4-quarter replay — a click at the end of one quarter matching a
+    // purchase at the start of the next must come out of persisted pattern
+    // state; cumulative output equals the single-batch (and batch) result
+    "cep_stream_multibatch" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+        .next("b")(_.event_type == "purchase")
+      val stream = graft.streaming.EventStream.readMultiBatch(s, dir)
+        .as[EventRow]
+      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
+      }.toDF("user_id", "a_id", "b_id")
+      graft.streaming.EventStream.runToTable(s, out, "append")
+    }),
+
     // timeout side output (PatternStream.select with timeout handler):
     // click → purchase within 30 min; clicks whose window provably closed
     // without a purchase emit a timeout row (b_id = -1)
@@ -284,6 +300,17 @@ object CepQueries extends QuerySet {
     // identical to cep_strict_next — the streaming path must converge to
     // the batch semantics at end of stream
     "cep_stream_strict_next" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER w AS nxt_type,
+        |    lead(event_id) OVER w AS nxt_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS a_id, nxt_id AS b_id
+        |FROM seq WHERE event_type = 'click' AND nxt_type = 'purchase'""".stripMargin,
+
+    // batching-invariant: same SQL as cep_stream_strict_next
+    "cep_stream_multibatch" ->
       """WITH seq AS (
         |  SELECT user_id, event_id, event_type,
         |    lead(event_type) OVER w AS nxt_type,
