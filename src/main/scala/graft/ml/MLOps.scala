@@ -79,6 +79,41 @@ object MLOps {
   }
 
   /** KMeans façade over an `array<float>` embedding column. */
+  /** One exact Lloyd step with integer-quantized arithmetic (the oracle-able
+    * counterpart of the spark.ml [[kmeansAssign]] façade): seeds are the k
+    * lowest-id vectors, assignment minimizes the EXACT integer squared
+    * distance over ×1e6-quantized coordinates (ties → lowest seed index),
+    * and the updated centroids surface as (cluster, dim) rows with an
+    * exact-rational mean. Everything before the final rounded division is
+    * integer, so the step hash-matches any engine that quantizes the same
+    * way — the same trick as `pageRankExact`/`graft_iqdot`. Plan shape:
+    * broadcast the k seeds, one narrow distance map, one argmin aggregation,
+    * one (cluster, dim) aggregation. */
+  def kmeansStepExact(embs: DataFrame, vecCol: String = "embedding",
+                      idCol: String = "vec_id", k: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.quantize
+    val q = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    val seeds = broadcast(q.orderBy(col("id")).limit(k)
+      .select(col("id").as("sid"), col("qv").as("sv"))
+      .withColumn("sidx", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sid"))) - 1)
+        .cast("int"))
+      .drop("sid"))
+    val assigned = q.crossJoin(seeds)
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("sv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("sidx"))).getField("sidx").as("cluster"))
+    assigned.join(q, "id")
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("centroid"))
+  }
+
   def kmeansAssign(df: DataFrame, vecCol: String, k: Int,
                    seed: Long = 42L): DataFrame = {
     val feat = df.withColumn("features",

@@ -42,7 +42,12 @@ object MlQueries extends QuerySet {
           col("poly_l_quantity"), col("poly_l_discount"),
           col("poly_l_quantity_l_quantity"),
           col("poly_l_quantity_l_discount"),
-          col("poly_l_discount_l_discount")))
+          col("poly_l_discount_l_discount"))),
+
+    // one EXACT Lloyd step: integer-quantized distances, deterministic
+    // seeds (k lowest ids), exact-rational centroid update
+    "ml_kmeans_step" -> ((s, dir) =>
+      MLOps.kmeansStepExact(Tables.load(s, dir, "embeddings"), k = 8))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -110,6 +115,32 @@ object MlQueries extends QuerySet {
         |           * (CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w))
         |    AS z
         |FROM c
-        |WINDOW w AS (PARTITION BY c_mktsegment)""".stripMargin
+        |WINDOW w AS (PARTITION BY c_mktsegment)""".stripMargin,
+
+    "ml_kmeans_step" ->
+      """WITH q AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT qv AS sv,
+        |    CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS sidx
+        |  FROM q ORDER BY id LIMIT 8),
+        |assigned AS (
+        |  SELECT id, sidx AS cluster FROM (
+        |    SELECT q.id, s.sidx,
+        |      list_aggregate(list_transform(range(64),
+        |        i -> (qv[i+1] - sv[i+1]) * (qv[i+1] - sv[i+1])), 'sum') AS d2
+        |    FROM q CROSS JOIN seeds s)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, sidx) = 1),
+        |exploded AS (
+        |  SELECT a.cluster,
+        |    CAST(unnest(range(64)) AS INT) AS dim,
+        |    unnest(q.qv) AS x
+        |  FROM assigned a JOIN q ON q.id = a.id)
+        |SELECT cluster, dim, COUNT(*) AS n,
+        |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
+        |FROM exploded GROUP BY cluster, dim""".stripMargin
   )
 }
