@@ -65,7 +65,8 @@ object Bench {
       "stream_tumble_agg", "stream_interval_join", "stream_over_rows",
       "cep_strict_next", "graph_cc_chain", "graph_pagerank", "dedup_exact",
       "dedup_minhash_lsh", "sim_topk_lsh", "text_stats", "corpus_prep_pipeline",
-      "media_features", "ml_knn_classify")
+      "media_features", "ml_knn_classify", "stream_retract_changelog",
+      "join_asof_backward", "dedup_clusters")
     // fail fast on drift: a renamed/misspelled headline entry would
     // otherwise vanish silently from the driver contract
     require(headline.forall(results.contains),
