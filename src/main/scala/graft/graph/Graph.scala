@@ -168,6 +168,33 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       vertices.withColumn("vid", f(col("vid"))),
       edges.withColumn("src", f(col("src"))).withColumn("dst", f(col("dst"))))
 
+  /** Per-vertex neighbor VALUES in the given direction (reference
+    * `groupReduceOnEdges`/`groupReduceOnNeighbors` `Graph.java:1074-1285`):
+    * one row per (vertex, neighbor) with the neighbor's `valueCol` aliased
+    * `nbr_<valueCol>` — the iterator form; aggregate it for
+    * [[reduceOnNeighbors]] semantics. One edge⋈vertex join, the single-shot
+    * scatter-phase shape. */
+  def neighborValues(valueCol: String = "vid",
+                     direction: String = "all"): DataFrame = {
+    val dirEdges = direction match {
+      case "out" => edges.select(col("src"), col("dst"))
+      case "in"  => edges.select(col("dst").as("src"), col("src").as("dst"))
+      case _     => undirectedEdges
+    }
+    dirEdges.join(vertices.select(col("vid").as("dst"),
+        col(valueCol).as(s"nbr_$valueCol")), "dst")
+      .select(col("src").as("vid"), col(s"nbr_$valueCol"))
+  }
+
+  /** Aggregate neighbor values per vertex (reference `reduceOnNeighbors`
+    * `Graph.java:1286-1360`): emits only vertices with ≥1 neighbor in the
+    * direction, like the reference's reduce. `aggs` are expressions over
+    * the `nbr_<valueCol>` column. */
+  def reduceOnNeighbors(valueCol: String, direction: String,
+                        aggs: Seq[Column]): DataFrame =
+    neighborValues(valueCol, direction)
+      .groupBy(col("vid")).agg(aggs.head, aggs.tail: _*)
+
   // ---- generic vertex-centric iteration APIs (reference Graph.java) ----
 
   /** Scatter-gather iteration (reference `runScatterGatherIteration`

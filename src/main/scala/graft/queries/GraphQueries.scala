@@ -59,6 +59,12 @@ object GraphQueries extends QuerySet {
       GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5)),
 
     // degree statistics of the undirected chain graph
+    // neighborhood aggregation (reduceOnNeighbors, direction ALL): per
+    // vertex, count + sum of neighbor ids on the chain graph
+    "graph_neighbor_agg" -> ((s, dir) =>
+      chainGraph(s, dir).reduceOnNeighbors("vid", "all",
+        Seq(count(lit(1)).as("n_nbr"), sum(col("nbr_vid")).as("sum_nbr")))),
+
     "graph_degrees" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       g.undirectedEdges.groupBy(col("src").as("vid"))
@@ -273,6 +279,17 @@ object GraphQueries extends QuerySet {
         |UNION ALL
         |SELECT DISTINCT c.c_nationkey + 1000000 AS vid, comp.comp AS comp
         |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey""".stripMargin,
+
+    // neighbor count + id-sum from the chain structure: left neighbor
+    // exists unless the vertex starts a block, right unless it ends one
+    "graph_neighbor_agg" ->
+      """SELECT doc_id AS vid,
+        |  CAST(CASE WHEN doc_id % 10 = 0 OR doc_id % 10 = 9 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS n_nbr,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
+        |            WHEN doc_id % 10 = 9 THEN doc_id - 1
+        |            ELSE 2 * doc_id END AS BIGINT) AS sum_nbr
+        |FROM documents""".stripMargin,
 
     // undirected chain degree: interior vertices 2, block boundaries 1
     "graph_degrees" ->
