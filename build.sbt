@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the process stdout: the forked JVM's
+// streams must pass through UNDECORATED (no "[info] " prefix) and no
+// "[success] Total time..." trailer may follow the JSON line, or the
+// driver's stdout-tail parse fails (BENCH_r03 recorded parsed=null).
+run / connectInput := false
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
