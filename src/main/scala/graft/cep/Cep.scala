@@ -28,46 +28,122 @@ object Cep {
                   timeOf: T => Long): Iterator[PatternMatch[T]] =
     matchAllIdx(events, pattern, timeOf).map(_._2)
 
-  /** As [[matchAll]], also yielding each match's start index. */
+  /** Head-loop (oneOrMore/timesOrMore) run segmentation: each run owns
+    * every matching event from its start until its stop (until-event,
+    * within-window edge, or — under `consecutive()` — the first
+    * non-matching event); the next run starts at the first matching event
+    * after that. Returns each run as (start index, last bound index).
+    * [[step]] uses the starts for PAST_LAST pruning and, when it evicts a
+    * run's START, persists the run's last bound key as the start floor:
+    * after eviction the buffer no longer proves whether its oldest
+    * matching events belonged to an earlier run, so starts at or below
+    * the floor are barred (`validStart`). */
+  private def headLoopSegments[T](events: IndexedSeq[T], pattern: Pattern[T],
+                                  timeOf: T => Long,
+                                  validStart: Int => Boolean)
+      : Vector[(Int, Int)] = {
+    val head = pattern.stages.head
+    val n = events.length
+    val runs = Vector.newBuilder[(Int, Int)]
+    var j = 0
+    while (j < n) {
+      val ev = events(j)
+      if (validStart(j) && head.predicate(ev) && !head.until.exists(_(ev))) {
+        val firstTs = timeOf(ev)
+        var lastBound = j
+        var k = j + 1
+        var done = false
+        while (k < n && !done) {
+          val e2 = events(k)
+          if (head.until.exists(_(e2)) ||
+              pattern.withinMs.exists(w => timeOf(e2) - firstTs > w)) done = true
+          else if (head.predicate(e2)) { lastBound = k; k += 1 }
+          else if (head.strictInner) done = true
+          else k += 1
+        }
+        runs += ((j, lastBound))
+        j = math.max(k, j + 1)
+      } else j += 1
+    }
+    runs.result()
+  }
+
+  // Why a loop run stopped scanning. EndOfBuffer is the one "open" reason:
+  // a future appended event could still extend the run, so a streaming
+  // emission of a greedy-maximal binding must be held back (see [[step]]).
+  private final val StopEnd = 0      // ran out of events
+  private final val StopUntil = 1    // until-event (not consumed)
+  private final val StopWindow = 2   // event past firstTs + within
+  private final val StopNonMatch = 3 // strict inner contiguity break
+
+  /** As [[matchAll]], also yielding each match's start index and whether
+    * the match is still OPEN — i.e. an event appended later (in order)
+    * could change its binding: a greedy-maximal loop run that reached the
+    * end of the buffer, or a trailing `notNext` evaluated with no following
+    * event yet. Batch consumers ignore the flag (a batch is complete data);
+    * the streaming [[step]] holds open matches back. */
   private def matchAllIdx[T](events: IndexedSeq[T], pattern: Pattern[T],
-                             timeOf: T => Long): Iterator[(Int, PatternMatch[T])] = {
+                             timeOf: T => Long,
+                             validStart: Int => Boolean = _ => true)
+      : Iterator[(Int, PatternMatch[T], Boolean)] = {
     val n = events.length
     val stages = pattern.stages
     require(stages.last.contiguity != RelaxedNot,
       "notFollowedBy cannot be the final pattern stage (reference Pattern.java:298)")
 
-    // Length of the consecutive matching run from `from`, stopping at the
-    // first until-event (which is not consumed — reference until contract).
-    def runLen(s: Stage[T], from: Int): Int = {
+    // The loop run from `from`: indices of the bound events plus the stop
+    // reason. Relaxed inner contiguity (the reference default) SKIPS
+    // non-matching events; `consecutive()` (strictInner) stops at the first
+    // one. Every run stops at the first until-event (not consumed) and at
+    // the first event outside the within window measured from the match's
+    // first bound event.
+    def runScan(s: Stage[T], from: Int, firstTs: Long): (Vector[Int], Int) = {
+      val out = Vector.newBuilder[Int]
       var j = from
-      while (j < n && s.predicate(events(j)) && !s.until.exists(_(events(j)))) j += 1
-      j - from
+      var stop = StopEnd
+      var done = false
+      while (j < n && !done) {
+        val ev = events(j)
+        if (s.until.exists(_(ev))) { stop = StopUntil; done = true }
+        else if (pattern.withinMs.exists(w => timeOf(ev) - firstTs > w)) {
+          stop = StopWindow; done = true
+        } else if (s.predicate(ev)) { out += j; j += 1 }
+        else if (s.strictInner) { stop = StopNonMatch; done = true }
+        else j += 1
+      }
+      (out.result(), stop)
     }
 
-    // Pending notFollowedBy predicates: no event in [from, to) may match any.
+    // Pending notFollowedBy predicates: no event in [from, to) may match
+    // any. Events SKIPPED inside a relaxed run are not re-checked — the
+    // pinned gap is between the previous stage's last bound event and the
+    // next stage's first bound event.
     def negOk(pend: List[T => Boolean], from: Int, to: Int): Boolean =
       pend.forall(p => !(from until to).exists(j => p(events(j))))
 
     def expand(si: Int, pos: Int, pend: List[T => Boolean],
                bindings: Vector[(String, Vector[T])],
-               firstTs: Long): Iterator[PatternMatch[T]] = {
-      if (si == stages.length) Iterator.single(PatternMatch(bindings))
+               firstTs: Long, open: Boolean): Iterator[(PatternMatch[T], Boolean)] = {
+      if (si == stages.length) Iterator.single((PatternMatch(bindings), open))
       else {
         val s = stages(si)
         s.contiguity match {
           case StrictNot =>
             if (pos < n && s.predicate(events(pos))) Iterator.empty
             else expand(si + 1, pos, pend,
-              bindings :+ (s.name -> Vector.empty[T]), firstTs)
+              bindings :+ (s.name -> Vector.empty[T]), firstTs,
+              // negation at the buffer horizon is provisional: the proving
+              // event does not exist yet
+              open || pos == n)
           case RelaxedNot =>
             expand(si + 1, pos, s.predicate :: pend,
-              bindings :+ (s.name -> Vector.empty[T]), firstTs)
+              bindings :+ (s.name -> Vector.empty[T]), firstTs, open)
           case _ =>
             // branch 1: optional stage skipped entirely (binds nothing)
-            val skipped: Iterator[PatternMatch[T]] =
+            val skipped: Iterator[(PatternMatch[T], Boolean)] =
               if (s.optional)
                 expand(si + 1, pos, pend,
-                  bindings :+ (s.name -> Vector.empty[T]), firstTs)
+                  bindings :+ (s.name -> Vector.empty[T]), firstTs, open)
               else Iterator.empty
             // anchor choice: the pattern's first positive binding is pinned
             // to the start index (the caller iterates starts); Strict must
@@ -87,28 +163,42 @@ object Cep {
               }
             val bound = anchors.flatMap { a =>
               if (!negOk(pend, pos, a)) Iterator.empty
-              else {
-                val ks: Iterator[Int] = s.quantifier match {
-                  case Once => Iterator.single(1)
-                  case TimesRange(min, max, greedy) =>
-                    val feasible = math.min(runLen(s, a), max)
-                    if (feasible < min) Iterator.empty
-                    else if (greedy) Iterator.single(feasible)
-                    else (min to feasible).iterator
-                  case AtLeast(min, combinations) =>
-                    val len = runLen(s, a)
-                    if (len < min) Iterator.empty
-                    else if (combinations) (min to len).iterator
-                    else Iterator.single(len)
-                }
-                ks.flatMap { k =>
-                  val b = (a until a + k).map(events).toVector
+              else s.quantifier match {
+                case Once =>
+                  val b = Vector(events(a))
                   val ft = if (firstTs < 0) timeOf(b.head) else firstTs
                   if (pattern.withinMs.exists(w => timeOf(b.last) - ft > w))
                     Iterator.empty
-                  else expand(si + 1, a + k, Nil,
-                    bindings :+ (s.name -> b), ft)
-                }
+                  else expand(si + 1, a + 1, Nil,
+                    bindings :+ (s.name -> b), ft, open)
+                case q =>
+                  val ft0 = if (firstTs < 0) timeOf(events(a)) else firstTs
+                  val (runIdx, stopReason) = runScan(s, a, ft0)
+                  val len = runIdx.length
+                  // (k, binding still open?) choices. Only greedy-MAXIMAL
+                  // bindings are unstable under append: a non-maximal
+                  // prefix of the run never changes once derived.
+                  val ks: Iterator[(Int, Boolean)] = q match {
+                    case TimesRange(min, max, greedy) =>
+                      val feasible = math.min(len, max)
+                      if (feasible < min) Iterator.empty
+                      else if (greedy) Iterator.single(
+                        (feasible, feasible == len && feasible < max &&
+                          stopReason == StopEnd))
+                      else (min to feasible).iterator.map(k => (k, false))
+                    case AtLeast(min, combinations) =>
+                      if (len < min) Iterator.empty
+                      else if (combinations)
+                        (min to len).iterator.map(k => (k, false))
+                      else Iterator.single((len, stopReason == StopEnd))
+                    case Once => Iterator.empty // unreachable
+                  }
+                  ks.flatMap { case (k, kOpen) =>
+                    val idxs = runIdx.take(k)
+                    val b = idxs.map(events)
+                    expand(si + 1, idxs.last + 1, Nil,
+                      bindings :+ (s.name -> b), ft0, open || kOpen)
+                  }
               }
             }
             skipped ++ bound
@@ -117,14 +207,18 @@ object Cep {
     }
 
     val headStage = stages.head
+    // PAST_LAST_EVENT start pruning for head loops: only run-starts spawn
+    // oneOrMore/timesOrMore matches (see [[headLoopSegments]]).
+    lazy val headStarts: Set[Int] =
+      headLoopSegments(events, pattern, timeOf, validStart).map(_._1).toSet
     (0 until n).iterator.flatMap { i0 =>
       val runStartOk = headStage.quantifier match {
-        // PAST_LAST_EVENT: only maximal-run starts spawn loop matches
-        case AtLeast(_, _) => i0 == 0 || !headStage.predicate(events(i0 - 1))
+        case AtLeast(_, _) => headStarts(i0)
         case _             => true
       }
       if (runStartOk && headStage.predicate(events(i0)))
-        expand(0, i0, Nil, Vector.empty, -1L).map(m => (i0, m))
+        expand(0, i0, Nil, Vector.empty, -1L, open = false)
+          .map { case (m, o) => (i0, m, o) }
       else Iterator.empty
     }
   }
@@ -187,10 +281,20 @@ object Cep {
       throw new IllegalArgumentException("timedOut requires Pattern.within"))
     val maxTs = if (n == 0) Long.MinValue else timeOf(events(n - 1))
 
-    def runLen(s: Stage[T], from: Int): Int = {
+    // Greedy run indices (same stop rules as the matcher: until, window,
+    // strict-inner break, end of buffer — relaxed skips non-matching).
+    def runIdx(s: Stage[T], from: Int, firstTs: Long): Vector[Int] = {
+      val out = Vector.newBuilder[Int]
       var j = from
-      while (j < n && s.predicate(events(j)) && !s.until.exists(_(events(j)))) j += 1
-      j - from
+      var done = false
+      while (j < n && !done) {
+        val ev = events(j)
+        if (s.until.exists(_(ev)) || timeOf(ev) - firstTs > w) done = true
+        else if (s.predicate(ev)) { out += j; j += 1 }
+        else if (s.strictInner) done = true
+        else j += 1
+      }
+      out.result()
     }
 
     // Greedy single-path walk; returns bound prefix and whether it completed.
@@ -220,20 +324,22 @@ object Cep {
             if (!pend.forall(p => !(pos until anchor).exists(j => p(events(j)))))
               return (bindings, false)
             pend = Nil
-            val k = s.quantifier match {
-              case Once => 1
+            val ft = if (firstTs < 0) timeOf(events(anchor)) else firstTs
+            val idxs: Vector[Int] = s.quantifier match {
+              case Once => Vector(anchor)
               case TimesRange(min, max, _) =>
-                val f = math.min(runLen(s, anchor), max)
-                if (f < min) return (bindings, false) else f
+                val run = runIdx(s, anchor, ft)
+                val f = math.min(run.length, max)
+                if (f < min) return (bindings, false) else run.take(f)
               case AtLeast(min, _) =>
-                val len = runLen(s, anchor)
-                if (len < min) return (bindings, false) else len
+                val run = runIdx(s, anchor, ft)
+                if (run.length < min) return (bindings, false) else run
             }
-            val b = (anchor until anchor + k).map(events).toVector
+            val b = idxs.map(events)
             if (firstTs < 0) firstTs = timeOf(b.head)
             if (timeOf(b.last) - firstTs > w) return (bindings, false)
             bindings :+= (s.name -> b)
-            pos = anchor + k
+            pos = idxs.last + 1
         }
       }
       (bindings, true)
@@ -295,7 +401,8 @@ object Cep {
     * several distinct matches from one start index, so the full binding
     * identifies a match, not just its start. */
   case class CepState[T](buffer: Vector[T], emitted: Vector[(Long, Long)],
-                         skipHorizon: (Long, Long) = (Long.MinValue, Long.MinValue))
+                         skipHorizon: (Long, Long) = (Long.MinValue, Long.MinValue),
+                         headFloor: (Long, Long) = (Long.MinValue, Long.MinValue))
 
   private def matchSig[T](m: PatternMatch[T], orderFn: T => (Long, Long)): (Long, Long) = {
     val keys = m.bindings.flatMap(_._2).map(orderFn)
@@ -318,9 +425,8 @@ object Cep {
     * where horizon = `within(ms)` if set, else `retentionMs`. Emitted
     * signatures whose start event left the buffer are pruned with them —
     * an evicted start can never be re-derived, so the signature is dead
-    * weight. Without either bound the buffer is unbounded (matching the
-    * reference's default of no idle-state cleanup) — production streams
-    * should set one. */
+    * weight. Without either bound the buffer is unbounded — [[streaming]]
+    * fails fast on that combination unless explicitly opted into. */
   /** One micro-batch transition of the per-key state machine — pure, so
     * the spec can drive it over many batches and assert the state bound
     * directly. Returns (next state, fresh matches, timed-out partials).
@@ -335,20 +441,33 @@ object Cep {
   private[graft] def step[T](prev: CepState[T], incoming: Seq[T],
                            pattern: Pattern[T], orderFn: T => (Long, Long),
                            retentionMs: Option[Long]): (CepState[T], Vector[PatternMatch[T]], Vector[PatternMatch[T]]) = {
-    // hold back matches still decidable by FUTURE events: a loop ending at
-    // the tail could extend, and a trailing notNext evaluated AT the tail
-    // is provisional — the negation is only proven once a later event
-    // exists (emitting early would be retracted when an adjacent negative
-    // event arrives in the next batch)
-    val holdBackTail = pattern.hasExtendableLoop ||
-      pattern.stages.last.contiguity == StrictNot
+    // hold back matches still decidable by FUTURE events — the matcher
+    // flags them OPEN: a greedy-maximal loop run that reached the buffer
+    // horizon (relaxed runs can extend past interior non-matching events,
+    // so tail position alone is not the criterion), or a trailing notNext
+    // whose proving event does not exist yet. Open matches re-derive — and
+    // emit — once an until-event, the within window, or a strict-inner
+    // break closes them.
     val horizonMs = pattern.withinMs.orElse(retentionMs)
     val buf = (prev.buffer ++ incoming).sortBy(orderFn)
-    val all = matchAll(buf, pattern, (t: T) => orderFn(t)._1).toVector
-    val lastOrd = buf.lastOption.map(orderFn)
-    val closed = all.filter { m =>
-      !holdBackTail || m.lastBound.forall(b => !lastOrd.contains(orderFn(b)))
+    val tOf = (t: T) => orderFn(t)._1
+    // head-loop start floor: after eviction the buffer's oldest matching
+    // events may be the tail of a run whose START was evicted — a
+    // buffer-local segmentation would mint a false start there. When a
+    // run's start is evicted (below), the run's last bound key becomes the
+    // floor and starts at or below it are barred. The floor only ever
+    // covers evicted starts, so pending matches from retained starts
+    // (e.g. a closed run still waiting on a later stage) stay derivable.
+    val ord2 = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val isHeadLoop = pattern.stages.head.quantifier match {
+      case AtLeast(_, _) => true
+      case _             => false
     }
+    val validStart: Int => Boolean =
+      if (isHeadLoop) (i: Int) => ord2.gt(orderFn(buf(i)), prev.headFloor)
+      else _ => true
+    val closed = matchAllIdx(buf, pattern, tOf, validStart)
+      .collect { case (_, m, open) if !open => m }.toVector
     val seen = prev.emitted.toSet
     // skip pruning runs AFTER the seen-filter: matches emitted in earlier
     // batches already advanced the persisted horizon, so re-derivations are
@@ -363,6 +482,16 @@ object Cep {
         buf.filter(e => orderFn(e)._1 >= maxTs - h)
       case _ => buf
     }
+    // buf is sorted, so eviction drops a prefix; runs whose START is in
+    // that prefix advance the floor to their last bound key
+    val evictedCount = buf.length - keep.length
+    val newHeadFloor =
+      if (isHeadLoop && evictedCount > 0)
+        headLoopSegments(buf, pattern, tOf, validStart)
+          .filter(_._1 < evictedCount)
+          .map(r => orderFn(buf(r._2)))
+          .foldLeft(prev.headFloor)((a, b) => if (ord2.gt(b, a)) b else a)
+      else prev.headFloor
     // signatures whose start event left the buffer can never be re-derived
     val minRetainedTs =
       keep.headOption.map(e => orderFn(e)._1).getOrElse(Long.MaxValue)
@@ -372,16 +501,26 @@ object Cep {
       if (pattern.withinMs.isDefined && buf.nonEmpty)
         timedOut(buf, pattern, (t: T) => orderFn(t)._1).toVector
       else Vector.empty
-    (CepState(keep, emitted, newSkipHorizon), freshPairs.map(_._1), timeouts)
+    (CepState(keep, emitted, newSkipHorizon, newHeadFloor),
+      freshPairs.map(_._1), timeouts)
   }
 
+  /** @param retentionMs idle-state horizon when the pattern has no
+    *   `within` (reference `StreamQueryConfig.withIdleStateRetentionTime`).
+    *   Without either bound the per-key buffer grows with the stream, so
+    *   construction FAILS FAST unless `unboundedState = true` explicitly
+    *   accepts that (e.g. a bounded replay of a finite fixture). */
   def streaming[T, K, O: Encoder](ds: Dataset[T], keyFn: T => K,
                                   orderFn: T => (Long, Long),
                                   pattern: Pattern[T],
-                                  retentionMs: Option[Long] = None)
+                                  retentionMs: Option[Long] = None,
+                                  unboundedState: Boolean = false)
                                  (select: (K, PatternMatch[T]) => O)
                                  (implicit ke: Encoder[K],
                                   se: Encoder[CepState[T]]): Dataset[O] = {
+    require(pattern.withinMs.isDefined || retentionMs.isDefined || unboundedState,
+      "unbounded CEP state: set Pattern.within or retentionMs (or pass " +
+        "unboundedState = true to accept per-key buffers that grow with the stream)")
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: K, it: Iterator[T], state: GroupState[CepState[T]]) =>

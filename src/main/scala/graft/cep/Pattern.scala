@@ -22,16 +22,24 @@ import scala.reflect.ClassTag
   *  - `notFollowedBy`: no matching event may occur between the previous
   *    stage's last bound event and the next stage's bound event; binds
   *    nothing. Cannot be the final stage (same contract as the reference);
-  *  - `times(n)` / `times(from,to)`: n (resp. each k in [from,to])
-  *    CONSECUTIVE matching events; candidate matches may overlap
-  *    (AfterMatchSkip = NO_SKIP). With `greedy`, only the maximal feasible
-  *    k is emitted;
-  *  - `oneOrMore` / `timesOrMore(n)`: greedy maximal CONSECUTIVE run (≥ 1
-  *    resp. ≥ n); when the looping stage is the pattern head, only
-  *    run-starts spawn a match (AfterMatchSkip = PAST_LAST_EVENT), so runs
-  *    never overlap. `consecutive` is therefore the pinned default (the
-  *    reference's default is relaxed inner contiguity; we pin strict inner
-  *    contiguity for cross-engine determinism and document the deviation);
+  *  - loop inner contiguity: by default a looping stage is RELAXED — its
+  *    run binds every matching event from the anchor onward, SKIPPING
+  *    non-matching events (the reference's default; `Pattern.java:352`,
+  *    behavior in `flink-cep/.../nfa/NFAITCase.java`). `consecutive()`
+  *    opts into strict inner contiguity (the run stops at the first
+  *    non-matching event), exactly as in the reference (`Pattern.java:474`).
+  *    A run always stops at the first `until`-event and at the first event
+  *    outside the `within` window (events past the window can never join a
+  *    partial match — this is also what makes the run decidable on a
+  *    stream);
+  *  - `times(n)` / `times(from,to)`: n (resp. each k in [from,to]) events
+  *    bound from the run; candidate matches may overlap (AfterMatchSkip =
+  *    NO_SKIP). With `greedy`, only the maximal feasible k is emitted;
+  *  - `oneOrMore` / `timesOrMore(n)`: greedy maximal run (≥ 1 resp. ≥ n);
+  *    when the looping stage is the pattern head, only run-starts spawn a
+  *    match (AfterMatchSkip = PAST_LAST_EVENT), so runs never overlap —
+  *    the pinned, oracle-expressible emission bound over the reference's
+  *    all-prefix default (use `allowCombinations` for prefix emission);
   *  - `allowCombinations`: the loop additionally emits every PREFIX of the
   *    maximal run (length min..len). This is the deterministic, bounded
   *    subset of the reference's combination semantics (which enumerates
@@ -90,7 +98,8 @@ case object RelaxedNot extends Contiguity  // notFollowedBy (negative gap)
 final case class Stage[T](name: String, predicate: T => Boolean,
                           contiguity: Contiguity, quantifier: Quantifier,
                           optional: Boolean = false,
-                          until: Option[T => Boolean] = None) {
+                          until: Option[T => Boolean] = None,
+                          strictInner: Boolean = false) {
   def isNegative: Boolean =
     contiguity == StrictNot || contiguity == RelaxedNot
   def isLoop: Boolean = quantifier match {
@@ -157,11 +166,12 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     }
   }
 
-  /** Pinned default — runs are already consecutive; kept for API parity
-    * (reference `consecutive` `Pattern.java:474`). */
+  /** Strict inner contiguity for the last looping stage: the run stops at
+    * the first non-matching event instead of skipping it (reference
+    * `consecutive` `Pattern.java:474`; relaxed is the default, as there). */
   def consecutive: Pattern[T] = modLast { s =>
     require(s.isLoop, "consecutive requires a looping quantifier")
-    s
+    s.copy(strictInner = true)
   }
 
   /** Additionally emit every prefix of the maximal run (bounded pinned
@@ -207,15 +217,6 @@ final case class Pattern[T](stages: Vector[Stage[T]],
   /** Attach an after-match skip strategy (reference passes it to
     * `Pattern.begin(name, skipStrategy)`; fluent here). */
   def afterMatchSkip(s: SkipStrategy): Pattern[T] = copy(skip = s)
-
-  /** True if any stage can extend with more events (streaming hold-back). */
-  private[cep] def hasExtendableLoop: Boolean = stages.exists { s =>
-    s.quantifier match {
-      case AtLeast(_, _)            => true
-      case TimesRange(_, _, greedy) => greedy
-      case _                        => false
-    }
-  }
 
   private def modLast(f: Stage[T] => Stage[T]): Pattern[T] =
     copy(stages = stages.init :+ f(stages.last))

@@ -40,24 +40,44 @@ object CepQueries extends QuerySet {
       }.toDF("user_id", "a_id", "b_id")
     }),
 
-    // times(3): three consecutive errors (overlapping candidates allowed)
+    // times(3).consecutive: three consecutive errors (overlapping
+    // candidates allowed; relaxed inner contiguity is the default, as in
+    // the reference — consecutive() is the strict opt-in)
     "cep_times_consecutive" -> ((s, dir) => {
       import s.implicits._
-      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(3)
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error")
+        .times(3).consecutive
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m.first("e").event_id, m.last("e").event_id)
       }.toDF("user_id", "first_id", "last_id")
     }),
 
-    // oneOrMore: greedy maximal consecutive view-runs of length ≥ 2
+    // oneOrMore.consecutive: greedy maximal consecutive view-runs of
+    // length ≥ 2 (strict inner contiguity opted into, as in the reference)
     "cep_one_or_more_runs" -> ((s, dir) => {
       import s.implicits._
-      val p = Pattern.begin[EventRow]("v")(_.event_type == "view").oneOrMore
+      val p = Pattern.begin[EventRow]("v")(_.event_type == "view")
+        .oneOrMore.consecutive
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m("v").length.toLong,
           m.first("v").event_id, m.last("v").event_id)
       }.toDF("user_id", "run_len", "first_id", "last_id")
         .filter(org.apache.spark.sql.functions.col("run_len") >= 2)
+    }),
+
+    // oneOrMore with the DEFAULT relaxed inner contiguity (reference
+    // Pattern.java:352 / NFAITCase): the view-run SKIPS interleaved
+    // non-view events and is stopped by the first purchase (until) — one
+    // match per (user, purchase-delimited segment) holding every view in
+    // the segment, however the other event types interleave
+    "cep_one_or_more_relaxed" -> ((s, dir) => {
+      import s.implicits._
+      val p = Pattern.begin[EventRow]("v")(_.event_type == "view")
+        .oneOrMore.until(_.event_type == "purchase")
+      Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
+        (k, m) => (k, m("v").length.toLong,
+          m.first("v").event_id, m.last("v").event_id)
+      }.toDF("user_id", "run_len", "first_id", "last_id")
     }),
 
     // notFollowedBy: click → earliest purchase with NO error in between
@@ -82,11 +102,12 @@ object CepQueries extends QuerySet {
       }.toDF("user_id", "a_id", "b_id")
     }),
 
-    // times(2,4): one candidate match per count k in [2,4] of consecutive
-    // errors (NO_SKIP — anchors may overlap)
+    // times(2,4).consecutive: one candidate match per count k in [2,4] of
+    // consecutive errors (NO_SKIP — anchors may overlap)
     "cep_times_range" -> ((s, dir) => {
       import s.implicits._
-      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2, 4)
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error")
+        .times(2, 4).consecutive
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m("e").length.toLong,
           m.first("e").event_id, m.last("e").event_id)
@@ -97,8 +118,8 @@ object CepQueries extends QuerySet {
     // within each maximal error run, pairs start at even offsets only
     "cep_skip_past_last" -> ((s, dir) => {
       import s.implicits._
-      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2)
-        .afterMatchSkip(SkipPastLastEvent)
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error")
+        .times(2).consecutive.afterMatchSkip(SkipPastLastEvent)
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m.first("e").event_id, m.last("e").event_id)
       }.toDF("user_id", "first_id", "last_id")
@@ -109,8 +130,8 @@ object CepQueries extends QuerySet {
     // emitted pair's last event and is pruned
     "cep_skip_to_last" -> ((s, dir) => {
       import s.implicits._
-      val p = Pattern.begin[EventRow]("e")(_.event_type == "error").times(2, 3)
-        .afterMatchSkip(SkipToLast("e"))
+      val p = Pattern.begin[EventRow]("e")(_.event_type == "error")
+        .times(2, 3).consecutive.afterMatchSkip(SkipToLast("e"))
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m.first("e").event_id, m.last("e").event_id)
       }.toDF("user_id", "first_id", "last_id")
@@ -130,11 +151,12 @@ object CepQueries extends QuerySet {
       }.toDF("user_id", "a_id", "v_id", "b_id")
     }),
 
-    // oneOrMore.allowCombinations: every prefix of each maximal view-run
+    // oneOrMore.consecutive.allowCombinations: every prefix of each
+    // maximal consecutive view-run
     "cep_combinations" -> ((s, dir) => {
       import s.implicits._
       val p = Pattern.begin[EventRow]("v")(_.event_type == "view")
-        .oneOrMore.allowCombinations
+        .oneOrMore.consecutive.allowCombinations
       Cep.batch(events(s, dir), (e: EventRow) => e.user_id, ord, p) {
         (k, m) => (k, m("v").length.toLong,
           m.first("v").event_id, m.last("v").event_id)
@@ -150,7 +172,9 @@ object CepQueries extends QuerySet {
       val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
         .next("b")(_.event_type == "purchase")
       val stream = graft.streaming.EventStream.read(s, dir).as[EventRow]
-      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p) {
+      // finite fixture replay — the unbounded-state guard is opted out of
+      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p,
+        unboundedState = true) {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
       }.toDF("user_id", "a_id", "b_id")
       graft.streaming.EventStream.runToTable(s, out, "append")
@@ -166,7 +190,8 @@ object CepQueries extends QuerySet {
         .next("b")(_.event_type == "purchase")
       val stream = graft.streaming.EventStream.readMultiBatch(s, dir)
         .as[EventRow]
-      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p) {
+      val out = Cep.streaming(stream, (e: EventRow) => e.user_id, ord, p,
+        unboundedState = true) {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
       }.toDF("user_id", "a_id", "b_id")
       graft.streaming.EventStream.runToTable(s, out, "append")
@@ -272,6 +297,26 @@ object CepQueries extends QuerySet {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id AS first_id, i1 AS last_id
         |FROM seq WHERE event_type = 'error' AND t1 = 'error'""".stripMargin,
+
+    // relaxed inner contiguity: each purchase closes the current view-run
+    // (until); within a segment the run holds EVERY view, whatever other
+    // event types interleave — so segments are purchase-count groups
+    "cep_one_or_more_relaxed" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM events),
+        |runs AS (
+        |  SELECT DISTINCT user_id, seg,
+        |    CAST(COUNT(*) OVER pw AS BIGINT) AS run_len,
+        |    first_value(event_id) OVER pw AS first_id,
+        |    last_value(event_id) OVER pw AS last_id
+        |  FROM seq WHERE event_type = 'view'
+        |  WINDOW pw AS (PARTITION BY user_id, seg ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, run_len, first_id, last_id FROM runs""".stripMargin,
 
     "cep_one_or_more_runs" ->
       """WITH seq AS (

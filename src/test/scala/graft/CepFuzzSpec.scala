@@ -51,37 +51,57 @@ class CepFuzzSpec extends AnyFunSuite {
     }
   }
 
-  // non-loop patterns: no tail hold-back, so cumulative streaming output
-  // must equal the batch matcher exactly
-  private def patterns: Seq[Pattern[EventRow]] = Seq(
-    Pattern.begin[EventRow]("s")(_.event_type == "a")
-      .followedBy("t")(_.event_type == "b").within(8 * 1000L),
-    Pattern.begin[EventRow]("s")(_.event_type == "a")
-      .next("t")(_.event_type == "b"),
-    Pattern.begin[EventRow]("r")(_.event_type == "a").times(2),
-    Pattern.begin[EventRow]("s")(_.event_type == "a")
-      .notFollowedBy("n")(_.event_type == "c")
-      .followedBy("t")(_.event_type == "b"),
-    Pattern.begin[EventRow]("s")(_.event_type == "a")
-      .followedByAny("t")(_.event_type == "b").within(10 * 1000L),
-    Pattern.begin[EventRow]("s")(_.event_type == "a")
-      .notNext("n")(_.event_type == "b"))
+  /** A fuzzable pattern plus the sentinel that CLOSES its held matches by
+    * the end of the stream: `closerType` is appended `closerGapSec` after
+    * the last event. Non-loop patterns only need a non-matching event to
+    * decide a trailing notNext; loop patterns need their run stop — an
+    * until-event, or any event past the within window (gap > within). */
+  private case class FuzzCase(p: Pattern[EventRow],
+                              closerType: String, closerGapSec: Long)
 
-  test("chunked streaming emission equals the batch matcher (300 random runs)") {
+  private def cases: Seq[FuzzCase] = Seq(
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("t")(_.event_type == "b").within(8 * 1000L), "z", 1),
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .next("t")(_.event_type == "b"), "z", 1),
+    // relaxed inner contiguity (the default): times(2) binds the first two
+    // a's, skipping b/c between them
+    FuzzCase(Pattern.begin[EventRow]("r")(_.event_type == "a").times(2), "z", 1),
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notFollowedBy("n")(_.event_type == "c")
+      .followedBy("t")(_.event_type == "b"), "z", 1),
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedByAny("t")(_.event_type == "b").within(10 * 1000L), "z", 1),
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .notNext("n")(_.event_type == "b"), "z", 1),
+    // loop cases — relaxed runs closed by until-events ('c' closer), and
+    // strict (consecutive) runs closed by any non-matching event
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.until(_.event_type == "c"), "c", 1),
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.consecutive, "z", 1),
+    FuzzCase(Pattern.begin[EventRow]("r")(_.event_type == "a")
+      .times(2, 4).greedy.until(_.event_type == "c"), "c", 1),
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .timesOrMore(2).until(_.event_type == "c"), "c", 1),
+    // relaxed head loop + a following stage
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "a")
+      .oneOrMore.until(_.event_type == "c")
+      .followedBy("t")(_.event_type == "b"), "c", 1))
+
+  test("chunked streaming emission equals the batch matcher (600 random runs)") {
     val rnd = new scala.util.Random(0xC0FFEE)
-    for (iter <- 1 to 300) {
-      // trailing sentinel (matches no stage) closes tail-held matches —
-      // a trailing notNext is only decidable once a later event exists
+    for (iter <- 1 to 600) {
       val base = randomEvents(rnd, rnd.nextInt(30))
+      val fc = cases(rnd.nextInt(cases.length))
       val evs =
         if (base.isEmpty) base
-        else base :+ e(9999L, tOf(base.last) / 1000L + 1, "z")
-      val p = patterns(rnd.nextInt(patterns.length))
-      val expect = Cep.matchAll(evs, p, tOf).toVector.map(sig).sorted
+        else base :+ e(9999L, tOf(base.last) / 1000L + fc.closerGapSec, fc.closerType)
+      val expect = Cep.matchAll(evs, fc.p, tOf).toVector.map(sig).sorted
       var st = CepState[EventRow](Vector.empty, Vector.empty)
       val got = Vector.newBuilder[String]
       randomChunks(rnd, evs).foreach { chunk =>
-        val (next, fresh, _) = Cep.step(st, chunk, p, ord, None)
+        val (next, fresh, _) = Cep.step(st, chunk, fc.p, ord, None)
         st = next
         got ++= fresh.map(sig)
       }

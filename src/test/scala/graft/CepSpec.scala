@@ -50,11 +50,15 @@ class CepSpec extends SparkSpecBase {
       Vector(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
   }
 
-  test("oneOrMore emits only maximal runs") {
+  test("oneOrMore binds the maximal RELAXED run, skipping non-matching events") {
     val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "x"), e(4, 4, "v"))
+    // reference default (Pattern.java:352): relaxed inner contiguity — the
+    // run skips x and binds every v
     val p = Pattern.begin[EventRow]("v")(_.event_type == "v").oneOrMore
-    val ms = run(evs, p)
-    assert(ms.map(m => ids(m, "v")) == Vector(Seq(1L, 2L), Seq(4L)))
+    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(1L, 2L, 4L)))
+    // consecutive() opts into strict inner contiguity: runs break at x
+    val c = Pattern.begin[EventRow]("v")(_.event_type == "v").oneOrMore.consecutive
+    assert(run(evs, c).map(m => ids(m, "v")) == Vector(Seq(1L, 2L), Seq(4L)))
   }
 
   test("where ANDs and or ORs into the last stage's condition") {
@@ -113,8 +117,22 @@ class CepSpec extends SparkSpecBase {
 
   test("timesOrMore(n) binds the greedy maximal run of at least n") {
     val evs = Seq(e(1, 1, "r"), e(2, 2, "r"), e(3, 3, "r"), e(4, 4, "x"), e(5, 5, "r"))
+    // relaxed default: the run continues past x to r5
     val p = Pattern.begin[EventRow]("r")(_.event_type == "r").timesOrMore(2)
-    assert(run(evs, p).map(m => ids(m, "r")) == Vector(Seq(1L, 2L, 3L)))
+    assert(run(evs, p).map(m => ids(m, "r")) == Vector(Seq(1L, 2L, 3L, 5L)))
+    // consecutive(): the run stops at x
+    val c = Pattern.begin[EventRow]("r")(_.event_type == "r")
+      .timesOrMore(2).consecutive
+    assert(run(evs, c).map(m => ids(m, "r")) == Vector(Seq(1L, 2L, 3L)))
+  }
+
+  test("a loop run stops at the within-window edge instead of dying") {
+    val evs = Seq(e(1, 0, "v"), e(2, 5, "v"), e(3, 100, "v"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.within(10 * 1000L)
+    // run from v1 takes v2 and stops at v3 (outside the window); v3 then
+    // starts its own run
+    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(1L, 2L), Seq(3L)))
   }
 
   test("optional stage branches into skipped and bound candidates") {
@@ -167,10 +185,14 @@ class CepSpec extends SparkSpecBase {
   test("oneOrMore followed by notNext does not crash and matches closed runs") {
     val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "b"),
                   e(4, 4, "v"), e(5, 5, "x"))
+    // relaxed default: ONE run {1,2,4} (skips b), followed by x → match
     val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
       .oneOrMore.notNext("no_b")(_.event_type == "b")
-    // run (1,2) is followed by b → rejected; run (4) followed by x → match
-    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(4L)))
+    assert(run(evs, p).map(m => ids(m, "v")) == Vector(Seq(1L, 2L, 4L)))
+    // consecutive: run (1,2) is followed by b → rejected; run (4) → match
+    val c = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.consecutive.notNext("no_b")(_.event_type == "b")
+    assert(run(evs, c).map(m => ids(m, "v")) == Vector(Seq(4L)))
   }
 
   test("timedOut yields partial prefixes for starts whose window closed") {
@@ -308,6 +330,65 @@ class CepSpec extends SparkSpecBase {
     assert(st.emitted.size <= 8, s"emitted grew to ${st.emitted.size}")
   }
 
+  test("streaming holds an open relaxed run and emits once the window closes") {
+    import graft.cep.Cep.CepState
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.within(10 * 1000L)
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    val (s1, f1, _) = Cep.step(CepState[EventRow](Vector.empty, Vector.empty),
+      Seq(e(1, 0, "v"), e(2, 2, "x"), e(3, 4, "v")), p, ordFn, None)
+    assert(f1.isEmpty, s"open run must be held: $f1") // a later v could extend it
+    val (s2, f2, _) = Cep.step(s1, Seq(e(4, 8, "v")), p, ordFn, None)
+    assert(f2.isEmpty)
+    // t=20 closes the window → the maximal relaxed run {1,3,4} emits
+    val (s3, f3, _) = Cep.step(s2, Seq(e(5, 20, "x")), p, ordFn, None)
+    assert(f3.map(m => ids(m, "v")) == Vector(Seq(1L, 3L, 4L)), s"$f3")
+    // the head floor bars the evicted run's surviving events from minting
+    // a false start after eviction
+    val (_, f4, _) = Cep.step(s3, Seq(e(6, 40, "x")), p, ordFn, None)
+    assert(f4.isEmpty, s"false start after eviction: $f4")
+  }
+
+  test("head floor prevents false run starts when eviction drops a run prefix") {
+    import graft.cep.Cep.CepState
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.within(8 * 1000L)
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    var st = CepState[EventRow](Vector.empty, Vector.empty)
+    var fresh = Vector.empty[Seq[Long]]
+    // v@0 v@7 then x@14: the run {1,2} window-closes and emits; eviction
+    // keeps only ts ≥ 6 — v@7 survives but must NOT become a new start
+    // (without the floor it would re-emit as a false single-element run)
+    for (batch <- Seq(Seq(e(1, 0, "v")), Seq(e(2, 7, "v")), Seq(e(3, 14, "x")),
+                      Seq(e(4, 30, "x")))) {
+      val (next, f, _) = Cep.step(st, batch, p, ordFn, None)
+      st = next
+      fresh ++= f.map(m => ids(m, "v"))
+    }
+    assert(fresh == Vector(Seq(1L, 2L)), s"$fresh")
+  }
+
+  test("streaming without within or retention fails fast unless opted out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
+      .next("b")(_.event_type == "purchase")
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    intercept[IllegalArgumentException] {
+      Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn, p) {
+        (k, m) => (k, m.first("a").event_id)
+      }
+    }
+    // any one bound (within / retention / explicit opt-out) constructs
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn,
+      p.within(60 * 1000L)) { (k, m) => (k, m.first("a").event_id) }
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn, p,
+      retentionMs = Some(60 * 1000L)) { (k, m) => (k, m.first("a").event_id) }
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn, p,
+      unboundedState = true) { (k, m) => (k, m.first("a").event_id) }
+  }
+
   test("streaming CEP matches across micro-batch boundaries exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -315,7 +396,7 @@ class CepSpec extends SparkSpecBase {
     val p = Pattern.begin[EventRow]("a")(_.event_type == "click")
       .next("b")(_.event_type == "purchase")
     val out = Cep.streaming(input.toDS(), (x: EventRow) => x.user_id,
-      (x: EventRow) => (x.ts.getTime, x.event_id), p) {
+      (x: EventRow) => (x.ts.getTime, x.event_id), p, unboundedState = true) {
       (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
     }
     val q = out.toDF("user_id", "a_id", "b_id").writeStream
