@@ -75,7 +75,18 @@ object EventStream {
       import java.nio.file.{Files, Paths}
       val stage = Paths.get(sys.props("java.io.tmpdir"),
         "graft-stream-quarters", Integer.toHexString(dir.hashCode))
-      if (!Files.exists(stage.resolve("q3.parquet"))) {
+      // the staged quarters are COPIES — invalidate them when the source
+      // fixture was regenerated at the same path (mtime/size stamp),
+      // otherwise multi-batch queries would silently replay stale data
+      val src = Paths.get(dir, "events.parquet")
+      val stampNow = s"${Files.getLastModifiedTime(src).toMillis}:${Files.size(src)}"
+      // sibling of the staged dir — the file streaming source lists every
+      // file inside it, so the stamp must live outside
+      val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
+      val fresh = Files.exists(stage.resolve("q3.parquet")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8") == stampNow
+      if (!fresh) {
         Files.createDirectories(stage)
         val raw = spark.read.schema(rawSchema)
           .parquet(Paths.get(dir, "events.parquet").toString)
@@ -98,6 +109,7 @@ object EventStream {
             .setLastModified(1700000000000L + q * 60000L)
           org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
         }
+        Files.write(stampFile, stampNow.getBytes("UTF-8"))
       }
       stage.toString
     }

@@ -20,42 +20,82 @@ import org.apache.spark.sql.types.StructType
   * snapshot POINTER, never the rows. Changelog order is (batch, key,
   * retract-before-add), the same per-key contract as the reference's
   * retraction pairs at micro-batch granularity (SURVEY §7.5 risk 3).
+  *
+  * Snapshot storage is GENERATIONAL and reclaimed eagerly: by default each
+  * batch writes the new snapshot to a fresh parquet generation directory and
+  * deletes the superseded one — executor storage holds NOTHING between
+  * batches, which is the posture that survives an unbounded stream on a
+  * cluster. `snapshotLevel = Some(level)` trades that for cached-block
+  * speed: the snapshot generation is held as an explicitly persisted RDD at
+  * that level (`MEMORY_AND_DISK` for hot paths, `DISK_ONLY` to keep a big
+  * snapshot off the executor heap) and the previous generation is
+  * `unpersist`ed as soon as the new one is materialized — no accumulating
+  * block leak either way.
   */
-class RetractStream(keyCols: Seq[String]) {
+class RetractStream(keyCols: Seq[String],
+                    snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None) {
 
-  private val outDir = java.nio.file.Files
-    .createTempDirectory("graft-retract").toString
+  private val baseDir = java.nio.file.Files
+    .createTempDirectory("graft-retract")
+  private val changelogDir = baseDir.resolve("changelog").toString
   @volatile private var snap: Option[DataFrame] = None
+  @volatile private var snapRdd: Option[org.apache.spark.rdd.RDD[Row]] = None
+  @volatile private var snapGen: Long = -1L
   @volatile private var sparkRef: SparkSession = _
   @volatile private var baseSchema: StructType = _
   @volatile private var wroteAny = false
 
   /** Process one micro-batch of an update-mode aggregation result —
-    * distributed joins + distributed write, no per-batch collect. */
+    * distributed joins + distributed writes, no per-batch collect. */
   def onBatch(batch: DataFrame, batchId: Long): Unit = {
     sparkRef = batch.sparkSession
     baseSchema = batch.schema
     if (batch.isEmpty) return
-    // materialize once: the changelog and the snapshot both reuse it; at
-    // cluster scale persist(DISK_ONLY) instead of localCheckpoint
-    val b = batch.localCheckpoint()
-    val keys = keyCols.map(col)
-    val changes = snap match {
-      case None => b.withColumn("__is_add", lit(true))
-      case Some(prev) =>
-        prev.join(b.select(keys: _*), keyCols, "left_semi")
-          .withColumn("__is_add", lit(false))
-          .union(b.withColumn("__is_add", lit(true)))
-    }
-    changes.withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(outDir)
-    wroteAny = true
-    snap = Some(snap match {
-      case None => b
-      case Some(prev) =>
-        prev.join(b.select(keys: _*), keyCols, "left_anti").union(b)
-          .localCheckpoint()
-    })
+    // the batch feeds both the changelog and the snapshot — cache it across
+    // the two jobs instead of recomputing the micro-batch scan
+    val b = batch.persist()
+    try {
+      val keys = keyCols.map(col)
+      val changes = snap match {
+        case None => b.withColumn("__is_add", lit(true))
+        case Some(prev) =>
+          prev.join(b.select(keys: _*), keyCols, "left_semi")
+            .withColumn("__is_add", lit(false))
+            .union(b.withColumn("__is_add", lit(true)))
+      }
+      changes.withColumn("__batch_id", lit(batchId))
+        .write.mode("append").parquet(changelogDir)
+      wroteAny = true
+      val nextPlan = snap match {
+        case None       => b
+        case Some(prev) =>
+          prev.join(b.select(keys: _*), keyCols, "left_anti").union(b)
+      }
+      val prevRdd = snapRdd
+      val prevGen = snapGen
+      snapGen += 1
+      snap = Some(snapshotLevel match {
+        case Some(level) =>
+          // persisted-RDD generation: materialize eagerly, hold the RDD
+          // handle so the superseded generation can actually be freed
+          // (Dataset.unpersist cannot release a localCheckpoint's blocks)
+          val rdd = nextPlan.rdd.persist(level)
+          rdd.count()
+          snapRdd = Some(rdd)
+          sparkRef.createDataFrame(rdd, baseSchema)
+        case None =>
+          val dir = baseDir.resolve(s"snap_gen_$snapGen").toString
+          nextPlan.write.mode("overwrite").parquet(dir)
+          sparkRef.read.parquet(dir)
+      })
+      // the new generation is materialized — reclaim the superseded one NOW
+      // (waiting for the ContextCleaner/GC leaves unbounded executor
+      // storage pressure on a long-running stream)
+      if (snapshotLevel.isDefined) prevRdd.foreach(_.unpersist())
+      else if (prevGen >= 0)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          baseDir.resolve(s"snap_gen_$prevGen").toFile)
+    } finally b.unpersist()
   }
 
   /** All (isAdd, row) changes emitted so far, ordered by (batch, key,
@@ -63,7 +103,7 @@ class RetractStream(keyCols: Seq[String]) {
     * boundary, not per batch. */
   def changes: Seq[(Boolean, Row)] = {
     if (!wroteAny) return Nil
-    val df = sparkRef.read.parquet(outDir)
+    val df = sparkRef.read.parquet(changelogDir)
     val dataCols = baseSchema.fieldNames.toSeq
     val sortCols = (Seq(col("__batch_id")) ++ keyCols.map(col)) :+ col("__is_add")
     df.orderBy(sortCols: _*)
@@ -77,10 +117,14 @@ class RetractStream(keyCols: Seq[String]) {
   /** Current materialized table (upsert view of the changelog). */
   def snapshot: Seq[Row] = snap.map(_.collect().toSeq).getOrElse(Nil)
 
+  /** The snapshot as a DataFrame pointer (generation-backed; for tests and
+    * downstream distributed consumers). */
+  def snapshotDf: Option[DataFrame] = snap
+
   /** The tagged changelog as a DataFrame — (batch_id, is_add, data columns),
     * fully distributed (reads the parquet changelog the batches wrote). */
   def changesDf: DataFrame = {
-    val df = sparkRef.read.parquet(outDir)
+    val df = sparkRef.read.parquet(changelogDir)
     df.select(Seq(col("__batch_id").cast("int").as("batch_id"),
       col("__is_add").as("is_add")) ++
       baseSchema.fieldNames.toSeq.map(col): _*)
@@ -91,15 +135,25 @@ object RetractStream {
 
   /** Attach a retract adapter to an update-mode aggregation and run it to
     * completion (AvailableNow). Returns the adapter with the full changelog.
-    */
-  def run(agg: DataFrame, keyCols: Seq[String]): RetractStream = {
-    val rs = new RetractStream(keyCols)
-    val q: StreamingQuery = agg.writeStream
-      .outputMode("update")
-      .foreachBatch((b: DataFrame, id: Long) => rs.onBatch(b, id))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    *
+    * `statePartitions` caps the state-store count (and the foreachBatch
+    * join shuffles) for the run — the per-micro-batch fixed cost argument
+    * documented on [[EventStream.runToTable]]; size it to cluster cores ×
+    * state volume in a real deployment. */
+  def run(agg: DataFrame, keyCols: Seq[String],
+          statePartitions: Int = 8,
+          snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None)
+      : RetractStream = {
+    val rs = new RetractStream(keyCols, snapshotLevel)
+    graft.operators.PartitionOps.withShufflePartitions(
+      agg.sparkSession, statePartitions) {
+      val q: StreamingQuery = agg.writeStream
+        .outputMode("update")
+        .foreachBatch((b: DataFrame, id: Long) => rs.onBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     rs
   }
 }

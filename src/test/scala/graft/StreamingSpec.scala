@@ -384,6 +384,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("retract adapter reclaims superseded snapshot generations") {
+    import spark.implicits._
+    def batchDf(rows: (Long, Long)*) = rows.toSeq.toDF("user_id", "n")
+    // default (parquet generations): exactly one generation dir survives
+    val rs = new RetractStream(Seq("user_id"))
+    rs.onBatch(batchDf(1L -> 1L, 2L -> 1L), 0)
+    rs.onBatch(batchDf(1L -> 2L), 1)
+    rs.onBatch(batchDf(2L -> 2L, 3L -> 1L), 2)
+    val files = rs.snapshotDf.get.inputFiles
+    val base = new java.io.File(new java.net.URI(files.head))
+      .getParentFile.getParentFile
+    val gens = base.listFiles.filter(_.getName.startsWith("snap_gen_")).toSeq
+    assert(gens.map(_.getName) == Seq("snap_gen_2"), s"$gens")
+    assert(rs.snapshot.map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    // persisted-RDD mode: each batch unpersists the superseded generation
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rsm = new RetractStream(Seq("user_id"),
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    rsm.onBatch(batchDf(1L -> 1L), 0)
+    rsm.onBatch(batchDf(1L -> 2L), 1)
+    rsm.onBatch(batchDf(1L -> 3L), 2)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "superseded snapshot generations must be unpersisted")
+    assert(rsm.snapshot.map(_.getAs[Long]("n")) == Seq(3L))
+  }
+
   test("coProcess: two connected streams share per-key state") {
     import spark.implicits._
     import StatefulOps.CoEvent
