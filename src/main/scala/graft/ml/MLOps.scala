@@ -59,6 +59,65 @@ object MLOps {
     model.coefficients.toArray :+ model.intercept
   }
 
+  /** Full-batch gradient descent for linear least squares — the reference's
+    * iterative optimization framework façade (`flink-ml/.../optimization/
+    * GradientDescent.scala` + `Solver.scala`: squared loss, optional L2,
+    * fixed iteration count, per-iteration effective step
+    * stepSize/√iteration — the reference's default learning-rate method;
+    * `constantStep = true` is its `LearningRateMethod.Constant`).
+    *
+    * Distribution shape mirrors the reference's superstep: the weight
+    * vector lives on the driver (tiny) and is baked into the gradient
+    * expression each iteration — ONE map-side-combined aggregation per
+    * iteration over the cached training projection, no per-record driver
+    * traffic. Returns coefficients :+ intercept, like
+    * [[fitLinearRegression]].
+    *
+    * Float-iterative and therefore pinned by MLSpec properties (loss
+    * decrease; agreement with the normal-equation solution on
+    * well-conditioned data), not the SQL value oracle. */
+  def fitLinearRegressionSgd(df: DataFrame, featureCols: Seq[String],
+                             labelCol: String, iterations: Int = 50,
+                             stepSize: Double = 0.1, l2: Double = 0.0,
+                             constantStep: Boolean = false): Array[Double] = {
+    val k = featureCols.length
+    val data = df.select(
+      (featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double")): _*).toDF(
+      (featureCols.indices.map(i => s"x$i") :+ "y"): _*).persist()
+    try {
+      val n = data.count().toDouble
+      var w = Array.fill(k + 1)(0.0)
+      for (it <- 1 to iterations) {
+        val pred = featureCols.indices
+          .map(i => col(s"x$i") * lit(w(i)))
+          .foldLeft(lit(w(k)).cast("double"): Column)(_ + _)
+        val resid = pred - col("y")
+        val aggs = featureCols.indices.map(i => sum(resid * col(s"x$i"))) :+
+          sum(resid)
+        val r = data.agg(aggs.head, aggs.tail: _*).head()
+        val lr = if (constantStep) stepSize else stepSize / math.sqrt(it)
+        w = w.zipWithIndex.map { case (wi, i) =>
+          val grad = 2.0 * r.getDouble(i) / n + (if (i < k) 2.0 * l2 * wi else 0.0)
+          wi - lr * grad
+        }
+      }
+      w
+    } finally data.unpersist()
+  }
+
+  /** Mean squared loss of a linear model (coefficients :+ intercept) — the
+    * objective [[fitLinearRegressionSgd]] descends; exposed for the
+    * convergence properties in MLSpec. */
+  def squaredLoss(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  w: Array[Double]): Double = {
+    val pred = featureCols.zipWithIndex
+      .map { case (c, i) => col(c).cast("double") * lit(w(i)) }
+      .foldLeft(lit(w(featureCols.length)).cast("double"): Column)(_ + _)
+    val resid = pred - col(labelCol).cast("double")
+    df.agg(avg(resid * resid)).head().getDouble(0)
+  }
+
   /** KNN classification (FlinkML `nn` package): majority label among the k
     * nearest neighbors by cosine, ties broken toward the smaller label —
     * deterministic, so it participates in the value oracle. Built on

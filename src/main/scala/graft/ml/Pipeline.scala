@@ -94,3 +94,26 @@ final case class LinearRegressionStage(featureCols: Seq[String],
         .reduceLeft(_ + _) + lit(coef.last))
   }
 }
+
+/** Terminal predictor trained by the iterative-optimizer façade (reference
+  * `optimization/GradientDescent.scala` behind
+  * `MultipleLinearRegression.setIterations/setStepsize` — seeded-free,
+  * fixed-iteration, deterministic given the training set). Same fitted
+  * surface as [[LinearRegressionStage]]: the learned linear form inlines
+  * into whole-stage codegen. */
+final case class SgdRegressionStage(featureCols: Seq[String],
+                                    labelCol: String,
+                                    outCol: String = "prediction",
+                                    iterations: Int = 50,
+                                    stepSize: Double = 0.1,
+                                    l2: Double = 0.0,
+                                    constantStep: Boolean = false)
+  extends PipelineStage {
+  override def fit(train: DataFrame): DataFrame => DataFrame = {
+    val coef = MLOps.fitLinearRegressionSgd(train, featureCols, labelCol,
+      iterations, stepSize, l2, constantStep)
+    in => in.withColumn(outCol,
+      featureCols.zipWithIndex.map { case (c, i) => col(c) * lit(coef(i)) }
+        .reduceLeft(_ + _) + lit(coef.last))
+  }
+}

@@ -267,8 +267,13 @@ object DedupOps {
   def dedupClusters(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id",
                     minJaccard: Double = 0.5,
-                    includeSingletons: Boolean = true): DataFrame = {
-    val pairs = minhashLshPairs(docs, textCol, idCol)
+                    includeSingletons: Boolean = true,
+                    precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    // the MinHash signature + band stage is the expensive part and is the
+    // SAME computation minhashLshPairs runs — a pipeline computing both
+    // passes its pairs in (`precomputedPairs`) instead of paying it twice
+    val pairs = precomputedPairs
+      .getOrElse(minhashLshPairs(docs, textCol, idCol))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id1"), col("id2")).localCheckpoint()
     val spark = docs.sparkSession
@@ -288,26 +293,78 @@ object DedupOps {
         col("cluster_size"))
   }
 
-  /** Embedding cosine near-duplicates above `minCos`. Brute-force all-pairs
-    * — the exact baseline; use [[SimilarityOps.lshBuckets]] blocking for the
-    * 100 TB path. Norms are precomputed once per row before the join. */
+  /** Embedding cosine near-duplicates above `minCos`.
+    *
+    * DEFAULT path (the 100 TB one): multi-band random-hyperplane LSH
+    * blocking + exact cosine rerank. Candidates are pairs sharing a bucket
+    * in ANY of `bands` bands of 8 sign bits ([[SimilarityOps.lshBucketBand]];
+    * P(candidate | angle θ) = 1−(1−(1−θ/π)^8)^bands — ≈1 for true
+    * near-duplicates, tiny for unrelated vectors), so the self-join is
+    * per-bucket instead of all-pairs. Slim (id, band, bucket) rows drive
+    * the join; vectors join back only for the exact rerank of candidates.
+    * A hot-bucket cap drops degenerate buckets — the k²-on-one-key blowup —
+    * exactly like [[minhashLshPairs]]'s band cap.
+    *
+    * `bruteForce = true` opts into the exact all-pairs baseline (the
+    * oracle of the blocked path; quadratic — fixture/debug scale only).
+    * The blocked result is always a SUBSET of the brute-force result (the
+    * rerank is exact); recall below the brute-force set is the documented
+    * LSH trade-off governed by `bands`. */
   def embeddingCosinePairs(embs: DataFrame, vecCol: String = "embedding",
                            idCol: String = "vec_id",
-                           minCos: Double = 0.4): DataFrame = {
-    // materialize the double-cast vector + norm BEHIND AN EXCHANGE: the
-    // non-equi join otherwise (a) runs the nested loop on the input's
-    // (often single) file partitions and (b) re-inlines the cast pipeline
-    // into the pushed-down join condition — 128 array casts per candidate
-    // pair instead of 0
-    val withNorm = embs.select(col(idCol).as("id"),
+                           minCos: Double = 0.4,
+                           bruteForce: Boolean = false,
+                           bands: Int = 8,
+                           maxBucketFreq: Long = 10000L): DataFrame = {
+    // the exact rerank shared by both paths: pairs of ids -> scored pairs
+    def rescored(cand: DataFrame): DataFrame = {
+      val withNorm = embs.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),
         l2norm(col(vecCol)).as("nrm"))
-      .repartition(col("id"))
-    val a = withNorm.as("a"); val b = withNorm.as("b")
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos"))
-      .filter(col("cos") > minCos)
+      cand
+        .join(withNorm.select(col("id").as("id1"), col("v").as("v1"),
+          col("nrm").as("n1")), "id1")
+        .join(withNorm.select(col("id").as("id2"), col("v").as("v2"),
+          col("nrm").as("n2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+            .as("cos"))
+        .filter(col("cos") > minCos)
+    }
+    if (bruteForce) {
+      // materialize the double-cast vector + norm BEHIND AN EXCHANGE: the
+      // non-equi join otherwise (a) runs the nested loop on the input's
+      // (often single) file partitions and (b) re-inlines the cast pipeline
+      // into the pushed-down join condition — 128 array casts per candidate
+      // pair instead of 0
+      val withNorm = embs.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v"),
+          l2norm(col(vecCol)).as("nrm"))
+        .repartition(col("id"))
+      val a = withNorm.as("a"); val b = withNorm.as("b")
+      a.join(b, col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+            .as("cos"))
+        .filter(col("cos") > minCos)
+    } else {
+      // slim band rows, materialized once (the hot-bucket scan and both
+      // self-join sides would otherwise each replay the 64 iqdot planes)
+      val banded = embs.select(col(idCol).as("id"),
+          posexplode(array((0 until bands).map(b =>
+            SimilarityOps.lshBucketBand(col(vecCol), b)): _*))
+            .as(Seq("band", "bucket")))
+        .localCheckpoint()
+      val hot = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxBucketFreq)
+        .select(col("band"), col("bucket"))
+      val cool = banded.join(hot, Seq("band", "bucket"), "left_anti")
+      val cand = cool.as("a").join(cool.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct() // a pair may collide in several bands — rerank it once
+      rescored(cand)
+    }
   }
 }

@@ -64,12 +64,20 @@ object SimilarityOps {
     * round(x·1e6) and sums in 64-bit integers, so the sign test never
     * depends on float summation order. The per-plane weight vectors are
     * md5-derived constants baked in as array literals. */
-  def lshBucket(vec: Column): Column = {
+  def lshBucket(vec: Column): Column = lshBucketBand(vec, 0)
+
+  /** Band `band`'s bucket id — sign pattern of the `bits` hyperplanes
+    * [band·bits, (band+1)·bits) from the same md5-derived family. Band 0
+    * with the default width is exactly [[lshBucket]]; multiple bands give
+    * the OR-amplified collision probability 1−(1−p^bits)^bands that blocked
+    * near-duplicate joins need for high recall. */
+  def lshBucketBand(vec: Column, band: Int, bits: Int = LshBits): Column = {
     val ad = vec.cast("array<double>")
-    (0 until LshBits).map { p =>
-      val weights = lit((0 until Dim).map(d => planeWeightValue(p, d)).toArray)
+    (0 until bits).map { j =>
+      val weights = lit((0 until Dim).map(d =>
+        planeWeightValue(band * bits + j, d)).toArray)
       when(call_function("graft_iqdot", ad, weights) > 0,
-        1L << (LshBits - 1 - p)).otherwise(0L)
+        1L << (bits - 1 - j)).otherwise(0L)
     }.reduceLeft(_ + _)
   }
 

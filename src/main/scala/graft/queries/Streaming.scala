@@ -212,6 +212,14 @@ object Streaming extends QuerySet {
       graft.streaming.RetractStream.run(agg, Seq("user_id")).changesDf
     }),
 
+    // non-file streaming source end-to-end: the fixture replayed through a
+    // localhost TCP socket into Spark's socket source (the reference's
+    // addSource/socketTextStream family), aggregated in complete mode so
+    // the end-of-stream table is batch-deterministic — the batch oracle
+    // pins the whole ingest→aggregate path
+    "stream_socket_counts" -> ((s, dir) =>
+      EventStream.socketCounts(s, dir)),
+
     // stateful streaming dedup (dropDuplicates state store)
     "stream_dedup" -> ((s, dir) => {
       val dd = events(s, dir)
@@ -519,6 +527,11 @@ object Streaming extends QuerySet {
         |    SELECT 1 FROM events c
         |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)""".stripMargin,
+
+    // end-of-stream complete-mode aggregate over the socket replay equals
+    // the batch aggregate
+    "stream_socket_counts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
 
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

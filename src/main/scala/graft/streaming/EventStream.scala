@@ -116,6 +116,56 @@ object EventStream {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Non-file streaming ingestion: feed the events fixture through a
+    * localhost TCP socket and read it back with Spark's socket source —
+    * the reference's `addSource` / `socketTextStream` family
+    * (`StreamExecutionEnvironment.java:1186-1270`), the one source kind the
+    * file-replay fixtures don't exercise. Returns the per-user counts once
+    * the FULL fixture has been consumed: the aggregation runs in complete
+    * mode, so the final table is batch-deterministic no matter how the
+    * socket bytes chunk into micro-batches.
+    *
+    * A socket is a single-point ingress in the reference too (parallelism
+    * 1) — this is a correctness surface, not a scale path; the feeder
+    * collect is the test harness, not the operator. */
+  def socketCounts(spark: SparkSession, dir: String): DataFrame = {
+    val userIds = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")))
+      try { userIds.foreach(out.println); out.flush() }
+      finally { sock.close(); server.close() }
+    }, "graft-socket-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+    val name = s"graft_stream_socket_${runId.incrementAndGet()}"
+    val counts = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort).load()
+      .select(col("value").cast("long").as("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    graft.operators.PartitionOps.withShufflePartitions(spark, 8) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      def total(): Long = {
+        val t = spark.table(name).agg(sum(col("n"))).collect()(0)
+        if (t.isNullAt(0)) 0L else t.getLong(0)
+      }
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (total() < userIds.length && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        if (total() < userIds.length) Thread.sleep(50)
+      }
+      q.stop()
+      require(total() == userIds.length,
+        s"socket replay incomplete: ${total()} of ${userIds.length} rows")
+    }
+    spark.table(name)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
     * result table. `AvailableNow` processes the full backlog then stops.
     *

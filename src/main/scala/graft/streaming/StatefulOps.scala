@@ -342,6 +342,50 @@ object StatefulOps {
       }
   }
 
+  case class ProcRangeState(batchNo: Long, winBatch: List[Long],
+                            winCents: List[Long])
+
+  /** Count + sum over rows that ARRIVED within the last `rangeBatches`
+    * per-key micro-batches (inclusive) — the ProcTimeBoundedRangeOver
+    * runtime (`flink-table/.../runtime/aggregate/ProcTimeBoundedRangeOver
+    * .scala`) under the micro-batch model, completing the reference's
+    * {Rows,Range} × {Bounded,Unbounded} × {row-time,proc-time} matrix.
+    *
+    * Pinned processing-time model: a key's processing time is its
+    * micro-batch sequence number, so all rows of one batch are PEERS —
+    * they receive the same aggregate, including one another (the
+    * reference registers one timer per proctime value and emits that
+    * timestamp's rows together). The accumulator is RETRACTABLE: entering
+    * rows `accumulate`, rows older than the range `retract` — per-batch
+    * cost O(entering + evicted), state O(rows in range). The per-key
+    * clock advances only when the key receives data; aging quiet keys
+    * needs a processing-time timeout (the reference's timer service).
+    * Arrival-order-defined, so spec-verified under controlled MemoryStream
+    * batches like the proc-time ROWS pair. */
+  def overRangeProcTimeBounded(events: Dataset[EventRow],
+                               rangeBatches: Long): Dataset[RangeOverOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[ProcRangeState]) =>
+          val prev = state.getOption.getOrElse(ProcRangeState(-1L, Nil, Nil))
+          val now = prev.batchNo + 1
+          var acc = prev.winCents
+            .foldLeft(CountSumCents.createAccumulator())(CountSumCents.accumulate)
+          // deterministic order within the batch for the emitted rows
+          val entering = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val cents = entering.map(e => math.round(e.value * 100))
+          cents.foreach(c => acc = CountSumCents.accumulate(acc, c))
+          val wBatch = prev.winBatch ++ entering.map(_ => now)
+          val wCents = prev.winCents ++ cents
+          val (evict, keep) = wBatch.zip(wCents).span(_._1 < now - rangeBatches + 1)
+          evict.foreach { case (_, c) => acc = CountSumCents.retract(acc, c) }
+          state.update(ProcRangeState(now, keep.map(_._1), keep.map(_._2)))
+          val v = CountSumCents.getValue(acc)
+          entering.iterator.map(e => RangeOverOut(e.event_id, key, v._1, v._2))
+      }
+  }
+
   // ---- connected streams / CoProcessFunction ------------------------------
 
   /** Tagged element of a two-typed connected stream. */

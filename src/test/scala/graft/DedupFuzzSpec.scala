@@ -49,6 +49,34 @@ class DedupFuzzSpec extends SparkSpecBase {
     else Set(ts.mkString(" "))
   }
 
+  test("blocked embedding dedup: subset of brute force, planted dups recalled") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    val vrnd = new scala.util.Random(0xE33D)
+    // 120 random unit-ish vectors + 12 planted near-identical copies
+    val base = (0L until 120L).map { i =>
+      (i, Array.fill(64)((vrnd.nextDouble() - 0.5).toFloat))
+    }
+    val planted = base.take(12).map { case (i, v) =>
+      // tiny perturbation: cos > 0.999, far above any random pair
+      (i + 1000L, v.zipWithIndex.map { case (x, d) =>
+        if (d == 0) x + 0.001f else x })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(
+      DedupOps.embeddingCosinePairs(df, minCos = 0.9, bruteForce = true))
+    val blocked = pairSet(DedupOps.embeddingCosinePairs(df, minCos = 0.9))
+    // the rerank is exact, so blocking can only ever lose pairs
+    assert(blocked.subsetOf(brute), s"false positives: ${blocked -- brute}")
+    // every planted near-identical pair must collide in at least one band
+    val plantedPairs = base.take(12).map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(plantedPairs.subsetOf(blocked),
+      s"missed planted dups: ${plantedPairs -- blocked}")
+    assert(plantedPairs.subsetOf(brute))
+  }
+
   test("exact dedup matches local grouping (min id kept, sizes right)") {
     val byText = docsLocal.groupBy(_._2)
     val got = DedupOps.exact(docsDf).collect()

@@ -151,6 +151,54 @@ class MLSpec extends SparkSpecBase {
     assert(out.getAs[Double]("poly_sx_sx") == 0.25)
   }
 
+  test("SGD optimizer: loss decreases along the trajectory and converges to the normal-equation solution") {
+    import spark.implicits._
+    import graft.ml.MLOps
+    // well-conditioned 2-feature exact-linear data: y = 3·x1 − 2·x2 + 0.5
+    val rnd = new scala.util.Random(0x5EED)
+    val train = (0 until 200).map { _ =>
+      val x1 = rnd.nextDouble() * 2 - 1
+      val x2 = rnd.nextDouble() * 2 - 1
+      (x1, x2, 3.0 * x1 - 2.0 * x2 + 0.5)
+    }.toDF("x1", "x2", "y")
+    val feats = Seq("x1", "x2")
+    val l0 = MLOps.squaredLoss(train, feats, "y", Array(0.0, 0.0, 0.0))
+    // decayed step (the reference's default learning-rate method): the
+    // trajectory is deterministic, so a longer run extends a shorter one —
+    // loss must be monotone across these checkpoints
+    val l5 = MLOps.squaredLoss(train, feats, "y",
+      MLOps.fitLinearRegressionSgd(train, feats, "y", iterations = 5, stepSize = 0.3))
+    val l25 = MLOps.squaredLoss(train, feats, "y",
+      MLOps.fitLinearRegressionSgd(train, feats, "y", iterations = 25, stepSize = 0.3))
+    assert(l5 < l0 && l25 < l5, s"loss not decreasing: $l0 -> $l5 -> $l25")
+    // constant step (LearningRateMethod.Constant): linear convergence on
+    // exact-fit data — must agree with the normal equations
+    val exact = MLOps.fitLinearRegression(train, feats, "y")
+    val sgd = MLOps.fitLinearRegressionSgd(train, feats, "y",
+      iterations = 300, stepSize = 0.4, constantStep = true)
+    exact.zip(sgd).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-3, s"exact=${exact.toSeq} sgd=${sgd.toSeq}")
+    }
+    // L2 shrinks coefficients toward zero
+    val ridge = MLOps.fitLinearRegressionSgd(train, feats, "y",
+      iterations = 300, stepSize = 0.4, l2 = 0.5, constantStep = true)
+    assert(math.abs(ridge(0)) < math.abs(sgd(0)) &&
+      math.abs(ridge(1)) < math.abs(sgd(1)), s"ridge=${ridge.toSeq}")
+  }
+
+  test("pipeline: SGD predictor chains like the normal-equation one") {
+    import spark.implicits._
+    import graft.ml.{MinMaxScalerStage, SgdRegressionStage}
+    val train = (0 to 10).map(i => (i.toDouble, 0.2 * i + 1.0)).toDF("x", "y")
+    val chain = MinMaxScalerStage("x", "sx")
+      .chain(SgdRegressionStage(Seq("sx"), "y", "pred",
+        iterations = 400, stepSize = 0.5, constantStep = true))
+    val fitted = chain.fit(train)
+    val pred = fitted(Seq((5.0, 0.0)).toDF("x", "y"))
+      .select("pred").head().getDouble(0)
+    assert(math.abs(pred - 2.0) < 1e-2, s"pred=$pred")
+  }
+
   test("pipeline: fitted parameters are frozen, not refit on new data") {
     import spark.implicits._
     import graft.ml.StandardScalerStage

@@ -289,6 +289,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("proc-time bounded RANGE OVER ages out whole arrival batches; peers share the aggregate") {
+    import spark.implicits._
+    val input = mem()
+    // range = last 2 per-key micro-batches (inclusive)
+    val out = StatefulOps.overRangeProcTimeBounded(input.toDS(), rangeBatches = 2)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("proc_range_over_test").outputMode("append").start()
+    try {
+      // batch 0: two rows — peers, both see (cnt 2, 300)
+      input.addData(ev(41, 9, 7, value = 1.0), ev(42, 1, 7, value = 2.0))
+      q.processAllAvailable()
+      // batch 1: frame covers batches {0,1} → (cnt 3, 350)
+      input.addData(ev(43, 5, 7, value = 0.5))
+      q.processAllAvailable()
+      // batch 2: frame covers {1,2} — batch 0 retracts → (cnt 2, 75)
+      input.addData(ev(44, 2, 7, value = 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("proc_range_over_test")
+        .as[StatefulOps.RangeOverOut].collect().sortBy(_.event_id)
+      assert(rows.map(r => (r.event_id, r.win_cnt, r.win_cents)).toSeq ==
+        Seq((41L, 2L, 300L), (42L, 2L, 300L), (43L, 3L, 350L), (44L, 2L, 75L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("proc-time OVER accumulates in arrival order across batches") {
     import spark.implicits._
     val input = mem()
