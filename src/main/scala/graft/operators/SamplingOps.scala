@@ -25,8 +25,12 @@ object SamplingOps {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
+    // round(), not cast-truncate: a rate whose double product lands just
+    // below the integer (0.3 * 1e6 = 299999.999...) would otherwise use a
+    // threshold one lower than an oracle computing it in exact decimal,
+    // flipping boundary rows
     df.filter(stableHash(col(keyCol).cast("string")) % Denom <
-      (rate * Denom).cast("long"))
+      round(rate * Denom).cast("long"))
   }
 
   /** Exactly k rows per stratum: the k smallest by hash(key) — a

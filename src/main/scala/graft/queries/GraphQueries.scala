@@ -280,23 +280,35 @@ object GraphQueries extends QuerySet {
         |SELECT DISTINCT c.c_nationkey + 1000000 AS vid, comp.comp AS comp
         |FROM customer c JOIN comp ON c.c_nationkey = comp.c_nationkey""".stripMargin,
 
-    // neighbor count + id-sum from the chain structure: left neighbor
-    // exists unless the vertex starts a block, right unless it ends one
+    // neighbor count + id-sum derived from the SAME edge construction the
+    // engine uses (edge i→i+1 unless i ends a 10-block; neighbor values
+    // join the vertex table) — agrees with reduceOnNeighbors for any
+    // corpus size, not only block-aligned fixtures
     "graph_neighbor_agg" ->
-      """SELECT doc_id AS vid,
-        |  CAST(CASE WHEN doc_id % 10 = 0 OR doc_id % 10 = 9 THEN 1 ELSE 2 END
-        |    AS BIGINT) AS n_nbr,
-        |  CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
-        |            WHEN doc_id % 10 = 9 THEN doc_id - 1
-        |            ELSE 2 * doc_id END AS BIGINT) AS sum_nbr
-        |FROM documents""".stripMargin,
+      """WITH edges AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst, src FROM edges),
+        |nbrs AS (
+        |  SELECT u.src AS vid, d.doc_id AS nbr
+        |  FROM und u JOIN documents d ON d.doc_id = u.dst)
+        |SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_nbr,
+        |  CAST(SUM(nbr) AS BIGINT) AS sum_nbr
+        |FROM nbrs GROUP BY vid""".stripMargin,
 
-    // undirected chain degree: interior vertices 2, block boundaries 1
+    // undirected chain degree from the same edges CTE (the engine counts
+    // undirected edge endpoints without a vertex join)
     "graph_degrees" ->
-      """SELECT doc_id AS vid,
-        |  CAST(CASE WHEN doc_id % 10 = 0 OR doc_id % 10 = 9 THEN 1 ELSE 2 END
-        |    AS BIGINT) AS degree
-        |FROM documents""".stripMargin,
+      """WITH edges AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst, src FROM edges)
+        |SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS degree
+        |FROM und GROUP BY src""".stripMargin,
 
     // triangles (i, i+1, i+2) require both chain edges and the skip edge —
     // i%10 <= 7 keeps all three vertices inside one block
