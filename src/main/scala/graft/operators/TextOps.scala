@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -89,6 +90,57 @@ object TextOps {
     * Σ h(tok_i)·i in exact integer arithmetic — see
     * [[graft.functions.GraftFunctions.fingerprint]]. */
   def docFingerprint(text: Column): Column = fingerprint(tokens(text))
+
+  /** Sequence packing for pretraining (concatenate-then-chunk): documents
+    * are laid out in `idCol` order into fixed training sequences of
+    * `seqLen` tokens; each doc gets its sequence id and token offset (a
+    * doc may span sequence boundaries — the standard GPT-style packing).
+    *
+    * The global exact prefix sum is TWO-PHASE, not a single-partition
+    * window: range-partition by id, local cumulative sums per partition,
+    * then per-partition totals (a tiny driver-side vector — one row per
+    * partition) broadcast back as offsets. The values are independent of
+    * where the sampled range boundaries fall, so the result is
+    * deterministic even though the partitioner samples. This is the shape
+    * that survives 100 TB; the single-partition window form would
+    * serialize the corpus through one task. */
+  def packSequences(docs: DataFrame, seqLen: Long,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val counted = docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    // PIN the layout: the range partitioner SAMPLES, so without the
+    // checkpoint the totals job and the final job could re-plan onto
+    // different boundaries and the broadcast offsets would belong to a
+    // different pid mapping than the rows they join
+    val withPid = counted.withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val local = withPid.withColumn("_local_before",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("_pid")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // one row per partition — tiny by construction; running prefix of the
+    // per-partition totals becomes a broadcast (pid → global offset) map
+    val totals = withPid.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      totals.keys.toSeq.sorted.map { pid =>
+        val o = (pid, acc); acc += totals(pid); o
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("_pid", "_offset"))
+    local.join(offDf, "_pid")
+      .withColumn("_before", col("_local_before") + col("_offset"))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"_before div $seqLen").as("seq_id"),
+        (col("_before") % seqLen).as("seq_offset"))
+  }
 
   /** Repetition signals (Gopher/RefinedWeb-style quality gates): token
     * duplication and the dominance of the most frequent bigram. All-integer

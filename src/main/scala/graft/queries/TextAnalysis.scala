@@ -69,6 +69,13 @@ object TextAnalysis extends QuerySet {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(docs(s, dir))),
 
+    // sequence packing (concatenate-then-chunk): docs laid out in id order
+    // into 2048-token training sequences; per doc its sequence id + token
+    // offset. The exact global prefix sum is two-phase (local cumsums +
+    // broadcast partition offsets), not a single-partition window
+    "corpus_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), seqLen = 2048L)),
+
     // training-mix flagship: prep pipeline → deterministic per-band mix
     // control (short docs kept fully, long at 50% by hash gate) → global
     // token-budget cap via running sum in a pinned order. The budget scan is
@@ -157,6 +164,22 @@ object TextAnalysis extends QuerySet {
          |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  COALESCE(a.top_bigram_n, 0) AS top_bigram_n
          |FROM sized s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the two-phase distributed prefix sum must equal the sequential
+    // concatenate-then-chunk layout
+    "corpus_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS _before
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(_before // 2048 AS BIGINT) AS seq_id,
+         |  CAST(_before % 2048 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($T) AS INT) AS n_tokens,

@@ -141,7 +141,7 @@ object RetractStream {
     * documented on [[EventStream.runToTable]]; size it to cluster cores ×
     * state volume in a real deployment. */
   def run(agg: DataFrame, keyCols: Seq[String],
-          statePartitions: Int = 8,
+          statePartitions: Int = 4,
           snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None)
       : RetractStream = {
     val rs = new RetractStream(keyCols, snapshotLevel)

@@ -106,6 +106,35 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx == 1, s"expected only the dedup-window hash exchange, got $hashEx")
   }
 
+  test("blocked embedding dedup: no cartesian product; band self-join is keyed") {
+    graft.functions.GraftExtensions.install(spark)
+    import spark.implicits._
+    val embs = (0L until 64L)
+      .map(i => (i, Array.fill(64)((i % 7).toFloat / 7)))
+      .toDF("vec_id", "embedding")
+    val p = graft.operators.DedupOps.embeddingCosinePairs(embs, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "blocked path must never degenerate to all-pairs")
+    // the brute-force opt-in IS the nested loop — that contrast is the point
+    val bf = graft.operators.DedupOps
+      .embeddingCosinePairs(embs, minCos = 0.9, bruteForce = true)
+      .queryExecution.executedPlan.toString
+    assert(bf.contains("CartesianProduct") || bf.contains("BroadcastNestedLoopJoin"),
+      bf.take(800))
+  }
+
+  test("minhash signatures: one exchange feeds both the window and the aggregation") {
+    val sigs = graft.operators.DedupOps.minhashSignatures(
+      graft.Tables.load(spark, sfDir, "documents"))
+    val p = sigs.queryExecution.executedPlan.toString
+    // repartition(id) above the tokenizer; the window and final aggregate
+    // reuse that partitioning — more exchanges mean the hoist regressed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 1)
+  }
+
   test("localCheckpoint preserves hash partitioning (static loop side joins without re-shuffle)") {
     // the Pregel loops pre-partition the edge set on the join key once; the
     // superstep join must then shuffle ONLY the state side. If Spark ever

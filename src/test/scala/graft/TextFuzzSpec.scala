@@ -36,6 +36,29 @@ class TextFuzzSpec extends SparkSpecBase {
   private def toks(t: String): Vector[String] =
     t.toLowerCase.split("\\s+").toVector
 
+  test("sequence packing equals the sequential concatenate-then-chunk layout") {
+    val seqLen = 16L
+    // sequential reference: running token offset in doc_id order
+    val expected = {
+      var before = 0L
+      docsLocal.sortBy(_._1).map { case (id, text) =>
+        val n = toks(text).length.toLong
+        val row = (id, n, before / seqLen, before % seqLen)
+        before += n
+        row
+      }
+    }
+    // the two-phase distributed prefix sum must match under different
+    // partition counts (layout-independence is the design claim)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TextOps.packSequences(docsDf.repartition(parts), seqLen)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toVector
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("doc fingerprint matches a local md5 rolling-hash mirror") {
     val expect = docsLocal.map { case (id, t) =>
       id -> toks(t).zipWithIndex
