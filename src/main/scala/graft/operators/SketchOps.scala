@@ -88,4 +88,67 @@ object SketchOps {
           .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
             element_at(col("mins"), k).cast("double")), 4).as("est"))
   }
+
+  // ---- Bloom filter membership sketch -------------------------------------
+
+  /** Bloom parameters: m bits packed 32 per long (shift counts stay ≤ 31 —
+    * engines that overflow-check `1 << 63` on BIGINT, like DuckDB, can
+    * then mirror the words exactly), h hash functions per key (position i
+    * = stableHash(key + "#i") mod m). All integer md5 arithmetic, so the
+    * FILTER WORDS themselves — not just the verdicts — are
+    * engine-reproducible and can sit in the value oracle. */
+  val BloomBits = 1024
+  val BloomBitsPerWord = 32
+  val BloomWords = BloomBits / BloomBitsPerWord
+  val BloomHashes = 4
+
+  /** Attach the h integer hash-bit positions of `key` as columns
+    * `_p0.._p{h-1}` (each in [0, BloomBits)). */
+  private def withPositions(df: DataFrame, key: Column): DataFrame =
+    (0 until BloomHashes).foldLeft(df)((d, i) =>
+      d.withColumn(s"_p$i",
+        (stableHash(concat(key.cast("string"), lit(s"#$i"))) % BloomBits)
+          .cast("int")))
+
+  /** Build the filter over `keyCol` of `build`: per-row bitmap words
+    * (word w = OR of the key's hash bits landing in [64w, 64w+64))
+    * aggregated with `bit_or` — associative, so Spark runs it partial +
+    * final with map-side combine like any built-in. Returns the
+    * `BloomWords` filter words: ONE tiny row, broadcastable at any scale. */
+  def bloomBuild(build: DataFrame, keyCol: Column): Seq[Long] = {
+    val rowWords = (0 until BloomWords).map { w =>
+      expr((0 until BloomHashes).map(i =>
+        s"CASE WHEN _p$i div $BloomBitsPerWord = $w " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), _p$i % $BloomBitsPerWord) " +
+          "ELSE CAST(0 AS BIGINT) END").mkString("(", " | ", ")")).as(s"w$w")
+    }
+    val r = withPositions(build, keyCol)
+      .select(rowWords: _*)
+      .agg(bit_or(col("w0")).as("w0"),
+        (1 until BloomWords).map(i => bit_or(col(s"w$i")).as(s"w$i")): _*)
+      .head()
+    (0 until BloomWords).map(r.getLong)
+  }
+
+  /** Membership pre-filter (the reason a Bloom filter exists at 100 TB:
+    * a 128-byte broadcast that skips an expensive join/anti-join for most
+    * rows). Probes `probeCol` against a filter built from `keyCol`:
+    * `bloom_maybe` is true iff every hash bit is set — false negatives
+    * impossible, false positives possible, which the oracle row
+    * demonstrates against true membership. The probe is a narrow
+    * codegen'd map, no shuffle. */
+  def bloomProbe(build: DataFrame, keyCol: Column,
+                 probe: DataFrame, probeCol: Column): DataFrame = {
+    val filter = bloomBuild(build, keyCol)
+    val verdict = (0 until BloomHashes).map { i =>
+      val wordExpr = (0 until BloomWords).map(w =>
+        s"CASE WHEN _p$i div $BloomBitsPerWord = $w " +
+          s"THEN CAST(${filter(w)} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").mkString("(", " | ", ")")
+      expr(s"(shiftright($wordExpr, _p$i % $BloomBitsPerWord) & 1) = 1")
+    }.reduce(_ && _)
+    withPositions(probe, probeCol)
+      .withColumn("bloom_maybe", verdict)
+      .drop((0 until BloomHashes).map(i => s"_p$i"): _*)
+  }
 }

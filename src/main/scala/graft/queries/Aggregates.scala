@@ -112,6 +112,20 @@ object Aggregates extends QuerySet {
         t(s, dir, "lineitem").filter(col("l_returnflag") === "A"),
         col("l_partkey"), k = 64)),
 
+    // Bloom membership sketch: 1024-bit / 4-hash filter built over one
+    // nation band's customers (bit_or words — partial+final mergeable),
+    // probed by every customer. All-integer md5 bit positions, so the
+    // filter WORDS and verdicts hash-match DuckDB; is_member alongside
+    // demonstrates the contract (no false negatives, some false positives)
+    "sketch_bloom_membership" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      graft.operators.SketchOps.bloomProbe(
+          cust.filter(col("c_nationkey") < 5), col("c_custkey"),
+          cust, col("c_custkey"))
+        .select(col("c_custkey"), col("bloom_maybe"),
+          (col("c_nationkey") < 5).as("is_member"))
+    }),
+
     // FILTER-style conditional aggregation (pivot-shaped output)
     "agg_conditional" -> ((s, dir) =>
       t(s, dir, "events")
@@ -241,6 +255,33 @@ object Aggregates extends QuerySet {
         |      CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
         |    END, 4) AS est
         |FROM r GROUP BY grp, nd""".stripMargin,
+
+    // identical md5 bit positions + bit_or words + per-hash bit tests;
+    // empty filter words are absent from the aggregate → COALESCE to 0
+    "sketch_bloom_membership" ->
+      """WITH pos AS (
+        |  SELECT c_custkey AS k, i,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || '#' || i), 1, 15)) AS BIGINT) % 1024 AS INT) AS p
+        |  FROM customer CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |  WHERE c_nationkey < 5),
+        |words AS (
+        |  SELECT p // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << (p % 32)) AS word
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT c_custkey, c_nationkey, i,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || '#' || i), 1, 15)) AS BIGINT) % 1024 AS INT) AS p
+        |  FROM customer CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |checks AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    bool_and(((COALESCE(word, 0) >> (p % 32)) & 1) = 1) AS maybe
+        |  FROM probe LEFT JOIN words ON words.w = p // 32
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, maybe AS bloom_maybe,
+        |  c_nationkey < 5 AS is_member
+        |FROM checks""".stripMargin,
 
     "sketch_kmv_setops" ->
       """WITH ha AS (
