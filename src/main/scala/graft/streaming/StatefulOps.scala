@@ -386,6 +386,25 @@ object StatefulOps {
       }
   }
 
+  // ---- queryable state ----------------------------------------------------
+
+  /** Point-in-time external view of a stateful query's keyed state — the
+    * reference's `asQueryableState` (`KeyedStream.java:294`: expose keyed
+    * state to out-of-band readers). Spark's analog is the state-store
+    * DATA SOURCE: any stateful query that ran with a checkpoint location
+    * exposes its per-key state as a batch DataFrame, readable while the
+    * query runs or after it stops — reads go to the checkpoint files, so
+    * they never contend with the hot path (the reference's queryable-state
+    * server proxies live state instead; same contract, different
+    * freshness: here the view is as-of the last committed batch). */
+  def queryableState(spark: org.apache.spark.sql.SparkSession,
+                     checkpointDir: String,
+                     batchId: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("statestore")
+    batchId.foreach(b => r.option("batchId", b))
+    r.load(checkpointDir)
+  }
+
   // ---- connected streams / CoProcessFunction ------------------------------
 
   /** Tagged element of a two-typed connected stream. */

@@ -409,6 +409,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("queryable state: the state-store source exposes per-key aggregation state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstate").toString
+    val input = mem()
+    val agg = input.toDS().groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("qstate_sink")
+      .outputMode("update").option("checkpointLocation", dir).start()
+    try {
+      input.addData(ev(1, 1, 1), ev(2, 2, 1), ev(3, 3, 2))
+      q.processAllAvailable()
+      input.addData(ev(4, 4, 1))
+      q.processAllAvailable()
+      def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.selectExpr("key.user_id", "value.*").collect()
+          .map(r => r.getLong(0) -> r.getLong(r.length - 1)).toMap
+      // current state: as-of the last committed batch
+      assert(counts(StatefulOps.queryableState(spark, dir)) ==
+        Map(1L -> 3L, 2L -> 1L))
+      // point-in-time: as-of batch 0, user 1 had seen two events
+      assert(counts(StatefulOps.queryableState(spark, dir, Some(0L))) ==
+        Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("retract adapter reclaims superseded snapshot generations") {
     import spark.implicits._
     def batchDf(rows: (Long, Long)*) = rows.toSeq.toDF("user_id", "n")
