@@ -386,6 +386,41 @@ object StatefulOps {
       }
   }
 
+  // ---- punctuated watermarks ----------------------------------------------
+
+  case class PunctOut(event_id: Long, user_id: Long, ts_ms: Long,
+                      wm_ms: Long, is_late: Boolean)
+
+  /** Punctuated watermarks (reference `AssignerWithPunctuatedWatermarks` /
+    * `TimestampsAndPunctuatedWatermarksOperator.java`): `punct` inspects
+    * every record and may emit a watermark; the watermark only advances
+    * (max), and — as in the reference, where the watermark is emitted
+    * AFTER the element — a record is judged against the watermark
+    * established by the records BEFORE it. Spark's own watermark stays
+    * the derived global bound; what it cannot express is exactly this
+    * per-record decision, reproduced here as a per-key state machine
+    * (O(1) state: the current watermark). Records are processed in
+    * arrival order within each micro-batch, so results are
+    * arrival-order-defined and spec-verified under controlled
+    * MemoryStream batches, like the proc-time operators. */
+  def punctuatedLateTag(events: Dataset[EventRow])
+                       (punct: EventRow => Option[Long]): Dataset[PunctOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
+          var wm = state.getOption.getOrElse(Long.MinValue)
+          val out = it.map { e =>
+            val row = PunctOut(e.event_id, key, e.ts.getTime, wm,
+              e.ts.getTime < wm)
+            punct(e).foreach(w => wm = math.max(wm, w))
+            row
+          }.toVector
+          state.update(wm)
+          out.iterator
+      }
+  }
+
   // ---- queryable state ----------------------------------------------------
 
   /** Point-in-time external view of a stateful query's keyed state — the

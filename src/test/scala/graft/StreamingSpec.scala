@@ -409,6 +409,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("punctuated watermarks: marker records advance the per-key watermark") {
+    import spark.implicits._
+    val input = mem()
+    // records of type "wm" are punctuations carrying their own timestamp
+    val out = StatefulOps.punctuatedLateTag(input.toDS()) { e =>
+      if (e.event_type == "wm") Some(e.ts.getTime) else None
+    }
+    val q = out.toDF().writeStream.format("memory").queryName("punct_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 5, 9), ev(2, 10, 9, typ = "wm"), ev(3, 8, 9))
+      q.processAllAvailable()
+      // the watermark persists across batches; it never regresses
+      input.addData(ev(4, 12, 9), ev(5, 7, 9, typ = "wm"), ev(6, 9, 9))
+      q.processAllAvailable()
+      val rows = spark.table("punct_test").as[StatefulOps.PunctOut]
+        .collect().sortBy(_.event_id)
+      assert(rows.map(r => r.event_id -> r.is_late).toSeq == Seq(
+        1L -> false, // nothing established yet
+        2L -> false, // the punctuation itself is judged before it applies
+        3L -> true,  // minute 8 behind the minute-10 watermark
+        4L -> false,
+        5L -> true,  // late punctuation: judged late AND cannot regress wm
+        6L -> true), s"${rows.toSeq}")
+      assert(rows.last.wm_ms == rows(3).wm_ms,
+        "a lower punctuation must not move the watermark backwards")
+    } finally q.stop()
+  }
+
   test("queryable state: the state-store source exposes per-key aggregation state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qstate").toString
