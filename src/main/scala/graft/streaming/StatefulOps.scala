@@ -126,6 +126,83 @@ object StatefulOps {
       }
   }
 
+  /** Per-element trigger decisions (reference `windowing/triggers/
+    * Trigger.java` → `TriggerResult.java`: CONTINUE / FIRE /
+    * FIRE_AND_PURGE / PURGE). `onElement` sees the window contents with
+    * the new element already appended, exactly the reference's
+    * element-then-decide order. */
+  sealed trait TriggerResult
+  case object Continue extends TriggerResult
+  case object Fire extends TriggerResult
+  case object FireAndPurge extends TriggerResult
+  case object Purge extends TriggerResult
+
+  trait WindowTrigger extends Serializable {
+    def onElement(win: Seq[(Long, Long)]): TriggerResult
+  }
+
+  /** reference `CountTrigger.java` — fire every n elements (purging by
+    * default; `purge = false` keeps the window growing, the
+    * GlobalWindows + non-purging-count shape). */
+  final case class CountFireTrigger(n: Int, purge: Boolean = true)
+    extends WindowTrigger {
+    override def onElement(win: Seq[(Long, Long)]): TriggerResult =
+      if (win.length >= n) { if (purge) FireAndPurge else Fire } else Continue
+  }
+
+  /** reference `DeltaTrigger.java` — fire when the arriving element's
+    * value deviates from the window's first element by at least the
+    * threshold (pinned anchor: the window head — deterministic and
+    * state-free, where the reference anchors on its stored last-fired
+    * element). */
+  final case class DeltaFireTrigger(thresholdCents: Long)
+    extends WindowTrigger {
+    override def onElement(win: Seq[(Long, Long)]): TriggerResult =
+      if ((win.last._2 - win.head._2).abs >= thresholdCents) FireAndPurge
+      else Continue
+  }
+
+  /** GlobalWindows + custom [[WindowTrigger]] (+ optional [[Evictor]]) —
+    * the reference's fully-custom windowing triple
+    * (`GlobalWindows.java` assigner, `Trigger.java`, `Evictor.java`):
+    * elements accumulate per key until the trigger fires; FIRE emits the
+    * (evicted) window aggregate and keeps the contents, FIRE_AND_PURGE
+    * emits and clears, PURGE clears silently. Per-element decisions are
+    * arrival-order-defined, so this is spec-verified under controlled
+    * MemoryStream batches like the proc-time operators. State is the
+    * window contents + firing counter. */
+  def triggeredGlobalWindows(events: Dataset[EventRow],
+                             trigger: WindowTrigger,
+                             evictor: Option[Evictor] = None)
+      : Dataset[CountWindowOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[CountWindowState]) =>
+          val prev = state.getOption.getOrElse(CountWindowState(Nil, Nil, 0L))
+          var win = prev.pendingTs.zip(prev.pendingCents)
+          var fired = prev.emitted
+          val out = scala.collection.mutable.ArrayBuffer[CountWindowOut]()
+          def emit(): Unit = {
+            val kept = evictor.map(_.evict(win)).getOrElse(win)
+            out += CountWindowOut(key, fired, kept.length, kept.map(_._2).sum)
+            fired += 1
+          }
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            win = win :+ (e.ts.getTime -> math.round(e.value * 100))
+            trigger.onElement(win) match {
+              case Continue     =>
+              case Purge        => win = Nil
+              case Fire         => emit()
+              case FireAndPurge => emit(); win = Nil
+            }
+          }
+          state.update(CountWindowState(win.map(_._1).toList,
+            win.map(_._2).toList, fired))
+          out.iterator
+      }
+  }
+
   /** Sliding count windows (reference `KeyedStream.countWindow(size,
     * slide)` `KeyedStream.java:425` = GlobalWindows + CountTrigger(slide)
     * + CountEvictor(size)): every `slide` arrivals per key, emit the

@@ -409,6 +409,60 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("custom window triggers: count equivalence, delta firing, non-purging growth") {
+    import spark.implicits._
+    import StatefulOps.{CountFireTrigger, DeltaFireTrigger}
+    // CountFireTrigger(2) must reproduce tumbling count windows of 2
+    val in1 = mem()
+    val q1 = StatefulOps.triggeredGlobalWindows(in1.toDS(), CountFireTrigger(2))
+      .toDF().writeStream.format("memory").queryName("trig_count")
+      .outputMode("append").start()
+    try {
+      in1.addData(ev(1, 1, 1, value = 1.0), ev(2, 2, 1, value = 2.0),
+        ev(3, 3, 1, value = 3.0))
+      q1.processAllAvailable()
+      in1.addData(ev(4, 4, 1, value = 4.0)) // completes the second window
+      q1.processAllAvailable()
+      val rows = spark.table("trig_count").as[StatefulOps.CountWindowOut]
+        .collect().sortBy(_.win_idx)
+      assert(rows.map(r => (r.win_idx, r.n_events, r.sum_cents)).toSeq ==
+        Seq((0L, 2, 300L), (1L, 2, 700L)), s"${rows.toSeq}")
+    } finally q1.stop()
+    // DeltaTrigger: fire when a value deviates >= 2.00 from the window head
+    val in2 = mem()
+    val q2 = StatefulOps.triggeredGlobalWindows(in2.toDS(),
+        DeltaFireTrigger(200L))
+      .toDF().writeStream.format("memory").queryName("trig_delta")
+      .outputMode("append").start()
+    try {
+      in2.addData(ev(11, 1, 2, value = 1.0), ev(12, 2, 2, value = 1.5),
+        ev(13, 3, 2, value = 3.2), ev(14, 4, 2, value = 3.3))
+      q2.processAllAvailable()
+      val rows = spark.table("trig_delta").as[StatefulOps.CountWindowOut]
+        .collect()
+      // fires once at 3.2 (|320-100| >= 200), window {1.0,1.5,3.2}; 3.3
+      // starts the next window and stays pending
+      assert(rows.map(r => (r.win_idx, r.n_events, r.sum_cents)).toSeq ==
+        Seq((0L, 3, 570L)), s"${rows.toSeq}")
+    } finally q2.stop()
+    // non-purging count: the window keeps growing across fires
+    val in3 = mem()
+    val q3 = StatefulOps.triggeredGlobalWindows(in3.toDS(),
+        CountFireTrigger(2, purge = false))
+      .toDF().writeStream.format("memory").queryName("trig_grow")
+      .outputMode("append").start()
+    try {
+      in3.addData(ev(21, 1, 3, value = 1.0), ev(22, 2, 3, value = 1.0),
+        ev(23, 3, 3, value = 1.0))
+      q3.processAllAvailable()
+      val rows = spark.table("trig_grow").as[StatefulOps.CountWindowOut]
+        .collect().sortBy(_.win_idx)
+      // fires at every element from the 2nd on; contents never purge
+      assert(rows.map(r => (r.win_idx, r.n_events, r.sum_cents)).toSeq ==
+        Seq((0L, 2, 200L), (1L, 3, 300L)), s"${rows.toSeq}")
+    } finally q3.stop()
+  }
+
   test("punctuated watermarks: marker records advance the per-key watermark") {
     import spark.implicits._
     val input = mem()
