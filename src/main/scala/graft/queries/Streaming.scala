@@ -317,6 +317,15 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // GLOBAL streaming sort (full DataStreamSort shape: total order over
+    // the whole stream, watermark hold-back; parallelism-1 by semantics,
+    // as in the reference)
+    "stream_sorted_emit_global" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.sortedEmitGlobal(events(s, dir).as[EventRow]).toDF()
+      EventStream.runToTable(s, out, "append", statePartitions = 1)
+    }),
+
     // windowed stream coGroup (CoGroupedStreams): the two per-type streams
     // are unioned (stream-stream complete-mode joins are unsupported) and
     // co-aggregated per (key, window) — the per-window pairing of both
@@ -612,6 +621,13 @@ object Streaming extends QuerySet {
       """SELECT user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS BIGINT) AS seq_no,
+        |  event_id
+        |FROM events""".stripMargin,
+
+    // one synthetic key → a single global total order
+    "stream_sorted_emit_global" ->
+      """SELECT CAST(0 AS BIGINT) AS user_id,
+        |  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq_no,
         |  event_id
         |FROM events""".stripMargin,
 

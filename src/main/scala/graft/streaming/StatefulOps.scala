@@ -574,10 +574,25 @@ object StatefulOps {
     * the no-data batch AvailableNow runs before terminating, which with
     * `delay = 0 seconds` flushes everything — making the end-of-stream
     * result oracle-comparable). Requires `withWatermark` upstream. */
-  def sortedEmit(events: Dataset[EventRow], delay: String = "0 seconds"): Dataset[SortedOut] = {
+  def sortedEmit(events: Dataset[EventRow], delay: String = "0 seconds"): Dataset[SortedOut] =
+    sortedEmitBy(events, delay)(_.user_id)
+
+  /** GLOBAL time-ordered emit — the full DataStreamSort shape (`ORDER BY
+    * rowtime, tiebreak` over the whole stream): the same hold-back
+    * machinery with one synthetic key. A global total order has no
+    * parallel form — the reference's sort runtime is parallelism-1 for
+    * the same reason — so this is throughput-bounded by one state
+    * partition BY THE SEMANTICS; prefer the keyed [[sortedEmit]] whenever
+    * a key exists. Output key column is the constant 0. */
+  def sortedEmitGlobal(events: Dataset[EventRow],
+                       delay: String = "0 seconds"): Dataset[SortedOut] =
+    sortedEmitBy(events, delay)(_ => 0L)
+
+  private def sortedEmitBy(events: Dataset[EventRow], delay: String)
+                          (keyFn: EventRow => Long): Dataset[SortedOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", delay)
-      .groupByKey(_.user_id)
+      .groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, it: Iterator[EventRow], state: GroupState[SortBufState]) =>
           val prev = state.getOption.getOrElse(SortBufState(Nil, Nil, 0L))
