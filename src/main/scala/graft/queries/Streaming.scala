@@ -317,6 +317,20 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // streaming iterate() — the feedback loop closed at the source
+    // boundary (foreachBatch writes continuing rows back into its own
+    // file source; head/tail at micro-batch granularity): integer halving
+    // until zero, every visited row emitted. Value-oracled against a
+    // recursive CTE, so the loop's complete trajectory hash-matches
+    "stream_iterate_halving" -> ((s, dir) => {
+      val seed = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit(0L).as("iter"),
+          col("doc_id").as("value"))
+      graft.streaming.IterateStream.run(s, seed,
+        stepValue = _ => expr("CAST(value div 2 AS BIGINT)"),
+        continues = v => v > 0)
+    }),
+
     // GLOBAL streaming sort (full DataStreamSort shape: total order over
     // the whole stream, watermark hold-back; parallelism-1 by semantics,
     // as in the reference)
@@ -630,6 +644,15 @@ object Streaming extends QuerySet {
         |  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq_no,
         |  event_id
         |FROM events""".stripMargin,
+
+    // the loop's full trajectory: the recursive CTE is the sequential
+    // mirror of the feedback rounds
+    "stream_iterate_halving" ->
+      """WITH RECURSIVE it(id, iter, value) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), doc_id FROM documents
+        |  UNION ALL
+        |  SELECT id, iter + 1, value // 2 FROM it WHERE value > 0)
+        |SELECT id, iter, value FROM it""".stripMargin,
 
     "stream_window_cogroup" ->
       s"""WITH c AS (

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Streaming feedback loop — the reference's `DataStream.iterate()`
+  * (`DataStream.java:444`, `IterativeStream`): a stream whose tail feeds
+  * records back to its head until the feedback drains.
+  *
+  * Structured Streaming has no feedback edge in the query graph, so the
+  * loop is closed at the SOURCE boundary instead: every micro-batch routes
+  * its rows to the output sink AND writes the continuing rows as new
+  * parquet files back into its own file-source directory — head = the file
+  * source, tail = the feedback writer, exactly the reference's
+  * head/tail pairing at micro-batch granularity. All data movement is
+  * distributed writes; the driver only renames committed part files into
+  * the source listing (metadata ops) and watches progress for quiescence —
+  * the reference's loops likewise terminate only when the feedback edge
+  * goes silent.
+  *
+  * Rows are (id, iter, value) longs; `stepValue` maps a value to its
+  * successor and `continues` gates the feedback, so results are pure
+  * integer recurrences — value-oracle-comparable via a recursive CTE. */
+object IterateStream {
+
+  val rowSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("iter", LongType),
+    StructField("value", LongType)))
+
+  /** Move every committed part file of `srcDir` into `dstDir` under a
+    * unique prefix (rename — metadata only; the parquet bytes were written
+    * distributed). */
+  private def adoptParts(srcDir: String, dstDir: String, prefix: String): Unit = {
+    val listing = Files.list(Paths.get(srcDir))
+    val parts =
+      try listing.iterator().asScala.toVector
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, Paths.get(dstDir, s"$prefix-$i.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+  }
+
+  /** Run the loop from `seed` (id, iter, value) until quiescent; returns
+    * every row that ever flowed through the loop body (the reference's
+    * output edge taken at each superstep). */
+  def run(spark: SparkSession, seed: DataFrame,
+          stepValue: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          continues: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          timeoutMs: Long = 120000L): DataFrame = {
+    val base = Files.createTempDirectory("graft-iterate")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    Files.createDirectories(Paths.get(srcDir))
+    // seed files become the head's first batch
+    val stage = base.resolve("stage-seed").toString
+    seed.select(col("id").cast("long"), col("iter").cast("long"),
+      col("value").cast("long")).write.parquet(stage)
+    adoptParts(stage, srcDir, "seed")
+    val feedbackId = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = spark.readStream.schema(rowSchema).parquet(srcDir)
+    val q = graft.operators.PartitionOps.withShufflePartitions(spark, 4) {
+      stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val batch = b.persist()
+          try {
+            batch.write.mode("append").parquet(outDir) // output edge
+            val fb = batch.filter(continues(col("value")))
+              .select(col("id"), (col("iter") + 1).as("iter"),
+                stepValue(col("value")).as("value"))
+            if (!fb.isEmpty) {
+              val fbStage = base.resolve(
+                s"stage-fb-${feedbackId.incrementAndGet()}").toString
+              fb.write.parquet(fbStage) // distributed write...
+              adoptParts(fbStage, srcDir, // ...renamed into the head
+                s"fb-${feedbackId.get()}")
+            }
+          } finally batch.unpersist()
+        }
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+    }
+    try {
+      // quiescence = the feedback edge went silent: feedback files land in
+      // the source BEFORE a batch commits, so while data flows, batches
+      // chain back-to-back; once no new batch commits for a few trigger
+      // intervals after at least one ran, the loop has drained (the
+      // reference's loops likewise end only when feedback stops)
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var lastBatch = -1L
+      var lastChangeNs = System.nanoTime()
+      var ranAny = false
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val p = q.lastProgress
+        if (p != null && p.batchId != lastBatch) {
+          lastBatch = p.batchId
+          lastChangeNs = System.nanoTime()
+          if (p.numInputRows > 0) ranAny = true
+        }
+        // data rounds chain within ~one trigger interval; 2 s of silence
+        // is ~40 intervals of margin
+        done = ranAny && System.nanoTime() - lastChangeNs > 2000000000L
+      }
+      require(done, "feedback loop did not quiesce before the timeout")
+    } finally q.stop()
+    spark.read.parquet(outDir)
+  }
+}
