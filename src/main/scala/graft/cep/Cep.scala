@@ -49,20 +49,10 @@ object Cep {
     while (j < n) {
       val ev = events(j)
       if (validStart(j) && head.predicate(ev) && !head.until.exists(_(ev))) {
-        val firstTs = timeOf(ev)
-        var lastBound = j
-        var k = j + 1
-        var done = false
-        while (k < n && !done) {
-          val e2 = events(k)
-          if (head.until.exists(_(e2)) ||
-              pattern.withinMs.exists(w => timeOf(e2) - firstTs > w)) done = true
-          else if (head.predicate(e2)) { lastBound = k; k += 1 }
-          else if (head.strictInner) done = true
-          else k += 1
-        }
-        runs += ((j, lastBound))
-        j = math.max(k, j + 1)
+        val (idxs, _, stopPos) =
+          loopScan(events, head, j, timeOf(ev), pattern.withinMs, timeOf)
+        runs += ((j, idxs.last)) // idxs is non-empty: the start event binds
+        j = math.max(stopPos, j + 1)
       } else j += 1
     }
     runs.result()
@@ -75,6 +65,36 @@ object Cep {
   private final val StopUntil = 1    // until-event (not consumed)
   private final val StopWindow = 2   // event past firstTs + within
   private final val StopNonMatch = 3 // strict inner contiguity break
+
+  /** The one loop-run scan — [[headLoopSegments]], the matcher's run
+    * binding, and [[timedOut]]'s greedy walk all derive runs from here, so
+    * streaming emission, PAST_LAST pruning, and timeout partials cannot
+    * disagree on what a run is. From `from`: bind every matching event,
+    * skipping non-matching ones under relaxed inner contiguity (the
+    * reference default) or stopping at the first under `consecutive()`;
+    * every run stops at the first until-event (not consumed) and at the
+    * first event past `firstTs + within`. Returns (bound indices, stop
+    * reason, index of the stopping event — `events.length` at
+    * end-of-buffer). */
+  private def loopScan[T](events: IndexedSeq[T], s: Stage[T], from: Int,
+                          firstTs: Long, withinMs: Option[Long],
+                          timeOf: T => Long): (Vector[Int], Int, Int) = {
+    val n = events.length
+    val out = Vector.newBuilder[Int]
+    var j = from
+    var stop = StopEnd
+    var done = false
+    while (j < n && !done) {
+      val ev = events(j)
+      if (s.until.exists(_(ev))) { stop = StopUntil; done = true }
+      else if (withinMs.exists(w => timeOf(ev) - firstTs > w)) {
+        stop = StopWindow; done = true
+      } else if (s.predicate(ev)) { out += j; j += 1 }
+      else if (s.strictInner) { stop = StopNonMatch; done = true }
+      else j += 1
+    }
+    (out.result(), stop, j)
+  }
 
   /** As [[matchAll]], also yielding each match's start index and whether
     * the match is still OPEN — i.e. an event appended later (in order)
@@ -90,29 +110,6 @@ object Cep {
     val stages = pattern.stages
     require(stages.last.contiguity != RelaxedNot,
       "notFollowedBy cannot be the final pattern stage (reference Pattern.java:298)")
-
-    // The loop run from `from`: indices of the bound events plus the stop
-    // reason. Relaxed inner contiguity (the reference default) SKIPS
-    // non-matching events; `consecutive()` (strictInner) stops at the first
-    // one. Every run stops at the first until-event (not consumed) and at
-    // the first event outside the within window measured from the match's
-    // first bound event.
-    def runScan(s: Stage[T], from: Int, firstTs: Long): (Vector[Int], Int) = {
-      val out = Vector.newBuilder[Int]
-      var j = from
-      var stop = StopEnd
-      var done = false
-      while (j < n && !done) {
-        val ev = events(j)
-        if (s.until.exists(_(ev))) { stop = StopUntil; done = true }
-        else if (pattern.withinMs.exists(w => timeOf(ev) - firstTs > w)) {
-          stop = StopWindow; done = true
-        } else if (s.predicate(ev)) { out += j; j += 1 }
-        else if (s.strictInner) { stop = StopNonMatch; done = true }
-        else j += 1
-      }
-      (out.result(), stop)
-    }
 
     // Pending notFollowedBy predicates: no event in [from, to) may match
     // any. Events SKIPPED inside a relaxed run are not re-checked — the
@@ -173,7 +170,8 @@ object Cep {
                     bindings :+ (s.name -> b), ft, open)
                 case q =>
                   val ft0 = if (firstTs < 0) timeOf(events(a)) else firstTs
-                  val (runIdx, stopReason) = runScan(s, a, ft0)
+                  val (runIdx, stopReason, _) =
+                    loopScan(events, s, a, ft0, pattern.withinMs, timeOf)
                   val len = runIdx.length
                   // (k, binding still open?) choices. Only greedy-MAXIMAL
                   // bindings are unstable under append: a non-maximal
@@ -281,21 +279,10 @@ object Cep {
       throw new IllegalArgumentException("timedOut requires Pattern.within"))
     val maxTs = if (n == 0) Long.MinValue else timeOf(events(n - 1))
 
-    // Greedy run indices (same stop rules as the matcher: until, window,
-    // strict-inner break, end of buffer — relaxed skips non-matching).
-    def runIdx(s: Stage[T], from: Int, firstTs: Long): Vector[Int] = {
-      val out = Vector.newBuilder[Int]
-      var j = from
-      var done = false
-      while (j < n && !done) {
-        val ev = events(j)
-        if (s.until.exists(_(ev)) || timeOf(ev) - firstTs > w) done = true
-        else if (s.predicate(ev)) { out += j; j += 1 }
-        else if (s.strictInner) done = true
-        else j += 1
-      }
-      out.result()
-    }
+    // Greedy run indices — the shared scan (until, window, strict-inner
+    // break, end of buffer; relaxed skips non-matching).
+    def runIdx(s: Stage[T], from: Int, firstTs: Long): Vector[Int] =
+      loopScan(events, s, from, firstTs, pattern.withinMs, timeOf)._1
 
     // Greedy single-path walk; returns bound prefix and whether it completed.
     def walk(i0: Int): (Vector[(String, Vector[T])], Boolean) = {

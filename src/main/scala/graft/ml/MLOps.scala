@@ -87,11 +87,11 @@ object MLOps {
       (featureCols.indices.map(i => s"x$i") :+ "y"): _*).persist()
     try {
       val n = data.count().toDouble
+      require(n > 0, "fitLinearRegressionSgd: empty training set " +
+        "(sum aggregates would be NULL and the gradient undefined)")
       var w = Array.fill(k + 1)(0.0)
       for (it <- 1 to iterations) {
-        val pred = featureCols.indices
-          .map(i => col(s"x$i") * lit(w(i)))
-          .foldLeft(lit(w(k)).cast("double"): Column)(_ + _)
+        val pred = linearPredict(featureCols.indices.map(i => s"x$i"), w)
         val resid = pred - col("y")
         val aggs = featureCols.indices.map(i => sum(resid * col(s"x$i"))) :+
           sum(resid)
@@ -106,15 +106,21 @@ object MLOps {
     } finally data.unpersist()
   }
 
+  /** The inlined linear form `b + Σ wᵢ·xᵢ` of a fitted model
+    * (coefficients :+ intercept) — the one fitted-transform expression
+    * shared by the regression stages, the SGD gradient loop, and
+    * [[squaredLoss]], so numeric behavior cannot drift between them. */
+  def linearPredict(featureCols: Seq[String], w: Array[Double]): Column =
+    featureCols.zipWithIndex
+      .map { case (c, i) => col(c).cast("double") * lit(w(i)) }
+      .foldLeft(lit(w(featureCols.length)).cast("double"): Column)(_ + _)
+
   /** Mean squared loss of a linear model (coefficients :+ intercept) — the
     * objective [[fitLinearRegressionSgd]] descends; exposed for the
     * convergence properties in MLSpec. */
   def squaredLoss(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   w: Array[Double]): Double = {
-    val pred = featureCols.zipWithIndex
-      .map { case (c, i) => col(c).cast("double") * lit(w(i)) }
-      .foldLeft(lit(w(featureCols.length)).cast("double"): Column)(_ + _)
-    val resid = pred - col(labelCol).cast("double")
+    val resid = linearPredict(featureCols, w) - col(labelCol).cast("double")
     df.agg(avg(resid * resid)).head().getDouble(0)
   }
 

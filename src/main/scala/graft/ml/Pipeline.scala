@@ -89,9 +89,7 @@ final case class LinearRegressionStage(featureCols: Seq[String],
   extends PipelineStage {
   override def fit(train: DataFrame): DataFrame => DataFrame = {
     val coef = MLOps.fitLinearRegression(train, featureCols, labelCol)
-    in => in.withColumn(outCol,
-      featureCols.zipWithIndex.map { case (c, i) => col(c) * lit(coef(i)) }
-        .reduceLeft(_ + _) + lit(coef.last))
+    in => in.withColumn(outCol, MLOps.linearPredict(featureCols, coef))
   }
 }
 
@@ -112,8 +110,6 @@ final case class SgdRegressionStage(featureCols: Seq[String],
   override def fit(train: DataFrame): DataFrame => DataFrame = {
     val coef = MLOps.fitLinearRegressionSgd(train, featureCols, labelCol,
       iterations, stepSize, l2, constantStep)
-    in => in.withColumn(outCol,
-      featureCols.zipWithIndex.map { case (c, i) => col(c) * lit(coef(i)) }
-        .reduceLeft(_ + _) + lit(coef.last))
+    in => in.withColumn(outCol, MLOps.linearPredict(featureCols, coef))
   }
 }

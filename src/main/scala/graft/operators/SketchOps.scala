@@ -111,7 +111,7 @@ object SketchOps {
           .cast("int")))
 
   /** Build the filter over `keyCol` of `build`: per-row bitmap words
-    * (word w = OR of the key's hash bits landing in [64w, 64w+64))
+    * (word w = OR of the key's hash bits landing in [32w, 32w+32))
     * aggregated with `bit_or` — associative, so Spark runs it partial +
     * final with map-side combine like any built-in. Returns the
     * `BloomWords` filter words: ONE tiny row, broadcastable at any scale. */
@@ -127,7 +127,9 @@ object SketchOps {
       .agg(bit_or(col("w0")).as("w0"),
         (1 until BloomWords).map(i => bit_or(col(s"w$i")).as(s"w$i")): _*)
       .head()
-    (0 until BloomWords).map(r.getLong)
+    // bit_or over zero rows is NULL per word — the empty build side's
+    // filter is all zeroes (nothing was ever inserted)
+    (0 until BloomWords).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
   }
 
   /** Membership pre-filter (the reason a Bloom filter exists at 100 TB:
@@ -140,12 +142,14 @@ object SketchOps {
   def bloomProbe(build: DataFrame, keyCol: Column,
                  probe: DataFrame, probeCol: Column): DataFrame = {
     val filter = bloomBuild(build, keyCol)
+    // the filter is a 32-element constant: index it with element_at
+    // (1-based) rather than a 32-arm CASE chain per hash function
+    val words = filter.map(w => s"CAST($w AS BIGINT)")
+      .mkString("array(", ",", ")")
     val verdict = (0 until BloomHashes).map { i =>
-      val wordExpr = (0 until BloomWords).map(w =>
-        s"CASE WHEN _p$i div $BloomBitsPerWord = $w " +
-          s"THEN CAST(${filter(w)} AS BIGINT) " +
-          "ELSE CAST(0 AS BIGINT) END").mkString("(", " | ", ")")
-      expr(s"(shiftright($wordExpr, _p$i % $BloomBitsPerWord) & 1) = 1")
+      expr(s"(shiftright(element_at($words, " +
+        s"CAST((_p$i div $BloomBitsPerWord) + 1 AS INT)), " +
+        s"_p$i % $BloomBitsPerWord) & 1) = 1")
     }.reduce(_ && _)
     withPositions(probe, probeCol)
       .withColumn("bloom_maybe", verdict)

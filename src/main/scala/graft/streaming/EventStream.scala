@@ -133,12 +133,22 @@ object EventStream {
       .select(col("user_id")).collect().map(_.getLong(0))
     val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getByName("127.0.0.1"))
+    // PrintWriter never throws — a broken pipe mid-feed would silently drop
+    // rows and the wait loop below would stall to its deadline with a
+    // generic "incomplete" message; surface the real cause instead
+    val feedError = new java.util.concurrent.atomic.AtomicReference[String](null)
     val feeder = new Thread(() => {
-      val sock = server.accept()
-      val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")))
-      try { userIds.foreach(out.println); out.flush() }
-      finally { sock.close(); server.close() }
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")))
+        try {
+          userIds.foreach(out.println)
+          out.flush()
+          if (out.checkError()) feedError.set("socket write failed mid-feed")
+        } finally sock.close()
+      } catch { case e: Throwable => feedError.set(e.toString) }
+      finally server.close()
     }, "graft-socket-feeder")
     feeder.setDaemon(true)
     feeder.start()
@@ -155,11 +165,17 @@ object EventStream {
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
       val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-      while (total() < userIds.length && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        if (total() < userIds.length) Thread.sleep(50)
+      try {
+        while (feedError.get == null && total() < userIds.length &&
+               System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          if (total() < userIds.length) Thread.sleep(50)
+        }
+      } finally {
+        q.stop()
+        server.close() // idempotent; unblocks a feeder still in accept()
       }
-      q.stop()
+      require(feedError.get == null, s"socket feeder failed: ${feedError.get}")
       require(total() == userIds.length,
         s"socket replay incomplete: ${total()} of ${userIds.length} rows")
     }

@@ -100,6 +100,10 @@ object IterateStream {
       var done = false
       while (!done && System.nanoTime() < deadline) {
         Thread.sleep(100)
+        // stream death is an error, never quiescence: without this check a
+        // failed query stops committing batches and the silence timer would
+        // return partial output as success
+        q.exception.foreach(e => throw e)
         val p = q.lastProgress
         if (p != null && p.batchId != lastBatch) {
           lastBatch = p.batchId
@@ -107,9 +111,15 @@ object IterateStream {
           if (p.numInputRows > 0) ranAny = true
         }
         // data rounds chain within ~one trigger interval; 2 s of silence
-        // is ~40 intervals of margin
-        done = ranAny && System.nanoTime() - lastChangeNs > 2000000000L
+        // is ~40 intervals of margin. lastProgress only advances on batch
+        // COMMIT, so silence alone cannot distinguish "drained" from "one
+        // slow batch still running" — also require no trigger in flight
+        // and no data waiting at the poll instant
+        val st = q.status
+        done = ranAny && !st.isTriggerActive && !st.isDataAvailable &&
+          System.nanoTime() - lastChangeNs > 2000000000L
       }
+      q.exception.foreach(e => throw e)
       require(done, "feedback loop did not quiesce before the timeout")
     } finally q.stop()
     spark.read.parquet(outDir)
