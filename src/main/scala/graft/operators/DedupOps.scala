@@ -265,6 +265,32 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
   }
 
+  /** Benchmark decontamination — the gate that keeps held-out eval data
+    * out of a training corpus: a corpus document is contaminated when it
+    * shares at least `minOverlap` distinct word n-gram shingles with ANY
+    * document of the `benchmark` set. The benchmark side reduces to its
+    * distinct shingle-hash set — tiny by nature (an eval set is a rounding
+    * error next to a training corpus) — and is broadcast, so the corpus
+    * side pays one shingle explode plus a map-side-combined per-doc count:
+    * no corpus shuffle on the join key at all. Returns every corpus doc
+    * with its overlapping-shingle count and the keep verdict. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, minOverlap: Long = 1L): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("str"))
+      .select(col("id"), stableHash(col("str")).as("s"))
+    val benchSet = sh(benchmark).select(col("s")).distinct()
+    // per-doc shingles are distinct pre-join, so the count IS the number
+    // of distinct contaminated shingles
+    val hits = sh(corpus).join(broadcast(benchSet), Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol))
+      .join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("is_clean", col("hits") < minOverlap)
+  }
+
   /** End-to-end corpus dedup: exact layer (digest groups keep the lowest
     * id) then near-dup layer (MinHash LSH candidates with estimated
     * jaccard ≥ `minJaccard`; the higher id of each pair is dropped — the

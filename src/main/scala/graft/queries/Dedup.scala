@@ -54,6 +54,17 @@ object Dedup extends QuerySet {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(docs(s, dir))),
 
+    // benchmark decontamination: every 97th doc plays the held-out eval
+    // set; the rest is the training corpus, flagged when it shares >= 2
+    // distinct 3-gram shingles with any benchmark doc
+    "corpus_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        minOverlap = 2L)
+    }),
+
     // fuzzy dedup: SimHash blocking proposes, exact levenshtein confirms
     "dedup_edit_distance" -> ((s, dir) =>
       DedupOps.editDistancePairs(docs(s, dir), maxDist = 16)),
@@ -228,6 +239,21 @@ object Dedup extends QuerySet {
          |JOIN sizes s1 ON s1.id = id1
          |JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.2""".stripMargin,
+
+    "corpus_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT ${H("str")} AS s FROM (
+         |    SELECT unnest($Sh) AS str FROM documents WHERE doc_id % 97 = 0)),
+         |corp AS (
+         |  SELECT id, ${H("str")} AS s FROM (
+         |    SELECT doc_id AS id, unnest($Sh) AS str
+         |    FROM documents WHERE doc_id % 97 <> 0)),
+         |hits AS (
+         |  SELECT id, COUNT(*) AS n FROM corp JOIN bench USING (s) GROUP BY id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
+         |  COALESCE(h.n, 0) < 2 AS is_clean
+         |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+         |WHERE d.doc_id % 97 <> 0""".stripMargin,
 
     // survivors: exact-kept docs minus the higher id of every LSH pair with
     // est_jaccard >= 0.5 (greedy keep-first)

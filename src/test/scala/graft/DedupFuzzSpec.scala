@@ -101,6 +101,31 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("decontamination: overlap counts match local shingle-set intersection") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+    val bench = docsDf.filter(col("doc_id") % 5 === 0)
+    val benchSh = docsLocal.filter(_._1 % 5 == 0)
+      .flatMap(d => shingleSet(d._2)).toSet
+    val expected = docsLocal.filter(_._1 % 5 != 0).map { case (id, t) =>
+      id -> shingleSet(t).count(benchSh).toLong
+    }.toMap
+    // the duplicate forced at id 41 (copy of id 7) sits in the corpus while
+    // its twin's shingles may appear benchside via other docs — either way
+    // the count must equal the local set intersection exactly
+    val got = DedupOps.decontaminate(corpus, bench, minOverlap = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (hits, clean)) =>
+      assert(hits == expected(id), s"doc $id hits")
+      assert(clean == (hits < 2L), s"doc $id verdict")
+    }
+    // id 40 benchside is an exact copy of corpus doc 3, so doc 3's whole
+    // shingle set is contaminated — overlap is structurally guaranteed
+    assert(got.values.exists(_._1 > 0), "planted copy must produce overlap")
+  }
+
   test("simhash chunk blocking finds exactly the close-hamming pairs") {
     val width = 48
     // local mirror of DedupOps.simhash (same md5-based stable hash)
