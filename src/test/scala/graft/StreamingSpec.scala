@@ -592,4 +592,22 @@ class StreamingSpec extends SparkSpecBase {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
+
+  test("iterate stream: a failing step surfaces the error, not partial output") {
+    // batch 0's output lands before the feedback projection evaluates, so
+    // a drain detector watching commit silence alone would return it as a
+    // complete trajectory; the loop must rethrow the stream's death instead
+    val seed = spark.range(4).selectExpr("id", "CAST(0 AS LONG) AS iter",
+      "id + 1 AS value")
+    val ex = intercept[Exception] {
+      graft.streaming.IterateStream.run(spark, seed,
+        stepValue = _ => expr("CAST(raise_error('step failed') AS BIGINT)"),
+        continues = v => v > 0, timeoutMs = 60000L)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("step failed"),
+      s"expected the step's error in the failure chain, got:\n$msgs")
+  }
 }
