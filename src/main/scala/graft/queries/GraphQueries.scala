@@ -35,28 +35,41 @@ object GraphQueries extends QuerySet {
     Graph(vertices, edges)
   }
 
+  /** Iterative (superstep) algorithms pay per-round fixed cost per
+    * shuffle partition; the fixture's per-round state is thousands of
+    * rows, so run the driver loops at 8 partitions (cluster runs size to
+    * the frontier — same reasoning as the streaming state cap). */
+  private def capped[A](s: SparkSession)(f: => A): A =
+    graft.operators.PartitionOps.withShufflePartitions(s, 8)(f)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pointer-jumping CC down 10-chains: log-depth convergence (5 rounds
     // reach offset 8; plain propagation needs 10)
     "graph_cc_chain" -> ((s, dir) =>
-      GraphAlgorithms.connectedComponentsFast(chainGraph(s, dir), maxIter = 8)),
+      capped(s)(GraphAlgorithms.connectedComponentsFast(chainGraph(s, dir), maxIter = 8))),
 
     // star components around nation hubs
     "graph_cc_bipartite" -> ((s, dir) =>
-      GraphAlgorithms.connectedComponents(bipartiteGraph(s, dir), maxIter = 5)),
+      capped(s)(GraphAlgorithms.connectedComponents(bipartiteGraph(s, dir), maxIter = 5))),
 
-    // multi-source SSSP from every block head
+    // multi-source SSSP from every block head. The Bellman-Ford loop pays
+    // per-superstep fixed cost per shuffle partition (same reasoning as
+    // the streaming state cap / dedup pair-graph cap): the workset is
+    // thousands of rows here, so 8 partitions; a cluster run sizes it to
+    // the frontier instead
     "graph_sssp_chain" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       val sources = g.vertices.filter(col("vid") % 10 === 0)
-      GraphAlgorithms.shortestPaths(g, sources, maxIter = 15)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        GraphAlgorithms.shortestPaths(g, sources, maxIter = 15)
+      }
     }),
 
     // PageRank on the chain graph, integer-quantized so long sums are
     // associative and the DuckDB oracle hash-matches exactly (the chain's
     // in-degree ≤ 1 lets the oracle unroll the 5 iterations as CTEs)
     "graph_pagerank" -> ((s, dir) =>
-      GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5)),
+      capped(s)(GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5))),
 
     // degree statistics of the undirected chain graph
     // neighborhood aggregation (reduceOnNeighbors, direction ALL): per
@@ -81,7 +94,7 @@ object GraphQueries extends QuerySet {
     // labels are closed-form — customers carry the nation's max custkey,
     // hubs their own vid
     "graph_label_propagation" -> ((s, dir) =>
-      GraphAlgorithms.labelPropagation(bipartiteGraph(s, dir), maxIter = 4)),
+      capped(s)(GraphAlgorithms.labelPropagation(bipartiteGraph(s, dir), maxIter = 4))),
 
     // weighted community detection on the same star, edge weight
     // (custkey % 5) + 1: hubs vote for the max-weight (then max-id) customer
@@ -92,7 +105,7 @@ object GraphQueries extends QuerySet {
       val edges = cust.select(col("c_custkey").as("src"),
         (col("c_nationkey") + 1000000L).as("dst"),
         (col("c_custkey") % 5 + 1).cast("long").as("weight"))
-      GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4)
+      capped(s)(GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4))
     }),
 
     // FULL-score community detection (hop attenuation, quantized), 2
@@ -106,13 +119,13 @@ object GraphQueries extends QuerySet {
       val edges = cust.select(col("c_custkey").as("src"),
         (col("c_nationkey") + 1000000L).as("dst"),
         (col("c_custkey") % 5 + 1).cast("long").as("weight"))
-      GraphAlgorithms.communityDetectionExact(Graph(vertices, edges), maxIter = 2)
+      capped(s)(GraphAlgorithms.communityDetectionExact(Graph(vertices, edges), maxIter = 2))
     }),
 
     // HITS on the star graph, 2 unnormalized iterations: authority mass
     // concentrates on hubs (= nation size squared), hub mass on customers
     "graph_hits" -> ((s, dir) =>
-      GraphAlgorithms.hits(bipartiteGraph(s, dir), iters = 2)),
+      capped(s)(GraphAlgorithms.hits(bipartiteGraph(s, dir), iters = 2))),
 
     // neighborhood Jaccard on chain + skip-2 edges
     "graph_jaccard" -> ((s, dir) =>
