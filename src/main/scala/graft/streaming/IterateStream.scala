@@ -34,7 +34,10 @@ object IterateStream {
 
   /** Move every committed part file of `srcDir` into `dstDir` under a
     * unique prefix (rename — metadata only; the parquet bytes were written
-    * distributed). */
+    * distributed). NOTE: the listing cannot stand in for an emptiness
+    * check — Spark writes a schema-only part file even for a zero-row
+    * DataFrame (verified on 4.1), so the caller's `isEmpty` job is the
+    * only reliable "was there feedback?" signal. */
   private def adoptParts(srcDir: String, dstDir: String, prefix: String): Unit = {
     val listing = Files.list(Paths.get(srcDir))
     val parts =
@@ -65,10 +68,16 @@ object IterateStream {
       col("value").cast("long")).write.parquet(stage)
     adoptParts(stage, srcDir, "seed")
     val feedbackId = new java.util.concurrent.atomic.AtomicLong(0L)
+    // batchId of a committed batch that produced NO feedback rows: since
+    // feedback files land in the source before their batch commits and
+    // batches are sequential, such a batch is provably the loop's last —
+    // the poll loop can finish the instant it commits (fast path) instead
+    // of waiting out the silence window
+    val drainedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val stream = spark.readStream.schema(rowSchema).parquet(srcDir)
     val q = graft.operators.PartitionOps.withShufflePartitions(spark, 4) {
       stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
           val batch = b.persist()
           try {
             batch.write.mode("append").parquet(outDir) // output edge
@@ -81,10 +90,10 @@ object IterateStream {
               fb.write.parquet(fbStage) // distributed write...
               adoptParts(fbStage, srcDir, // ...renamed into the head
                 s"fb-${feedbackId.get()}")
-            }
+            } else drainedBatch.set(batchId)
           } finally batch.unpersist()
         }
-        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
         .start()
     }
     try {
@@ -116,8 +125,13 @@ object IterateStream {
         // slow batch still running" — also require no trigger in flight
         // and no data waiting at the poll instant
         val st = q.status
+        val silent = System.nanoTime() - lastChangeNs > 2000000000L
+        // fast path: the zero-feedback batch has committed — deterministic
+        // drain, no silence margin needed (the silence window stays as the
+        // fallback for runs whose last batch raced the progress poll)
+        val drained = p != null && p.batchId == drainedBatch.get()
         done = ranAny && !st.isTriggerActive && !st.isDataAvailable &&
-          System.nanoTime() - lastChangeNs > 2000000000L
+          (drained || silent)
       }
       q.exception.foreach(e => throw e)
       require(done, "feedback loop did not quiesce before the timeout")
