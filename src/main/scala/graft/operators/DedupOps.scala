@@ -164,6 +164,47 @@ object DedupOps {
           .cast("double") / NumPerm).as("est_jaccard"))
   }
 
+  /** Incremental near-duplicate detection: probe NEW documents against the
+    * band index of an EXISTING corpus snapshot — the per-ingest-batch shape
+    * a production pipeline actually runs (the full-corpus re-pair of
+    * [[minhashLshPairs]] is the bootstrap, this is the steady state). Only
+    * new×old candidates are generated: the snapshot is never self-joined
+    * (its intra-pairs were resolved when IT was ingested), so each ingest
+    * costs O(|new| + collisions), independent of |old|² — at 100 TB the
+    * old band index is precomputed once, stored bucketed on (band, bsig),
+    * and this probe is a co-located join against it. The hot-bucket cap is
+    * computed on the INDEX side (boilerplate buckets carry no near-dup
+    * signal and would make every future ingest pay their fan-out).
+    * Output: (new_id, old_id, n_bands, est_jaccard). */
+  def incrementalMinhashPairs(oldDocs: DataFrame, newDocs: DataFrame,
+                              textCol: String = "text", idCol: String = "doc_id",
+                              n: Int = 3, maxBandFreq: Long = 10000L): DataFrame = {
+    // signatures materialized once per side: the band explode and the
+    // est-jaccard join-back would otherwise each replay the md5 pipeline
+    val oldSigs = minhashSignatures(oldDocs, textCol, idCol, n).localCheckpoint()
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, n).localCheckpoint()
+    def bandsOf(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
+    val oldBands = bandsOf(oldSigs).localCheckpoint()
+    val hot = oldBands.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxBandFreq)
+      .select(col("band"), col("bsig"))
+    val idx = oldBands.join(hot, Seq("band", "bsig"), "left_anti")
+    val pairs = bandsOf(newSigs).as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .groupBy(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .agg(count(lit(1)).as("n_bands"))
+    pairs
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig1")), "new_id")
+      .join(oldSigs.select(col("id").as("old_id"), col("sig").as("sig2")), "old_id")
+      .select(col("new_id"), col("old_id"), col("n_bands"),
+        ((1 to NumPerm).map(i =>
+          when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+            .otherwise(0)).reduceLeft(_ + _)
+          .cast("double") / NumPerm).as("est_jaccard"))
+  }
+
   /** SimHash bits per document, relational formulation: explode tokens ×
     * bit positions, one md5 per (token, bit), majority vote per bit.
     * `width` ≤ 62 keeps the packed value in a signed 64-bit long.

@@ -69,6 +69,19 @@ object Dedup extends QuerySet {
     "dedup_edit_distance" -> ((s, dir) =>
       DedupOps.editDistancePairs(docs(s, dir), maxDist = 16)),
 
+    // incremental ingest dedup: every 3rd doc plays the incoming batch,
+    // probed against the band index of the remaining snapshot — only
+    // new×old pairs come out (the steady-state pipeline shape; the full
+    // re-pair above is the bootstrap)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.incrementalMinhashPairs(
+          d.filter(col("doc_id") % 3 =!= 0),
+          d.filter(col("doc_id") % 3 === 0))
+      }
+    }),
+
     // the exact all-pairs BASELINE, explicitly opted into (quadratic):
     // the fixture's pair spectrum tops out near cos 0.51, so the loose 0.4
     // threshold is brute-force territory by nature
@@ -148,6 +161,36 @@ object Dedup extends QuerySet {
          |FROM pairs
          |JOIN sig s1 ON s1.id = id1
          |JOIN sig s2 ON s2.id = id2""".stripMargin,
+
+    // same signature/band CTEs; the pair join is new-side (id%3=0) probing
+    // the old-side index (id%3!=0) — no a.id < b.id, the sides are disjoint
+    "dedup_incremental" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(1, 17), i ->
+         |      list_aggregate(list_transform($Sh, s ->
+         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+         |          % 1000000007), 'min')) AS sig
+         |  FROM documents),
+         |bands AS (
+         |  SELECT id,
+         |    CAST(unnest(range(4)) AS INT) AS band,
+         |    unnest(list_transform(range(4), b ->
+         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+         |  FROM sig),
+         |pairs AS (
+         |  SELECT a.id AS new_id, b.id AS old_id, COUNT(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.id % 3 = 0 AND b.id % 3 != 0
+         |  GROUP BY a.id, b.id)
+         |SELECT new_id, old_id, n_bands,
+         |  CAST(list_aggregate(list_transform(range(16), i ->
+         |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
+         |    AS DOUBLE) / 16 AS est_jaccard
+         |FROM pairs
+         |JOIN sig s1 ON s1.id = new_id
+         |JOIN sig s2 ON s2.id = old_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tk AS (

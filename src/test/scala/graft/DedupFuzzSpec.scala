@@ -77,6 +77,48 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(plantedPairs.subsetOf(brute))
   }
 
+  test("incremental minhash probe equals local new-vs-old band collisions") {
+    import spark.implicits._
+    // extend the corpus with duplicates planted ACROSS the split (id%3==0
+    // is the incoming batch): 43 (old side) copies doc 6 (new side), and
+    // 45 (new side) copies doc 8 (old side)
+    val all = docsLocal ++ Vector((43L, docsLocal(6)._2), (45L, docsLocal(8)._2))
+    val df = all.toDF("doc_id", "text")
+    val out = DedupOps.incrementalMinhashPairs(
+        df.filter($"doc_id" % 3 =!= 0), df.filter($"doc_id" % 3 === 0))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // local mirror: per-doc signature over DISTINCT shingles (min is
+    // idempotent over duplicates, so distinct matches the engine)
+    val P = DedupOps.MinHashP
+    def sig(t: String): Vector[Long] =
+      (1 to DedupOps.NumPerm).map { i =>
+        shingleSet(t).map { s =>
+          val h = stableHashLocal(s) % P
+          (h * (2 * i + 1) + i * 12582917L) % P
+        }.min
+      }.toVector
+    val sigs = all.map { case (id, t) => id -> sig(t) }.toMap
+    def bands(v: Vector[Long]): Vector[String] =
+      (0 until DedupOps.Bands).map(b =>
+        v.slice(b * DedupOps.RowsPerBand, (b + 1) * DedupOps.RowsPerBand)
+          .mkString("-")).toVector
+    val expected = (for {
+      (n, _) <- all if n % 3 == 0
+      (o, _) <- all if o % 3 != 0
+      nb = bands(sigs(n)).zip(bands(sigs(o))).count { case (x, y) => x == y }
+      if nb > 0
+    } yield {
+      val eq = sigs(n).zip(sigs(o)).count { case (x, y) => x == y }
+      (n, o, nb.toLong, eq.toDouble / DedupOps.NumPerm)
+    }).toSet
+    assert(out == expected)
+    // the planted cross-split duplicates must surface, oriented new→old
+    assert(out.exists(p => p._1 == 6L && p._2 == 43L))
+    assert(out.exists(p => p._1 == 45L && p._2 == 8L))
+  }
+
   test("exact dedup matches local grouping (min id kept, sizes right)") {
     val byText = docsLocal.groupBy(_._2)
     val got = DedupOps.exact(docsDf).collect()
