@@ -128,12 +128,17 @@ object DedupOps {
     * pair groupBy, both on small uniformly-hashed keys. */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3,
-                      maxBandFreq: Long = 10000L): DataFrame = {
+                      maxBandFreq: Long = 10000L,
+                      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     // materialize the signatures ONCE: the band explode + the two est-
     // jaccard joins would otherwise each replay the full md5 pipeline
     // (Catalyst plans self-join branches independently). localCheckpoint
     // cuts the plan; at cluster scale use persist(DISK_ONLY) instead.
-    val sigs = minhashSignatures(docs, textCol, idCol, n).localCheckpoint()
+    // `precomputedSigs` (id, sig) skips the stage entirely — the form a
+    // pipeline running several MinHash-family passes over one corpus uses
+    // (signatures are computed once and stored next to the corpus).
+    val sigs = precomputedSigs.getOrElse(
+      minhashSignatures(docs, textCol, idCol, n).localCheckpoint())
     // materialized once: the hot-bucket scan, the anti-join probe, and both
     // self-join sides would otherwise each replay the band explode
     val allBands = sigs.select(col("id"),
@@ -178,11 +183,18 @@ object DedupOps {
     * Output: (new_id, old_id, n_bands, est_jaccard). */
   def incrementalMinhashPairs(oldDocs: DataFrame, newDocs: DataFrame,
                               textCol: String = "text", idCol: String = "doc_id",
-                              n: Int = 3, maxBandFreq: Long = 10000L): DataFrame = {
+                              n: Int = 3, maxBandFreq: Long = 10000L,
+                              precomputedOldSigs: Option[DataFrame] = None,
+                              precomputedNewSigs: Option[DataFrame] = None): DataFrame = {
     // signatures materialized once per side: the band explode and the
-    // est-jaccard join-back would otherwise each replay the md5 pipeline
-    val oldSigs = minhashSignatures(oldDocs, textCol, idCol, n).localCheckpoint()
-    val newSigs = minhashSignatures(newDocs, textCol, idCol, n).localCheckpoint()
+    // est-jaccard join-back would otherwise each replay the md5 pipeline.
+    // In the steady state the snapshot side arrives precomputed (the
+    // stored band index's signature table) — pass it via
+    // `precomputedOldSigs` and only the incoming batch is hashed.
+    val oldSigs = precomputedOldSigs.getOrElse(
+      minhashSignatures(oldDocs, textCol, idCol, n).localCheckpoint())
+    val newSigs = precomputedNewSigs.getOrElse(
+      minhashSignatures(newDocs, textCol, idCol, n).localCheckpoint())
     def bandsOf(sigs: DataFrame) = sigs.select(col("id"),
       posexplode(bandSignatures(col("sig"))).as(Seq("band", "bsig")))
     val oldBands = bandsOf(oldSigs).localCheckpoint()

