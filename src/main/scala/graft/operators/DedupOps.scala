@@ -364,10 +364,18 @@ object DedupOps {
     * training-data run executes at scale. */
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
-                  minJaccard: Double = 0.5): DataFrame = {
+                  minJaccard: Double = 0.5,
+                  precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val kept = exact(docs, textCol, idCol).filter(col("is_kept"))
       .drop("is_kept", "group_size")
-    val drops = minhashLshPairs(kept, textCol, idCol)
+    // signatures are row-local, so a stored signature table restricted to
+    // the exact-kept survivors (a semi-join on id — far cheaper than
+    // re-hashing their text) serves the near-dup layer directly
+    val keptSigs = precomputedSigs.map(
+      _.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .localCheckpoint())
+    val drops = minhashLshPairs(kept, textCol, idCol,
+        precomputedSigs = keptSigs)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id2").as(idCol)).distinct()
     kept.join(drops, Seq(idCol), "left_anti")

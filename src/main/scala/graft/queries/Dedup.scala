@@ -128,7 +128,11 @@ object Dedup extends QuerySet {
     }),
 
     "dedup_pipeline" -> ((s, dir) =>
-      DedupOps.dedupCorpus(docs(s, dir)).select(col("doc_id"))),
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.dedupCorpus(docs(s, dir),
+            precomputedSigs = Some(minhashSigs(s, dir)))
+          .select(col("doc_id"))
+      }),
 
     // near-duplicate GROUPS, not just pairs: connected components over the
     // LSH candidate graph (est_jaccard >= 0.5) — the form a curation
