@@ -106,14 +106,8 @@ object DedupOps {
   }
 
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val hs = shingleHashes(docs, textCol, idCol, n)
-      .select(col("id"), (col("h") % MinHashP).as("h"))
-    hs.groupBy(col("id")).agg(
-      array((1 to NumPerm).map(i =>
-        min((col("h") * (2 * i + 1) + lit(i) * 12582917L) % MinHashP)): _*)
-        .as("sig"))
-  }
+                        idCol: String = "doc_id", n: Int = 3): DataFrame =
+    minhashSignaturesFromHashes(shingleHashes(docs, textCol, idCol, n))
 
   /** LSH band signatures: the K-wide signature cut into B bands of R values,
     * each band serialized to a join key. */
@@ -292,10 +286,29 @@ object DedupOps {
     * inter/union are integers, the division is a single rational→double step
     * — deterministic. The shingle self-join is the classic
     * inverted-index pattern: shuffle on shingle, never all-pairs. */
+  /** Per-doc DISTINCT shingle-hash set (id, h) — the shared raw material
+    * of the whole shingle family: MinHash signatures ([[minhashSignaturesFromHashes]]
+    * — `min` is insensitive to the dedup) and the exact-Jaccard inverted
+    * index both derive from it, so a pipeline stages ONE text scan. */
+  def shingleHashSet(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3): DataFrame =
+    shingleHashes(docs, textCol, idCol, n).distinct()
+
+  /** MinHash signatures from a precomputed (id, h) shingle-hash table —
+    * the post-text-scan half of [[minhashSignatures]]. */
+  def minhashSignaturesFromHashes(hashes: DataFrame): DataFrame = {
+    val hs = hashes.select(col("id"), (col("h") % MinHashP).as("h"))
+    hs.groupBy(col("id")).agg(
+      array((1 to NumPerm).map(i =>
+        min((col("h") * (2 * i + 1) + lit(i) * 12582917L) % MinHashP)): _*)
+        .as("sig"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
                         minJaccard: Double = 0.2,
-                        maxDocFreq: Long = 10000L): DataFrame = {
+                        maxDocFreq: Long = 10000L,
+                        precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // one tokenize+shingle pass feeds the index, the sizes, and both join
     // sides — materialize it instead of replaying the text pipeline 4x.
     // The index carries the md5-derived 60-bit hash of each shingle, not
@@ -304,10 +317,10 @@ object DedupOps {
     // corpus scale). Per-doc distinctness is applied on (id, hash) — a
     // (vanishingly rare) cross-doc collision merges two shingles
     // identically in every engine that uses the same hash — the DuckDB
-    // oracle does.
-    val sh = shingleHashes(docs, textCol, idCol, n)
-      .select(col("id"), col("h").as("s")).distinct()
-      .localCheckpoint()
+    // oracle does. `precomputedShingles` is a staged [[shingleHashSet]].
+    val sh = precomputedShingles.getOrElse(
+        shingleHashSet(docs, textCol, idCol, n).localCheckpoint())
+      .select(col("id"), col("h").as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // document-frequency cap: a stop-phrase shingle shared by k docs makes
     // that join key's output k²/2 — quadratic on one reducer. Shingles with

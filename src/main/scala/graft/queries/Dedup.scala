@@ -24,17 +24,35 @@ object Dedup extends QuerySet {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val sigsStage =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val shinglesStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-doc distinct shingle-hash set, staged once per (app, fixture):
+    * ONE tokenize+md5 text scan feeds the whole shingle family — the
+    * MinHash signatures derive from it relationally, and the exact-Jaccard
+    * inverted index joins on it directly. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "#" + dir
+    val path = shinglesStage.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-shingles").toString
+      DedupOps.shingleHashSet(docs(s, dir)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
   /** Per-doc MinHash signatures, staged once per (app, fixture): the
-    * signature pass (tokenize + md5 + 16 min-aggs) is the dominant cost of
-    * every MinHash-family query, and signatures are row-local — identical
-    * whether computed over the corpus or any subset, so the incremental
-    * query's old/new sides are filters over the same stage. */
+    * signature pass is the dominant cost of every MinHash-family query,
+    * and signatures are row-local — identical whether computed over the
+    * corpus or any subset, so the incremental query's old/new sides are
+    * filters over the same stage. Derived from the shingle stage, so the
+    * text is scanned once across the whole family. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val key = s.sparkContext.applicationId + "#" + dir
     val path = sigsStage.getOrElseUpdate(key, {
       val p = java.nio.file.Files
         .createTempDirectory("graft-minhash-sigs").toString
-      DedupOps.minhashSignatures(docs(s, dir)).write.mode("overwrite").parquet(p)
+      DedupOps.minhashSignaturesFromHashes(shingleSet(s, dir))
+        .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
@@ -71,7 +89,10 @@ object Dedup extends QuerySet {
       DedupOps.simhashPairs(DedupOps.simhash(docs(s, dir)))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccardPairs(docs(s, dir))),
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.ngramJaccardPairs(docs(s, dir),
+          precomputedShingles = Some(shingleSet(s, dir)))
+      }),
 
     // benchmark decontamination: every 97th doc plays the held-out eval
     // set; the rest is the training corpus, flagged when it shares >= 2
