@@ -249,10 +249,15 @@ object DedupOps {
     * touches near-identical texts. */
   def editDistancePairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
-                        maxDist: Int = 8): DataFrame = {
+                        maxDist: Int = 8,
+                        precomputedSimhash: Option[DataFrame] = None): DataFrame = {
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .localCheckpoint()
-    val cand = simhashPairs(simhash(docs, textCol, idCol))
+    // a staged (id, simhash) table serves blocking directly — the SimHash
+    // pass is shared across the whole SimHash family the same way the
+    // shingle stage serves the MinHash family
+    val cand = simhashPairs(precomputedSimhash.getOrElse(
+        simhash(docs, textCol, idCol)))
       .select(col("id1"), col("id2"))
     // thresholded levenshtein: the banded DP early-exits (returns -1) once
     // the distance provably exceeds maxDist — O(len·maxDist) instead of

