@@ -19,64 +19,43 @@ object Dedup extends QuerySet {
     * dedup queries over the same fixture computes it ONCE and stages the
     * (small) pair set as parquet — the shared-materialization shape a real
     * pipeline uses (parquet, not cached blocks, so per-query storage
-    * cleanup cannot drop it). Keyed per (app, fixture). */
-  private val pairsStage =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val sigsStage =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val shinglesStage =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    * cleanup cannot drop it). Keyed per (app, fixture); all staging I/O
+    * goes through [[graft.sources.StagingFs]] (Hadoop FileSystem API +
+    * configurable root), so the same stages work against a cluster FS. */
+  private def staged(s: SparkSession, dir: String, prefix: String)
+                    (build: String => Unit): DataFrame = {
+    val key = s.sparkContext.applicationId + "#" + dir + "#" + prefix
+    s.read.parquet(
+      graft.sources.StagingFs.stageOnce(s, key, prefix)(build))
+  }
   /** Per-doc distinct shingle-hash set, staged once per (app, fixture):
     * ONE tokenize+md5 text scan feeds the whole shingle family — the
     * MinHash signatures derive from it relationally, and the exact-Jaccard
     * inverted index joins on it directly. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "#" + dir
-    val path = shinglesStage.getOrElseUpdate(key, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-shingles").toString
+  private def shingleSet(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-shingles") { p =>
       DedupOps.shingleHashSet(docs(s, dir)).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-  private val simhashStage =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    }
   /** Per-doc SimHash values, staged once per (app, fixture): the token
     * explode + per-bit md5 votes dominate every SimHash-family query
     * (fingerprints, pair blocking, edit-distance candidates). */
-  private def simhashStaged(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "#" + dir
-    val path = simhashStage.getOrElseUpdate(key, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-simhash").toString
+  private def simhashStaged(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-simhash") { p =>
       DedupOps.simhash(docs(s, dir)).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
   /** Per-doc MinHash signatures, staged once per (app, fixture): the
     * signature pass is the dominant cost of every MinHash-family query,
     * and signatures are row-local — identical whether computed over the
     * corpus or any subset, so the incremental query's old/new sides are
     * filters over the same stage. Derived from the shingle stage, so the
     * text is scanned once across the whole family. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "#" + dir
-    val path = sigsStage.getOrElseUpdate(key, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-minhash-sigs").toString
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-minhash-sigs") { p =>
       DedupOps.minhashSignaturesFromHashes(shingleSet(s, dir))
         .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "#" + dir
-    val path = pairsStage.getOrElseUpdate(key, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-minhash-pairs").toString
+    }
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-minhash-pairs") { p =>
       // the candidate graph is orders smaller than the corpus: its band
       // join + est-jaccard joins pay per-partition fixed cost, so size the
       // shuffles to the pair set (same reasoning as the streaming state cap)
@@ -85,10 +64,7 @@ object Dedup extends QuerySet {
             precomputedSigs = Some(minhashSigs(s, dir)))
           .write.mode("overwrite").parquet(p)
       }
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>

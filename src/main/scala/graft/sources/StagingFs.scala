@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Cluster-portable staging I/O for the cross-query parquet stages and the
+  * streaming feedback/replay machinery.
+  *
+  * Every path operation goes through the Hadoop `FileSystem` API resolved
+  * from the staging root's own scheme, so the exact code that stages dedup
+  * signatures or adopts feedback part files on local[32] runs unchanged
+  * against HDFS / S3A / any Hadoop-compatible store: point
+  * `spark.graft.staging.root` at `hdfs:///tmp/graft` (or `s3a://…`) and the
+  * driver's stage writes land on storage every executor can read. With the
+  * conf unset the root is the local tmpdir via the `file:` scheme — same
+  * behavior the `java.nio` implementation had, proven by the unchanged
+  * oracle hashes.
+  *
+  * Stage directories are registered with the owning FileSystem's
+  * `deleteOnExit`, so the JVM-shutdown FileSystem close reclaims them — the
+  * lifetime-of-the-JVM temp leak the java.nio version had is gone.
+  */
+object StagingFs {
+
+  /** Staging root (any Hadoop-FS URI). Configurable per session via
+    * `spark.graft.staging.root`; defaults to the local tmpdir. */
+  def root(spark: SparkSession): Path = new Path(
+    spark.conf.getOption("spark.graft.staging.root")
+      .getOrElse("file:" + sys.props("java.io.tmpdir")))
+
+  /** FileSystem instance for `p`, resolved against the session's Hadoop
+    * configuration (picks up core-site/HDFS/S3 settings on a cluster). */
+  def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Create a fresh, unique staging directory under the root; registered
+    * for removal when the JVM's FileSystem instances close. */
+  def newStageDir(spark: SparkSession, prefix: String): String = {
+    val p = new Path(root(spark),
+      s"$prefix-${java.util.UUID.randomUUID().toString.take(13)}")
+    val f = fs(spark, p)
+    require(f.mkdirs(p), s"could not create staging dir $p")
+    f.deleteOnExit(p)
+    p.toString
+  }
+
+  /** Fixed-name staging directory under the root (for stamped caches that
+    * outlive a session, e.g. the multi-batch replay quarters). NOT
+    * delete-on-exit — the caller owns invalidation via [[readStamp]]. */
+  def namedStageDir(spark: SparkSession, name: String): Path =
+    new Path(root(spark), name)
+
+  // one holder per stage key; the lazy val inside the closure gives
+  // exactly-once build semantics without holding a ConcurrentHashMap bin
+  // lock for the duration of an expensive distributed write
+  private val stages = new ConcurrentHashMap[String, () => String]()
+
+  /** Build-once-per-key staging: the first caller for `key` creates a stage
+    * dir and runs `build` into it; every caller (including concurrent first
+    * callers) gets the same directory back once the build completes. */
+  def stageOnce(spark: SparkSession, key: String, prefix: String)
+               (build: String => Unit): String = {
+    val thunk = stages.computeIfAbsent(key, _ => {
+      lazy val dir: String = {
+        val d = newStageDir(spark, prefix)
+        build(d)
+        d
+      }
+      () => dir
+    })
+    thunk()
+  }
+
+  /** Committed `.parquet` part files of `srcDir`, in name order. */
+  def listParts(spark: SparkSession, srcDir: String): Seq[FileStatus] = {
+    val src = new Path(srcDir)
+    fs(spark, src).listStatus(src).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+  }
+
+  /** Move every committed part file of `srcDir` into `dstDir` under a
+    * unique prefix (FileSystem.rename — metadata only on HDFS/local; the
+    * parquet bytes were written distributed), then drop `srcDir`. */
+  def adoptParts(spark: SparkSession, srcDir: String, dstDir: String,
+                 prefix: String): Unit = {
+    val src = new Path(srcDir)
+    val f = fs(spark, src)
+    listParts(spark, srcDir).zipWithIndex.foreach { case (st, i) =>
+      val dst = new Path(dstDir, s"$prefix-$i.parquet")
+      require(f.rename(st.getPath, dst), s"rename ${st.getPath} -> $dst failed")
+    }
+    f.delete(src, true)
+  }
+
+  def exists(spark: SparkSession, p: Path): Boolean = fs(spark, p).exists(p)
+
+  def delete(spark: SparkSession, p: Path): Unit = fs(spark, p).delete(p, true)
+
+  def mkdirs(spark: SparkSession, p: Path): Unit = fs(spark, p).mkdirs(p)
+
+  /** mtime:size stamp of a source file — the staged-copy invalidation key. */
+  def fileStamp(spark: SparkSession, p: Path): String = {
+    val st = fs(spark, p).getFileStatus(p)
+    s"${st.getModificationTime}:${st.getLen}"
+  }
+
+  def readStamp(spark: SparkSession, p: Path): Option[String] = {
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  def writeStamp(spark: SparkSession, p: Path, value: String): Unit = {
+    val out = fs(spark, p).create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Copy one file (used to stage a read-only fixture file into a listable
+    * source directory — works across schemes, e.g. local fixture → HDFS). */
+  def copyFile(spark: SparkSession, src: Path, dst: Path): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ok = FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, true, conf)
+    require(ok, s"copy $src -> $dst failed")
+  }
+
+  /** Pin a file's modification time (micro-batch ordering for the file
+    * streaming source's mtime-ordered listing). */
+  def setMtime(spark: SparkSession, p: Path, mtimeMs: Long): Unit =
+    fs(spark, p).setTimes(p, mtimeMs, -1)
+}

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import org.apache.hadoop.fs.Path
+import graft.sources.StagingFs
+
 import java.sql.Timestamp
-import scala.jdk.CollectionConverters._
 
 /** Streaming ingestion of the `events` fixture + run helpers.
   *
@@ -36,25 +38,33 @@ object EventStream {
     * (integer ns→µs division — same as the batch loader).
     *
     * The file streaming source requires a directory; the fixture is a single
-    * read-only file, so it is staged once as a symlink in a scratch dir. */
+    * read-only file, so it is staged once as a stamped copy in the staging
+    * root (a copy, not a symlink — symlinks don't exist on HDFS/S3, and the
+    * copy works across schemes: local fixture → cluster staging root). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.install(spark)
-    spark.readStream.schema(rawSchema).parquet(stageDir(dir))
+    spark.readStream.schema(rawSchema).parquet(stageDir(spark, dir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def stageDir(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stage = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-src", Integer.toHexString(dir.hashCode))
-    val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) {
-      Files.createDirectories(stage)
-      Files.createSymbolicLink(link, src)
+  private def stageDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val src = new Path(dir, "events.parquet")
+      val stage = StagingFs.namedStageDir(spark,
+        "graft-stream-src-" + Integer.toHexString(dir.hashCode))
+      // mtime/size stamp invalidates the copy if the fixture regenerates at
+      // the same path; stamp lives OUTSIDE the dir the file source lists
+      val stampFile = new Path(stage.getParent, stage.getName + ".stamp")
+      val stampNow = StagingFs.fileStamp(spark, src)
+      val fresh = StagingFs.exists(spark, new Path(stage, "events.parquet")) &&
+        StagingFs.readStamp(spark, stampFile).contains(stampNow)
+      if (!fresh) {
+        StagingFs.mkdirs(spark, stage)
+        StagingFs.copyFile(spark, src, new Path(stage, "events.parquet"))
+        StagingFs.writeStamp(spark, stampFile, stampNow)
+      }
+      stage.toString
     }
-    stage.toString
-  }
 
   /** Deterministic MULTI-batch replay: the events fixture split into 4
     * time-quarter parquet files with strictly increasing modification
@@ -72,44 +82,38 @@ object EventStream {
 
   private def stageQuarters(spark: SparkSession, dir: String): String =
     synchronized {
-      import java.nio.file.{Files, Paths}
-      val stage = Paths.get(sys.props("java.io.tmpdir"),
-        "graft-stream-quarters", Integer.toHexString(dir.hashCode))
+      val stage = StagingFs.namedStageDir(spark,
+        "graft-stream-quarters-" + Integer.toHexString(dir.hashCode))
       // the staged quarters are COPIES — invalidate them when the source
       // fixture was regenerated at the same path (mtime/size stamp),
       // otherwise multi-batch queries would silently replay stale data
-      val src = Paths.get(dir, "events.parquet")
-      val stampNow = s"${Files.getLastModifiedTime(src).toMillis}:${Files.size(src)}"
+      val src = new Path(dir, "events.parquet")
+      val stampNow = StagingFs.fileStamp(spark, src)
       // sibling of the staged dir — the file streaming source lists every
       // file inside it, so the stamp must live outside
-      val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
-      val fresh = Files.exists(stage.resolve("q3.parquet")) &&
-        Files.exists(stampFile) &&
-        new String(Files.readAllBytes(stampFile), "UTF-8") == stampNow
+      val stampFile = new Path(stage.getParent, stage.getName + ".stamp")
+      val fresh = StagingFs.exists(spark, new Path(stage, "q3.parquet")) &&
+        StagingFs.readStamp(spark, stampFile).contains(stampNow)
       if (!fresh) {
-        Files.createDirectories(stage)
-        val raw = spark.read.schema(rawSchema)
-          .parquet(Paths.get(dir, "events.parquet").toString)
+        StagingFs.mkdirs(spark, stage)
+        val raw = spark.read.schema(rawSchema).parquet(src.toString)
           .withColumn("__q",
             ((dayofmonth(timestamp_micros(expr("ts div 1000"))) - 1) / 8)
               .cast("int"))
         (0 to 3).foreach { q =>
-          val tmpOut = stage.resolve(s"tmp_q$q")
+          val tmpOut = new Path(stage, s"tmp_q$q")
           raw.filter(col("__q") === q).drop("__q")
             .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val listing = Files.list(tmpOut)
-          val part =
-            try listing.iterator().asScala.toVector
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-            finally listing.close()
-          Files.move(part, stage.resolve(s"q$q.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val part = StagingFs.listParts(spark, tmpOut.toString).head.getPath
+          val dst = new Path(stage, s"q$q.parquet")
+          StagingFs.delete(spark, dst)
+          require(StagingFs.fs(spark, part).rename(part, dst),
+            s"rename $part -> $dst failed")
           // strictly increasing mtimes pin the micro-batch order
-          stage.resolve(s"q$q.parquet").toFile
-            .setLastModified(1700000000000L + q * 60000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
+          StagingFs.setMtime(spark, dst, 1700000000000L + q * 60000L)
+          StagingFs.delete(spark, tmpOut)
         }
-        Files.write(stampFile, stampNow.getBytes("UTF-8"))
+        StagingFs.writeStamp(spark, stampFile, stampNow)
       }
       stage.toString
     }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+import graft.sources.StagingFs
 
 /** Streaming feedback loop — the reference's `DataStream.iterate()`
   * (`DataStream.java:444`, `IterativeStream`): a stream whose tail feeds
@@ -32,24 +32,12 @@ object IterateStream {
     StructField("id", LongType), StructField("iter", LongType),
     StructField("value", LongType)))
 
-  /** Move every committed part file of `srcDir` into `dstDir` under a
-    * unique prefix (rename — metadata only; the parquet bytes were written
-    * distributed). NOTE: the listing cannot stand in for an emptiness
-    * check — Spark writes a schema-only part file even for a zero-row
-    * DataFrame (verified on 4.1), so the caller's `isEmpty` job is the
-    * only reliable "was there feedback?" signal. */
-  private def adoptParts(srcDir: String, dstDir: String, prefix: String): Unit = {
-    val listing = Files.list(Paths.get(srcDir))
-    val parts =
-      try listing.iterator().asScala.toVector
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      finally listing.close()
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, Paths.get(dstDir, s"$prefix-$i.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
-  }
+  // part-file adoption = StagingFs.adoptParts (FileSystem.rename — metadata
+  // only; the parquet bytes were written distributed). NOTE: the listing
+  // cannot stand in for an emptiness check — Spark writes a schema-only
+  // part file even for a zero-row DataFrame (verified on 4.1), so the
+  // caller's `isEmpty` job is the only reliable "was there feedback?"
+  // signal.
 
   /** Run the loop from `seed` (id, iter, value) until quiescent; returns
     * every row that ever flowed through the loop body (the reference's
@@ -58,15 +46,15 @@ object IterateStream {
           stepValue: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
           continues: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
           timeoutMs: Long = 120000L): DataFrame = {
-    val base = Files.createTempDirectory("graft-iterate")
-    val srcDir = base.resolve("src").toString
-    val outDir = base.resolve("out").toString
-    Files.createDirectories(Paths.get(srcDir))
+    val base = new Path(StagingFs.newStageDir(spark, "graft-iterate"))
+    val srcDir = new Path(base, "src").toString
+    val outDir = new Path(base, "out").toString
+    StagingFs.mkdirs(spark, new Path(srcDir))
     // seed files become the head's first batch
-    val stage = base.resolve("stage-seed").toString
+    val stage = new Path(base, "stage-seed").toString
     seed.select(col("id").cast("long"), col("iter").cast("long"),
       col("value").cast("long")).write.parquet(stage)
-    adoptParts(stage, srcDir, "seed")
+    StagingFs.adoptParts(spark, stage, srcDir, "seed")
     val feedbackId = new java.util.concurrent.atomic.AtomicLong(0L)
     // batchId of a committed batch that produced NO feedback rows: since
     // feedback files land in the source before their batch commits and
@@ -85,10 +73,10 @@ object IterateStream {
               .select(col("id"), (col("iter") + 1).as("iter"),
                 stepValue(col("value")).as("value"))
             if (!fb.isEmpty) {
-              val fbStage = base.resolve(
+              val fbStage = new Path(base,
                 s"stage-fb-${feedbackId.incrementAndGet()}").toString
               fb.write.parquet(fbStage) // distributed write...
-              adoptParts(fbStage, srcDir, // ...renamed into the head
+              StagingFs.adoptParts(spark, fbStage, srcDir, // ...renamed into the head
                 s"fb-${feedbackId.get()}")
             } else drainedBatch.set(batchId)
           } finally batch.unpersist()

@@ -33,11 +33,17 @@ import org.apache.spark.sql.types.StructType
   * block leak either way.
   */
 class RetractStream(keyCols: Seq[String],
-                    snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None) {
+                    snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None,
+                    compactEvery: Int = 0) {
 
-  private val baseDir = java.nio.file.Files
-    .createTempDirectory("graft-retract")
-  private val changelogDir = baseDir.resolve("changelog").toString
+  // staging dirs go through StagingFs (Hadoop FileSystem + configurable
+  // root) so changelog/snapshot generations live on cluster-readable
+  // storage; created lazily at the first batch (needs the session)
+  @volatile private var baseDir: String = _
+  @volatile private var clGen: Long = 0L
+  private def changelogDir =
+    new org.apache.hadoop.fs.Path(baseDir, s"changelog_gen_$clGen").toString
+  @volatile private var batchesInGen: Int = 0
   @volatile private var snap: Option[DataFrame] = None
   @volatile private var snapRdd: Option[org.apache.spark.rdd.RDD[Row]] = None
   @volatile private var snapGen: Long = -1L
@@ -50,6 +56,8 @@ class RetractStream(keyCols: Seq[String],
   def onBatch(batch: DataFrame, batchId: Long): Unit = {
     sparkRef = batch.sparkSession
     baseSchema = batch.schema
+    if (baseDir == null)
+      baseDir = graft.sources.StagingFs.newStageDir(sparkRef, "graft-retract")
     if (batch.isEmpty) return
     // the batch feeds both the changelog and the snapshot — cache it across
     // the two jobs instead of recomputing the micro-batch scan
@@ -66,6 +74,9 @@ class RetractStream(keyCols: Seq[String],
       changes.withColumn("__batch_id", lit(batchId))
         .write.mode("append").parquet(changelogDir)
       wroteAny = true
+      batchesInGen += 1
+      if (compactEvery > 0 && batchesInGen >= compactEvery)
+        compactChangelog()
       val nextPlan = snap match {
         case None       => b
         case Some(prev) =>
@@ -84,7 +95,8 @@ class RetractStream(keyCols: Seq[String],
           snapRdd = Some(rdd)
           sparkRef.createDataFrame(rdd, baseSchema)
         case None =>
-          val dir = baseDir.resolve(s"snap_gen_$snapGen").toString
+          val dir = new org.apache.hadoop.fs.Path(
+            baseDir, s"snap_gen_$snapGen").toString
           nextPlan.write.mode("overwrite").parquet(dir)
           sparkRef.read.parquet(dir)
       })
@@ -93,10 +105,34 @@ class RetractStream(keyCols: Seq[String],
       // storage pressure on a long-running stream)
       if (snapshotLevel.isDefined) prevRdd.foreach(_.unpersist())
       else if (prevGen >= 0)
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          baseDir.resolve(s"snap_gen_$prevGen").toFile)
+        graft.sources.StagingFs.delete(sparkRef,
+          new org.apache.hadoop.fs.Path(baseDir, s"snap_gen_$prevGen"))
     } finally b.unpersist()
   }
+
+  /** Rewrite the whole changelog into a fresh generation with one part file
+    * per shuffle partition, then drop the superseded generation — the same
+    * generational hygiene the snapshot has. Without this, append-per-batch
+    * grows the changelog FILE COUNT with stream length (listing cost, tiny
+    * files) even though the byte volume is the true changelog size; with a
+    * `compactEvery` knob the file count is bounded by
+    * `compactEvery × partitions` regardless of how long the stream runs.
+    * Contents are untouched (pure rewrite) — StreamingSpec proves the
+    * post-compaction `changesDf` is row-identical. */
+  private def compactChangelog(): Unit = {
+    val old = changelogDir
+    val compacted = sparkRef.read.parquet(old).coalesce(1)
+    clGen += 1
+    compacted.write.mode("overwrite").parquet(changelogDir)
+    graft.sources.StagingFs.delete(sparkRef,
+      new org.apache.hadoop.fs.Path(old))
+    batchesInGen = 0
+  }
+
+  /** Part-file count of the live changelog generation (compaction
+    * observability; StreamingSpec asserts the bound). */
+  def changelogFileCount: Int =
+    graft.sources.StagingFs.listParts(sparkRef, changelogDir).size
 
   /** All (isAdd, row) changes emitted so far, ordered by (batch, key,
     * retract-before-add). Materializes the changelog — call at the consumer
@@ -142,9 +178,10 @@ object RetractStream {
     * state volume in a real deployment. */
   def run(agg: DataFrame, keyCols: Seq[String],
           statePartitions: Int = 4,
-          snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None)
+          snapshotLevel: Option[org.apache.spark.storage.StorageLevel] = None,
+          compactEvery: Int = 0)
       : RetractStream = {
-    val rs = new RetractStream(keyCols, snapshotLevel)
+    val rs = new RetractStream(keyCols, snapshotLevel, compactEvery)
     graft.operators.PartitionOps.withShufflePartitions(
       agg.sparkSession, statePartitions) {
       val q: StreamingQuery = agg.writeStream
