@@ -508,6 +508,17 @@ object Cep {
     require(pattern.withinMs.isDefined || retentionMs.isDefined || unboundedState,
       "unbounded CEP state: set Pattern.within or retentionMs (or pass " +
         "unboundedState = true to accept per-key buffers that grow with the stream)")
+    // retention alone cannot bound a greedy relaxed loop with no stop
+    // condition: its runs are held OPEN forever (any future matching event
+    // could extend them), so idle-state eviction would discard every run
+    // UNEMITTED — the query would silently produce zero matches. Reject the
+    // combination at construction instead of emitting nothing at runtime.
+    require(retentionMs.isEmpty || pattern.unclosableLoopStages.isEmpty,
+      s"retentionMs would silently drop every match: greedy loop stage(s) " +
+        s"${pattern.unclosableLoopStages.mkString("'", "', '", "'")} can never " +
+        "provably close — add Pattern.within or until(...) (or consecutive) " +
+        "so runs can finish, or drop retentionMs and accept unbounded state " +
+        "with unboundedState = true")
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: K, it: Iterator[T], state: GroupState[CepState[T]]) =>

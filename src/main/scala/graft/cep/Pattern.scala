@@ -214,6 +214,23 @@ final case class Pattern[T](stages: Vector[Stage[T]],
 
   def within(ms: Long): Pattern[T] = copy(withinMs = Some(ms))
 
+  /** Stages whose greedy loop runs can NEVER provably close without a
+    * `within` window: relaxed inner contiguity (no strict-inner break),
+    * no `until` stop condition, and a greedy-maximal quantifier (AtLeast,
+    * or a greedy TimesRange) — ANY future matching event could still
+    * extend such a run, so the streaming matcher holds it OPEN forever.
+    * Empty when `within` is set (the window closes every run). */
+  def unclosableLoopStages: Vector[String] =
+    if (withinMs.isDefined) Vector.empty
+    else stages.collect {
+      case s if s.isLoop && !s.isNegative && !s.strictInner &&
+        s.until.isEmpty && (s.quantifier match {
+          case AtLeast(_, _)            => true
+          case TimesRange(_, _, greedy) => greedy
+          case _                        => false
+        }) => s.name
+    }
+
   /** Attach an after-match skip strategy (reference passes it to
     * `Pattern.begin(name, skipStrategy)`; fluent here). */
   def afterMatchSkip(s: SkipStrategy): Pattern[T] = copy(skip = s)

@@ -89,6 +89,13 @@ object MLOps {
       val n = data.count().toDouble
       require(n > 0, "fitLinearRegressionSgd: empty training set " +
         "(sum aggregates would be NULL and the gradient undefined)")
+      // null features/labels would silently drop out of the sum aggregates
+      // (skewing the gradient) or NPE when the aggregate row is read —
+      // reject them up front with an actionable message
+      val complete = data.na.drop().count().toDouble
+      require(complete == n,
+        s"fitLinearRegressionSgd: ${(n - complete).toLong} rows have NULL " +
+          "features/labels — filter or impute before fitting")
       var w = Array.fill(k + 1)(0.0)
       for (it <- 1 to iterations) {
         val pred = linearPredict(featureCols.indices.map(i => s"x$i"), w)

@@ -121,7 +121,7 @@ object Dedup extends QuerySet {
     // the exact all-pairs BASELINE, explicitly opted into (quadratic):
     // the fixture's pair spectrum tops out near cos 0.51, so the loose 0.4
     // threshold is brute-force territory by nature
-    "dedup_embedding_cosine" -> ((s, dir) =>
+    "dedup_embedding_cosine_baseline" -> ((s, dir) =>
       DedupOps.embeddingCosinePairs(embs(s, dir), bruteForce = true)),
 
     // the DEFAULT blocked path (multi-band hyperplane LSH + exact rerank)
@@ -218,11 +218,16 @@ object Dedup extends QuerySet {
          |    unnest(list_transform(range(4), b ->
          |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
          |  FROM sig),
+         |hot AS (
+         |  SELECT band, bsig FROM bands WHERE id % 3 != 0
+         |  GROUP BY band, bsig HAVING COUNT(*) > 10000),
          |pairs AS (
          |  SELECT a.id AS new_id, b.id AS old_id, COUNT(*) AS n_bands
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bsig = b.bsig
          |  WHERE a.id % 3 = 0 AND b.id % 3 != 0
+         |    AND NOT EXISTS (SELECT 1 FROM hot h
+         |      WHERE h.band = b.band AND h.bsig = b.bsig)
          |  GROUP BY a.id, b.id)
          |SELECT new_id, old_id, n_bands,
          |  CAST(list_aggregate(list_transform(range(16), i ->
@@ -438,7 +443,7 @@ object Dedup extends QuerySet {
         |    i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm), 6)
         |  > 0.9""".stripMargin,
 
-    "dedup_embedding_cosine" ->
+    "dedup_embedding_cosine_baseline" ->
       """WITH v AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
         |    sqrt(list_aggregate(list_transform(range(64),

@@ -43,6 +43,33 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, agg, "complete")
     }),
 
+    // queryable state (reference `KeyedStream.asQueryableState`,
+    // KeyedStream.java:745-812): a keyed aggregation's state read back
+    // OUT-OF-BAND through the state-store source, not through the query's
+    // own sink. The sink here is noop — every emitted row is discarded —
+    // so the only way these values can be correct is if the per-key STATE
+    // in the checkpoint matches the batch aggregate, which is exactly the
+    // queryable-state contract. Reads hit checkpoint files, never the hot
+    // path (the reference proxies live state; same contract, the view here
+    // is as-of the last committed batch).
+    "stream_queryable_state" -> ((s, dir) => {
+      val ckpt = graft.sources.StagingFs.newStageDir(s, "graft-qstate")
+      val agg = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        val q = agg.writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // state buffer fields for count/sum are named `count`/`sum`
+      StatefulOps.queryableState(s, ckpt)
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"), col("value.sum").as("sum_cents"))
+    }),
+
     // session windows with 30-minute gap (merging session state)
     "stream_session" -> ((s, dir) => {
       val agg = events(s, dir)
@@ -394,6 +421,11 @@ object Streaming extends QuerySet {
          |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_running_agg" ->
+      s"""SELECT user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    // the checkpointed state must equal the batch aggregate per key
+    "stream_queryable_state" ->
       s"""SELECT user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM events GROUP BY user_id""".stripMargin,
 

@@ -132,7 +132,23 @@ object StagingFs {
   }
 
   /** Pin a file's modification time (micro-batch ordering for the file
-    * streaming source's mtime-ordered listing). */
-  def setMtime(spark: SparkSession, p: Path, mtimeMs: Long): Unit =
-    fs(spark, p).setTimes(p, mtimeMs, -1)
+    * streaming source's mtime-ordered listing).
+    *
+    * `FileSystem.setTimes` is a silent no-op on stores that don't support
+    * it (the base implementation does nothing, and S3A never overrides it),
+    * which would make the "deterministic" replay order arbitrary — so the
+    * mtime is read back and verified. Deterministic multi-batch replay
+    * therefore requires a filesystem with real setTimes semantics (local,
+    * HDFS); on an object-store staging root this fails fast instead of
+    * silently reordering micro-batches. */
+  def setMtime(spark: SparkSession, p: Path, mtimeMs: Long): Unit = {
+    val f = fs(spark, p)
+    f.setTimes(p, mtimeMs, -1)
+    val actual = f.getFileStatus(p).getModificationTime
+    require(actual == mtimeMs,
+      s"setTimes($p) did not take effect (mtime=$actual, wanted=$mtimeMs): " +
+        "the staging root's filesystem does not support setTimes — " +
+        "deterministic multi-batch replay needs local/HDFS staging, " +
+        "not an object store")
+  }
 }

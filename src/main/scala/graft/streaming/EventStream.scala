@@ -24,18 +24,35 @@ object EventStream {
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double, props: String)
 
-  /** Raw parquet schema — ts is INT64 TIMESTAMP(NANOS), read as long (the
-    * session sets spark.sql.legacy.parquet.nanosAsLong). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Streamed schema for the staged raw fixture copy. The fixture's `ts`
+    * physical type has varied across driver generations — INT64
+    * TIMESTAMP(NANOS) (readable only as LongType via
+    * spark.sql.legacy.parquet.nanosAsLong) vs native TIMESTAMP(MICROS)
+    * (TimestampType) — so the streamed schema must match what the file
+    * actually stores; a LongType schema over a µs file would re-divide
+    * already-µs values and compress event time 1000×. */
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming view of `events` with a proper µs TimestampType `ts`
-    * (integer ns→µs division — same as the batch loader).
+  /** The fixture's physical `ts` type, from the parquet footer — one
+    * driver-side read, same detection as the batch loader
+    * (`Tables.normalizeEvents`). LongType for legacy INT64-nanos files
+    * (via nanosAsLong); Timestamp(NTZ)Type for native timestamp[us]. */
+  private def fixtureTsType(spark: SparkSession, dir: String): DataType =
+    spark.read.parquet(new Path(dir, "events.parquet").toString)
+      .schema("ts").dataType
+
+  /** Streaming view of `events` with a µs `ts` of TimestampType (LTZ) —
+    * normalized per the fixture's ACTUAL physical type: LongType nanos →
+    * integer ns→µs division; native timestamp → pass-through/cast. The
+    * streamed type is always LTZ because Spark's event-time machinery
+    * (`withWatermark`) rejects TIMESTAMP_NTZ, and the sessions run UTC so
+    * the NTZ→LTZ cast is value-faithful.
     *
     * The file streaming source requires a directory; the fixture is a single
     * read-only file, so it is staged once as a stamped copy in the staging
@@ -43,8 +60,15 @@ object EventStream {
     * copy works across schemes: local fixture → cluster staging root). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.install(spark)
-    spark.readStream.schema(rawSchema).parquet(stageDir(spark, dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = fixtureTsType(spark, dir)
+    val df = spark.readStream.schema(rawSchema(tsType))
+      .parquet(stageDir(spark, dir))
+    tsType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private def stageDir(spark: SparkSession, dir: String): String =
@@ -60,7 +84,17 @@ object EventStream {
         StagingFs.readStamp(spark, stampFile).contains(stampNow)
       if (!fresh) {
         StagingFs.mkdirs(spark, stage)
-        StagingFs.copyFile(spark, src, new Path(stage, "events.parquet"))
+        // copy to a temp name OUTSIDE the listed dir, then rename into
+        // place: a second JVM sharing the staging root can never list a
+        // partially written events.parquet (the synchronized block only
+        // serializes within one JVM); stamp written only after the rename
+        val tmp = new Path(stage.getParent,
+          stage.getName + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        StagingFs.copyFile(spark, src, tmp)
+        val dst = new Path(stage, "events.parquet")
+        StagingFs.delete(spark, dst)
+        require(StagingFs.fs(spark, tmp).rename(tmp, dst),
+          s"rename $tmp -> $dst failed")
         StagingFs.writeStamp(spark, stampFile, stampNow)
       }
       stage.toString
@@ -74,13 +108,20 @@ object EventStream {
     * changelogs) are data-determined and oracle-comparable. */
   def readMultiBatch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.install(spark)
-    spark.readStream.schema(rawSchema)
+    // the quarters are staged ALREADY NORMALIZED to TimestampType (LTZ) —
+    // no per-format unit branch here, the rewrite absorbed it
+    spark.readStream.schema(rawSchema(TimestampType))
       .option("maxFilesPerTrigger", 1)
       .parquet(stageQuarters(spark, dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def stageQuarters(spark: SparkSession, dir: String): String =
+  /** Stamp format version: bumped when the staged layout changes meaning
+    * (v3 = quarters store normalized LTZ TimestampType ts), so stages
+    * produced by an older build are invalidated even if the fixture itself
+    * did not change. */
+  private val stampVersion = "v3|"
+
+  private[graft] def stageQuarters(spark: SparkSession, dir: String): String =
     synchronized {
       val stage = StagingFs.namedStageDir(spark,
         "graft-stream-quarters-" + Integer.toHexString(dir.hashCode))
@@ -88,7 +129,7 @@ object EventStream {
       // fixture was regenerated at the same path (mtime/size stamp),
       // otherwise multi-batch queries would silently replay stale data
       val src = new Path(dir, "events.parquet")
-      val stampNow = StagingFs.fileStamp(spark, src)
+      val stampNow = stampVersion + StagingFs.fileStamp(spark, src)
       // sibling of the staged dir — the file streaming source lists every
       // file inside it, so the stamp must live outside
       val stampFile = new Path(stage.getParent, stage.getName + ".stamp")
@@ -96,10 +137,19 @@ object EventStream {
         StagingFs.readStamp(spark, stampFile).contains(stampNow)
       if (!fresh) {
         StagingFs.mkdirs(spark, stage)
-        val raw = spark.read.schema(rawSchema).parquet(src.toString)
-          .withColumn("__q",
-            ((dayofmonth(timestamp_micros(expr("ts div 1000"))) - 1) / 8)
-              .cast("int"))
+        // the batch loader already normalizes ts for any fixture format;
+        // writing its output makes the quarters format-independent
+        val raw = graft.Tables.load(spark, dir, "events")
+          .select(rawSchema(LongType).fieldNames.toSeq.map(col): _*)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("__q", ((dayofmonth(col("ts")) - 1) / 8).cast("int"))
+        // a quarter with zero rows means the replay silently degenerates to
+        // fewer real micro-batches (r5 failure mode) — fail loudly instead
+        val qCounts = raw.groupBy(col("__q")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require((0 to 3).forall(q => qCounts.getOrElse(q, 0L) > 0L),
+          s"degenerate quarter split (rows per quarter: $qCounts) — " +
+            "fixture ts range no longer spans the expected month")
         (0 to 3).foreach { q =>
           val tmpOut = new Path(stage, s"tmp_q$q")
           raw.filter(col("__q") === q).drop("__q")
@@ -135,24 +185,37 @@ object EventStream {
   def socketCounts(spark: SparkSession, dir: String): DataFrame = {
     val userIds = graft.Tables.load(spark, dir, "events")
       .select(col("user_id")).collect().map(_.getLong(0))
-    val server = new java.net.ServerSocket(0, 1,
+    val server = new java.net.ServerSocket(0, 8,
       java.net.InetAddress.getByName("127.0.0.1"))
     // PrintWriter never throws — a broken pipe mid-feed would silently drop
     // rows and the wait loop below would stall to its deadline with a
     // generic "incomplete" message; surface the real cause instead
     val feedError = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val feedsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // ACCEPT LOOP, full replay per connection: the source owns exactly one
+    // live connection at a time, but it may connect more than once (query
+    // (re)initialization races) — a single accept would feed a dead socket
+    // and stall the wait loop to its 120 s deadline. Rows written to a
+    // connection the source abandoned are discarded with that source
+    // instance, so replaying the full fixture per accept stays exact.
     val feeder = new Thread(() => {
       try {
-        val sock = server.accept()
-        val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")))
-        try {
-          userIds.foreach(out.println)
-          out.flush()
-          if (out.checkError()) feedError.set("socket write failed mid-feed")
-        } finally sock.close()
-      } catch { case e: Throwable => feedError.set(e.toString) }
-      finally server.close()
+        while (!server.isClosed) {
+          val sock = server.accept()
+          try {
+            val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"),
+              1 << 16))
+            userIds.foreach(out.println)
+            out.flush()
+            if (out.checkError()) feedError.set("socket write failed mid-feed")
+            else feedsDone.incrementAndGet()
+          } finally sock.close()
+        }
+      } catch {
+        case _: Throwable if server.isClosed => // normal shutdown
+        case e: Throwable => feedError.set(e.toString)
+      }
     }, "graft-socket-feeder")
     feeder.setDaemon(true)
     feeder.start()
@@ -170,10 +233,18 @@ object EventStream {
       }
       val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
       try {
+        // let one full feed land in the source's receive buffer BEFORE the
+        // first poll — the whole fixture then processes in one or two
+        // micro-batches instead of one per 50 ms poll tick (each complete-
+        // mode micro-batch pays a full state commit + sink rewrite)
+        while (feedsDone.get == 0 && feedError.get == null &&
+               System.nanoTime() < deadline) Thread.sleep(10)
         while (feedError.get == null && total() < userIds.length &&
                System.nanoTime() < deadline) {
           q.processAllAvailable()
-          if (total() < userIds.length) Thread.sleep(50)
+          // the source's reader thread can lag the feeder's flush; poll
+          // gently — stragglers are the exception, not the steady state
+          if (total() < userIds.length) Thread.sleep(100)
         }
       } finally {
         q.stop()

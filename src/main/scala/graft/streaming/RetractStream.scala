@@ -110,29 +110,37 @@ class RetractStream(keyCols: Seq[String],
     } finally b.unpersist()
   }
 
-  /** Rewrite the whole changelog into a fresh generation with one part file
-    * per shuffle partition, then drop the superseded generation — the same
+  /** Rewrite the whole changelog into a fresh generation coalesced to a
+    * single part file, then drop the superseded generation — the same
     * generational hygiene the snapshot has. Without this, append-per-batch
     * grows the changelog FILE COUNT with stream length (listing cost, tiny
     * files) even though the byte volume is the true changelog size; with a
     * `compactEvery` knob the file count is bounded by
     * `compactEvery × partitions` regardless of how long the stream runs.
     * Contents are untouched (pure rewrite) — StreamingSpec proves the
-    * post-compaction `changesDf` is row-identical. */
+    * post-compaction `changesDf` is row-identical and the bound holds.
+    *
+    * `clGen` advances only AFTER the compacted generation is fully
+    * written: a mid-write failure leaves the pointer on the old (complete)
+    * generation instead of a half-written one. */
   private def compactChangelog(): Unit = {
     val old = changelogDir
     val compacted = sparkRef.read.parquet(old).coalesce(1)
+    val newDir = new org.apache.hadoop.fs.Path(
+      baseDir, s"changelog_gen_${clGen + 1}").toString
+    compacted.write.mode("overwrite").parquet(newDir)
     clGen += 1
-    compacted.write.mode("overwrite").parquet(changelogDir)
     graft.sources.StagingFs.delete(sparkRef,
       new org.apache.hadoop.fs.Path(old))
     batchesInGen = 0
   }
 
   /** Part-file count of the live changelog generation (compaction
-    * observability; StreamingSpec asserts the bound). */
+    * observability; StreamingSpec asserts the bound). 0 before the first
+    * non-empty batch (no changelog generation exists yet). */
   def changelogFileCount: Int =
-    graft.sources.StagingFs.listParts(sparkRef, changelogDir).size
+    if (!wroteAny) 0
+    else graft.sources.StagingFs.listParts(sparkRef, changelogDir).size
 
   /** All (isAdd, row) changes emitted so far, ordered by (batch, key,
     * retract-before-add). Materializes the changelog — call at the consumer
@@ -158,12 +166,25 @@ class RetractStream(keyCols: Seq[String],
   def snapshotDf: Option[DataFrame] = snap
 
   /** The tagged changelog as a DataFrame — (batch_id, is_add, data columns),
-    * fully distributed (reads the parquet changelog the batches wrote). */
+    * fully distributed (reads the parquet changelog the batches wrote).
+    * Empty (with the right schema) before the first non-empty batch. */
   def changesDf: DataFrame = {
-    val df = sparkRef.read.parquet(changelogDir)
-    df.select(Seq(col("__batch_id").cast("int").as("batch_id"),
-      col("__is_add").as("is_add")) ++
-      baseSchema.fieldNames.toSeq.map(col): _*)
+    require(sparkRef != null,
+      "changesDf called before any micro-batch reached the adapter")
+    if (!wroteAny) {
+      val schema = StructType(
+        Seq(org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("is_add",
+            org.apache.spark.sql.types.BooleanType)) ++ baseSchema.fields)
+      sparkRef.createDataFrame(
+        sparkRef.sparkContext.emptyRDD[Row], schema)
+    } else {
+      val df = sparkRef.read.parquet(changelogDir)
+      df.select(Seq(col("__batch_id").cast("int").as("batch_id"),
+        col("__is_add").as("is_add")) ++
+        baseSchema.fieldNames.toSeq.map(col): _*)
+    }
   }
 }
 

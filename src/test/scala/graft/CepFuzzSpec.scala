@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cep.{Cep, NoSkip, Pattern, PatternMatch, SkipPastLastEvent}
+import graft.cep.{Cep, NoSkip, Pattern, PatternMatch, SkipPastLastEvent, SkipToFirst, SkipToLast}
 import graft.cep.Cep.CepState
 import graft.streaming.EventStream.EventRow
 
@@ -87,7 +87,22 @@ class CepFuzzSpec extends AnyFunSuite {
     // relaxed head loop + a following stage
     FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "a")
       .oneOrMore.until(_.event_type == "c")
-      .followedBy("t")(_.event_type == "b"), "c", 1))
+      .followedBy("t")(_.event_type == "b"), "c", 1),
+    // afterMatchSkip × relaxed loop × within co-variation: skip pruning
+    // must commute with arbitrary micro-batch splits when runs are closed
+    // by the window (gap 12 > within 10 guarantees end-of-stream closure)
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.within(10 * 1000L)
+      .afterMatchSkip(SkipPastLastEvent), "z", 12),
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.within(10 * 1000L)
+      .afterMatchSkip(SkipToLast("v")), "z", 12),
+    FuzzCase(Pattern.begin[EventRow]("s")(_.event_type == "a")
+      .followedBy("v")(_.event_type == "b").oneOrMore
+      .within(10 * 1000L).afterMatchSkip(SkipPastLastEvent), "z", 12),
+    FuzzCase(Pattern.begin[EventRow]("r")(_.event_type == "a")
+      .times(2, 3).greedy.within(8 * 1000L)
+      .afterMatchSkip(SkipToFirst("r")), "z", 10))
 
   test("chunked streaming emission equals the batch matcher (600 random runs)") {
     val rnd = new scala.util.Random(0xC0FFEE)
@@ -97,7 +112,11 @@ class CepFuzzSpec extends AnyFunSuite {
       val evs =
         if (base.isEmpty) base
         else base :+ e(9999L, tOf(base.last) / 1000L + fc.closerGapSec, fc.closerType)
-      val expect = Cep.matchAll(evs, fc.p, tOf).toVector.map(sig).sorted
+      // the batch reference = matchAll + the pattern's after-match skip,
+      // exactly what Cep.batch does (skip is a no-op under NoSkip)
+      val all = Cep.matchAll(evs, fc.p, tOf).toVector
+      val expect = Cep.applySkip[EventRow, PatternMatch[EventRow]](
+        all, identity, ord, fc.p.skip)._1.map(sig).sorted
       var st = CepState[EventRow](Vector.empty, Vector.empty)
       val got = Vector.newBuilder[String]
       randomChunks(rnd, evs).foreach { chunk =>

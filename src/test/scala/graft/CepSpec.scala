@@ -389,6 +389,41 @@ class CepSpec extends SparkSpecBase {
       unboundedState = true) { (k, m) => (k, m.first("a").event_id) }
   }
 
+  test("retention + unclosable greedy loop is rejected at construction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val ordFn = (x: EventRow) => (x.ts.getTime, x.event_id)
+    // a relaxed greedy loop with neither within nor until never closes a
+    // run; with retentionMs eviction would silently drop every OPEN run —
+    // the query would emit zero matches forever. Must fail fast instead.
+    val loop = Pattern.begin[EventRow]("v")(_.event_type == "click").oneOrMore
+    val ex = intercept[IllegalArgumentException] {
+      Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn, loop,
+        retentionMs = Some(60 * 1000L)) { (k, m) => (k, m.first("v").event_id) }
+    }
+    assert(ex.getMessage.contains("'v'"), ex.getMessage)
+    // each closing mechanism individually makes the same loop acceptable
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn,
+      loop.within(60 * 1000L)) { (k, m) => (k, m.first("v").event_id) }
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn,
+      loop.until(_.event_type == "purchase"), retentionMs = Some(60 * 1000L)) {
+      (k, m) => (k, m.first("v").event_id) }
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn,
+      loop.consecutive, retentionMs = Some(60 * 1000L)) {
+      (k, m) => (k, m.first("v").event_id) }
+    Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn, loop,
+      unboundedState = true) { (k, m) => (k, m.first("v").event_id) }
+    // greedy TimesRange can also stall open below its cap — same rejection
+    val greedyRange = Pattern.begin[EventRow]("r")(_.event_type == "click")
+      .times(2, 5).greedy
+    intercept[IllegalArgumentException] {
+      Cep.streaming(input.toDS(), (x: EventRow) => x.user_id, ordFn,
+        greedyRange, retentionMs = Some(60 * 1000L)) {
+        (k, m) => (k, m.first("r").event_id) }
+    }
+  }
+
   test("streaming CEP matches across micro-batch boundaries exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

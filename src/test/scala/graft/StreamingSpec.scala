@@ -544,6 +544,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(rsm.snapshot.map(_.getAs[Long]("n")) == Seq(3L))
   }
 
+  test("changelog compaction: changesDf row-identical, file count bounded") {
+    import spark.implicits._
+    def batchDf(rows: (Long, Long)*) = rows.toSeq.toDF("user_id", "n")
+    // reference run without compaction
+    val plain = new RetractStream(Seq("user_id"))
+    // compacted run: rewrite the changelog every 2 batches
+    val comp = new RetractStream(Seq("user_id"), compactEvery = 2)
+    // accessors before any batch: guarded, not NPE/FileNotFound
+    assert(comp.changelogFileCount == 0)
+    val batches = Seq(
+      Seq(1L -> 1L, 2L -> 1L), Seq(1L -> 2L), Seq(2L -> 2L, 3L -> 1L),
+      Seq(1L -> 3L, 3L -> 2L), Seq(2L -> 3L))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      plain.onBatch(batchDf(rows: _*), id.toLong)
+      comp.onBatch(batchDf(rows: _*), id.toLong)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getBoolean(1),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n"))).sortBy(t => (t._1, t._3, t._2))
+    // compaction is a pure rewrite — identical changelog contents
+    assert(key(comp.changesDf).toSeq == key(plain.changesDf).toSeq)
+    // bounded file count: at most compactEvery batches of appends since the
+    // last rewrite, plus the single compacted file
+    assert(comp.changelogFileCount <= 2 * 4 + 1,
+      s"file count ${comp.changelogFileCount} not bounded by compaction")
+    assert(comp.changelogFileCount < plain.changelogFileCount,
+      "compaction must reduce the live generation's file count")
+    // empty-adapter changesDf: empty with the right schema
+    val empty = new RetractStream(Seq("user_id"))
+    empty.onBatch(batchDf().limit(0), 0L)
+    assert(empty.changesDf.columns.take(2).toSeq == Seq("batch_id", "is_add"))
+    assert(empty.changesDf.count() == 0)
+  }
+
   test("coProcess: two connected streams share per-key state") {
     import spark.implicits._
     import StatefulOps.CoEvent
@@ -582,6 +616,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(spark.table("rate_smoke").columns.toSet == Set("timestamp", "value"))
       assert(spark.table("rate_smoke").count() > 0)
     } finally q.stop()
+  }
+
+  test("fixture ts invariant: streamed event time equals the batch loader's; quarters non-degenerate") {
+    // Guards the failure class that took out 14 oracle rows in round 5: the
+    // fixture's physical ts type changed (INT64-nanos -> native µs) and the
+    // streaming reader's hardcoded unit conversion silently compressed a
+    // month of event time into minutes. The batch loader (Tables.load) is
+    // the normalization reference; both streaming paths must agree with it.
+    // compare as LTZ instants: the batch loader may surface NTZ for native
+    // µs fixtures, while the streaming readers always normalize to LTZ
+    // (watermarks reject NTZ); under the UTC session the cast is faithful
+    val ltz = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(min(ltz), max(ltz), count(lit(1))).collect()(0)
+    for ((df, label) <- Seq(
+        EventStream.read(spark, sfDir) -> "read",
+        EventStream.readMultiBatch(spark, sfDir) -> "readMultiBatch")) {
+      val got = EventStream.runToTable(spark,
+        df.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"),
+          count(lit(1)).as("n")), "complete").collect()(0)
+      assert(got.getTimestamp(0) == batch.getTimestamp(0),
+        s"$label min(ts): ${got.getTimestamp(0)} != batch ${batch.getTimestamp(0)}")
+      assert(got.getTimestamp(1) == batch.getTimestamp(1),
+        s"$label max(ts): ${got.getTimestamp(1)} != batch ${batch.getTimestamp(1)}")
+      assert(got.getLong(2) == batch.getLong(2), s"$label row count")
+    }
+    // and the staged replay quarters must be a REAL multi-batch split —
+    // r5's bug landed every row in one quarter, collapsing the replay to a
+    // single micro-batch
+    val qdir = EventStream.stageQuarters(spark, sfDir)
+    (0 to 3).foreach { q =>
+      assert(spark.read.parquet(s"$qdir/q$q.parquet").count() > 0,
+        s"staged quarter q$q is empty — degenerate multi-batch replay")
+    }
   }
 
   test("end-of-stream file-source results equal batch semantics (smoke)") {
