@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.stableHash
+import graft.functions.GraftFunctions.{stableHash, stableHashMod}
 
 /** Deterministic distinct-count sketching (the "novel sketch" custom
   * aggregate of the LLM-pipeline extension; no reference counterpart —
@@ -154,5 +154,45 @@ object SketchOps {
     withPositions(probe, probeCol)
       .withColumn("bloom_maybe", verdict)
       .drop((0 until BloomHashes).map(i => s"_p$i"): _*)
+  }
+
+  // ---- Count-Min sketch ---------------------------------------------------
+
+  /** Count-Min sketch of a value column: a depth×width counter grid where
+    * cell (r, b) counts rows with stableHash(value + "#" + r) mod width
+    * == b. Built with one narrow map + ONE aggregation into depth×width
+    * cells — O(d·w) state regardless of input size, mergeable by
+    * cell-wise SUM (per-day / per-partition sketches combine without
+    * touching raw data, same algebra as KMV). All-integer md5 hashing,
+    * so the CELLS themselves are engine-reproducible and oracle-able. */
+  def countMin(df: DataFrame, value: Column,
+               depth: Int = 4, width: Long = 1024L): DataFrame =
+    df.select(value.cast("string").as("v"))
+      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        stableHashMod(concat(col("v"), lit("#"), col("r")), width).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Heavy hitters via Count-Min + candidate probe: estimate(v) = min over
+    * rows r of cell(r, h_r(v)) — an OVERcount (hash collisions only add),
+    * never an undercount, which the output demonstrates by carrying the
+    * exact count alongside (`est_count >= true_count` always; SketchSpec
+    * pins the invariant and the merge algebra). The sketch is d·w rows —
+    * broadcast to the candidate probe, so candidates never shuffle
+    * against it. Candidates here are the distinct values themselves; at
+    * open vocabulary a tracked candidate stream or sample plays that
+    * role and the sketch answers point queries the same way. */
+  def cmsHeavyHitters(df: DataFrame, value: Column, minEst: Long,
+                      depth: Int = 4, width: Long = 1024L): DataFrame = {
+    val sketch = countMin(df, value, depth, width)
+    df.select(value.cast("string").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("true_count"))
+      .select(col("v"), col("true_count"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b",
+        stableHashMod(concat(col("v"), lit("#"), col("r")), width))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("v"), col("true_count")).agg(min(col("c")).as("est_count"))
+      .filter(col("est_count") >= minEst)
   }
 }

@@ -117,6 +117,18 @@ object Aggregates extends QuerySet {
     // probed by every customer. All-integer md5 bit positions, so the
     // filter WORDS and verdicts hash-match DuckDB; is_member alongside
     // demonstrates the contract (no false negatives, some false positives)
+    // Count-Min heavy hitters over the corpus token stream: one-pass
+    // mergeable d×w counter grid (broadcastable), candidates probe it
+    // with min-over-rows point estimates. est >= true always (collisions
+    // only overcount) — the row carries both so the contract is visible
+    // in the oracle, like bloom's is_member.
+    "sketch_countmin_tokens" -> ((s, dir) =>
+      graft.operators.SketchOps.cmsHeavyHitters(
+        Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.GraftFunctions.tokens(col("text")))
+            .as("tok")),
+        col("tok"), minEst = 200L)),
+
     "sketch_bloom_membership" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       graft.operators.SketchOps.bloomProbe(
@@ -255,6 +267,27 @@ object Aggregates extends QuerySet {
         |      CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
         |    END, 4) AS est
         |FROM r GROUP BY grp, nd""".stripMargin,
+
+    // identical md5 grid cells + min-over-rows point estimates
+    "sketch_countmin_tokens" ->
+      raw"""WITH tok AS (
+           |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS v
+           |  FROM documents),
+           |rows_ AS (SELECT unnest(range(4)) AS r),
+           |cells AS (
+           |  SELECT r,
+           |    CAST(concat('0x', substr(md5(v || '#' || r), 1, 15)) AS BIGINT)
+           |      % 1024 AS b,
+           |    COUNT(*) AS c
+           |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+           |cand AS (SELECT v, COUNT(*) AS true_count FROM tok GROUP BY v)
+           |SELECT cand.v, cand.true_count, MIN(cells.c) AS est_count
+           |FROM cand CROSS JOIN rows_
+           |JOIN cells ON cells.r = rows_.r
+           |  AND cells.b = CAST(concat('0x',
+           |    substr(md5(cand.v || '#' || rows_.r), 1, 15)) AS BIGINT) % 1024
+           |GROUP BY 1, 2
+           |HAVING MIN(cells.c) >= 200""".stripMargin,
 
     // identical md5 bit positions + bit_or words + per-hash bit tests;
     // empty filter words are absent from the aggregate → COALESCE to 0

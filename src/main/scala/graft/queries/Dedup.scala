@@ -34,14 +34,22 @@ object Dedup extends QuerySet {
     * inverted index joins on it directly. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-shingles") { p =>
-      DedupOps.shingleHashSet(docs(s, dir)).write.mode("overwrite").parquet(p)
+      // fixture-scale shuffle sizing, like the pairs stage below: the
+      // distinct-shingle shuffle is a few hundred k rows here, and 32
+      // reducers + 32 part files are pure fixed cost (a cluster run sizes
+      // spark.sql.shuffle.partitions to the corpus instead)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.shingleHashSet(docs(s, dir)).write.mode("overwrite").parquet(p)
+      }
     }
   /** Per-doc SimHash values, staged once per (app, fixture): the token
     * explode + per-bit md5 votes dominate every SimHash-family query
     * (fingerprints, pair blocking, edit-distance candidates). */
   private def simhashStaged(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-simhash") { p =>
-      DedupOps.simhash(docs(s, dir)).write.mode("overwrite").parquet(p)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.simhash(docs(s, dir)).write.mode("overwrite").parquet(p)
+      }
     }
   /** Per-doc MinHash signatures, staged once per (app, fixture): the
     * signature pass is the dominant cost of every MinHash-family query,
@@ -51,8 +59,10 @@ object Dedup extends QuerySet {
     * text is scanned once across the whole family. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-minhash-sigs") { p =>
-      DedupOps.minhashSignaturesFromHashes(shingleSet(s, dir))
-        .write.mode("overwrite").parquet(p)
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.minhashSignaturesFromHashes(shingleSet(s, dir))
+          .write.mode("overwrite").parquet(p)
+      }
     }
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-minhash-pairs") { p =>

@@ -43,6 +43,36 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, agg, "complete")
     }),
 
+    // connected streams / CoProcessFunction (reference
+    // `ConnectedStreams.java:58`, `CoProcessFunction.java:48`) with a
+    // value oracle: clicks and purchases connect on user_id; the shared
+    // per-key state is the running (count, cents) of purchases, and
+    // each click emits the purchases seen strictly before it in
+    // (ts, event_id) order. The single-batch AvailableNow replay makes
+    // the per-key processing order globally (ts, seq)-sorted, so a SQL
+    // window states the result exactly.
+    "stream_coprocess_enrich" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps.CoEvent
+      val ev = events(s, dir).as[EventRow]
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val clicks = ev.filter(_.event_type == "click").map(e =>
+        CoEvent[(Long, Long), Long](e.user_id, micros(e.ts), e.event_id,
+          Some((e.event_id, e.user_id)), None))
+      val purchases = ev.filter(_.event_type == "purchase").map(e =>
+        CoEvent[(Long, Long), Long](e.user_id, micros(e.ts), e.event_id,
+          None, Some(Math.round(e.value * 100))))
+      val out = StatefulOps.coProcess[
+          (Long, Long), Long, (Long, Long), (Long, Long, Long, Long)](
+        clicks, purchases, zero = (0L, 0L))(
+        onLeft = (st, a) => (st, Iterator.single((a._1, a._2, st._1, st._2))),
+        onRight = (st, cents) => ((st._1 + 1, st._2 + cents), Iterator.empty))
+      EventStream.runToTable(s,
+        out.toDF("click_id", "user_id", "purchases_before", "p_sum_cents"),
+        "append")
+    }),
+
     // queryable state (reference `KeyedStream.asQueryableState`,
     // KeyedStream.java:745-812): a keyed aggregation's state read back
     // OUT-OF-BAND through the state-store source, not through the query's
@@ -423,6 +453,23 @@ object Streaming extends QuerySet {
     "stream_running_agg" ->
       s"""SELECT user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM events GROUP BY user_id""".stripMargin,
+
+    // purchases strictly before each click in (ts, event_id) order: the
+    // running window includes the current row, but the current row is a
+    // click (indicator 0), so "preceding purchases" is exact
+    "stream_coprocess_enrich" ->
+      s"""SELECT event_id AS click_id, user_id,
+         |  p_cnt AS purchases_before, p_sum AS p_sum_cents
+         |FROM (
+         |  SELECT event_id, user_id, event_type,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER w AS BIGINT) AS p_cnt,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN $C ELSE 0 END)
+         |      OVER w AS BIGINT) AS p_sum
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |WHERE event_type = 'click'""".stripMargin,
 
     // the checkpointed state must equal the batch aggregate per key
     "stream_queryable_state" ->

@@ -32,6 +32,19 @@ object TableApi extends QuerySet {
         .toDF
     }),
 
+    // insertInto (reference Table.insertInto:876): append into a saved
+    // table, then read the table back — the oracle sees the TABLE content,
+    // so green proves the write+append round trip, not just the plan
+    "table_api_insert_into" -> ((s, dir) => {
+      val t = env(s, dir)
+      t.scan("nation").select(col("n_nationkey"), col("n_name"))
+        .toDF.write.mode("overwrite").saveAsTable("graft_ins_target")
+      t.scan("nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey"), col("n_name"))
+        .insertInto("graft_ins_target")
+      s.table("graft_ins_target")
+    }),
+
     // group-window DSL: Tumble over 1 hour
     "table_api_tumble" -> ((s, dir) => {
       val t = env(s, dir)
@@ -93,6 +106,11 @@ object TableApi extends QuerySet {
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "table_api_insert_into" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5""".stripMargin,
 
     "table_api_tumble" ->
       s"""SELECT $tumble1h AS w_start,

@@ -83,7 +83,13 @@ object StagingFs {
 
   /** Move every committed part file of `srcDir` into `dstDir` under a
     * unique prefix (FileSystem.rename — metadata only on HDFS/local; the
-    * parquet bytes were written distributed), then drop `srcDir`. */
+    * parquet bytes were written distributed), then drop `srcDir`.
+    *
+    * Requires a filesystem with ATOMIC rename (local/HDFS). On an object
+    * store (S3A) rename is a copy and a concurrently listing file source
+    * could observe a partial feedback file — the same constraint
+    * [[setMtime]] enforces fail-fast for the replay path; the streaming
+    * feedback machinery that calls this is local/HDFS-only by that check. */
   def adoptParts(spark: SparkSession, srcDir: String, dstDir: String,
                  prefix: String): Unit = {
     val src = new Path(srcDir)

@@ -84,14 +84,17 @@ class PartitionOpsSpec extends SparkSpecBase {
     val saltSpread = skewed.filter(col("k") === 7)
       .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
       .select("__salt").distinct().count()
-    assert(saltSpread > 1, s"hot key stayed on $saltSpread salt bucket(s)")
+    // near-full fan-out, not merely >1: with a round-robin salt every
+    // partition holding ≥8 hot rows covers all residues — a weaker spread
+    // would mean the hot reducer is still a straggler at scale
+    assert(saltSpread >= 7, s"hot key spread only $saltSpread/8 salt buckets")
     val dupRows = Seq.fill(200)((7L, 1L)).toDF("k", "payload")
     val dupJoined = PartitionOps.saltedJoin(dupRows, build, "k", saltBuckets = 8)
     assert(dupJoined.count() == 200L)
     val dupSpread = dupRows
       .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
       .select("__salt").distinct().count()
-    assert(dupSpread > 1, s"identical rows stayed on $dupSpread salt bucket(s)")
+    assert(dupSpread >= 7, s"identical rows spread only $dupSpread/8 salt buckets")
   }
 
   test("sortPartition: rows sorted within each partition, no global shuffle") {

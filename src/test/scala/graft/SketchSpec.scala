@@ -28,6 +28,32 @@ class SketchSpec extends SparkSpecBase {
     assert(fp < 100, s"false-positive rate too high: $fp / 1000")
   }
 
+  test("count-min: est >= true for every value; sketch merges cell-wise") {
+    import spark.implicits._
+    // skewed stream: value i appears i times, plus collision pressure from
+    // a small width so overcounts actually occur
+    val rows = (1L to 60L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("k")
+    val hh = SketchOps.cmsHeavyHitters(rows, col("k"), minEst = 0L,
+        depth = 4, width = 32L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length == 60)
+    hh.foreach { case (v, truth, est) =>
+      assert(est >= truth, s"undercount for $v: est=$est < true=$truth")
+    }
+    // with width 32 and 60 distinct values some cell MUST be shared — the
+    // overcount side of the contract is exercised, not vacuous
+    assert(hh.exists { case (_, truth, est) => est > truth },
+      "no collisions at width 32 / 60 values — test not exercising overcount")
+    // merge algebra: sketch(A ++ B) = cell-wise sum of the halves
+    val (a, b) = ((1L to 60L).flatMap(i => Seq.fill(i.toInt)(i)).splitAt(900))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.countMin(df, col("k"), depth = 4, width = 32L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(a.toDF("k")).toSeq ++ cells(b.toDF("k")).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(merged == cells(rows), "cell-wise sum of split sketches != whole")
+  }
+
   test("bloom build merges: filter(A ∪ B) = filter(A) | filter(B)") {
     val a = (0L until 50L).map(_ * 3)
     val b = (500L until 550L)
