@@ -37,6 +37,12 @@ object TableApi extends QuerySet {
     // so green proves the write+append round trip, not just the plan
     "table_api_insert_into" -> ((s, dir) => {
       val t = env(s, dir)
+      // a previous JVM's managed-table directory survives in the warehouse
+      // while the (in-memory) catalog entry does not — saveAsTable then
+      // refuses the location; drop both before writing
+      s.sql("DROP TABLE IF EXISTS graft_ins_target")
+      graft.sources.StagingFs.delete(s, new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ins_target"))
       t.scan("nation").select(col("n_nationkey"), col("n_name"))
         .toDF.write.mode("overwrite").saveAsTable("graft_ins_target")
       t.scan("nation").filter(col("n_nationkey") < 5)

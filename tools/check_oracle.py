@@ -43,6 +43,12 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)])
     n_pass = n_fail = n_noora = 0
+    # an oracle key with no dump dir means the query FAILED inside Verify
+    # (it swallows per-query errors to stderr) — count it as a failure, the
+    # way the driver's compare would
+    for missing in sorted(set(oracles) - set(names)):
+        print(f"✗ {missing}: NO DUMP (query failed in Verify — see its stderr)")
+        n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         got = pq.ParquetDataset(files).read().to_pandas() if files else pd.DataFrame()
