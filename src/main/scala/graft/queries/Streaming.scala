@@ -34,6 +34,35 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, agg, "complete")
     }),
 
+    // APPEND-mode tumbling aggregate over the REAL 4-batch replay: a
+    // window emits exactly once, when the advancing watermark finalizes
+    // it — the reference's event-time window firing, end-to-end through
+    // watermark propagation instead of complete-mode re-emission. At
+    // end-of-stream the final watermark is max(ts) − 10 min, so windows
+    // ending after it (the stream's last hour) are NOT emitted — the
+    // oracle states that cutoff explicitly.
+    "stream_tumble_append" -> ((s, dir) => {
+      val agg = EventStream.readMultiBatch(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "append")
+    }),
+
+    // sliding event-time windows on the stream (window assigner family's
+    // third member — tumble and session have rows above/below): 1 h
+    // windows every 15 min, each purchase lands in 4 overlapping windows
+    "stream_slide_agg" -> ((s, dir) => {
+      val agg = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "complete")
+    }),
+
     // unbounded keyed running aggregate (DataStreamGroupAggregate) — the
     // end-of-stream value of the update stream
     "stream_running_agg" -> ((s, dir) => {
@@ -453,6 +482,27 @@ object Streaming extends QuerySet {
     "stream_running_agg" ->
       s"""SELECT user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM events GROUP BY user_id""".stripMargin,
+
+    "stream_slide_agg" ->
+      s"""WITH slid AS (
+         |  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900
+         |           - g.i * 900 AS BIGINT))::TIMESTAMP AS w_start, value, ts
+         |  FROM events, generate_series(0, 3) g(i)
+         |  WHERE event_type = 'purchase')
+         |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+         |  COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM slid
+         |WHERE ts < w_start + INTERVAL 1 HOUR AND ts >= w_start
+         |GROUP BY 1, 2""".stripMargin,
+
+    // append mode emits only watermark-finalized windows: w_end <= final
+    // watermark (global max ts − the 10-minute delay)
+    "stream_tumble_append" ->
+      s"""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+         |SELECT $tumble1h AS w_start, $tumble1h + INTERVAL 1 HOUR AS w_end,
+         |  event_type, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2, 3
+         |HAVING $tumble1h + INTERVAL 1 HOUR <= (SELECT w FROM wm)""".stripMargin,
 
     // purchases strictly before each click in (ts, event_id) order: the
     // running window includes the current row, but the current row is a

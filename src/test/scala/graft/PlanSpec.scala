@@ -85,6 +85,16 @@ class PlanSpec extends SparkSpecBase {
     assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(1500)}")
   }
 
+  test("count-min probe: sketch broadcasts to the candidates, no cartesian") {
+    // the d×w sketch is the broadcastable side by construction — the
+    // candidate set must never shuffle against it, and nothing in the
+    // probe may degenerate to all-pairs
+    val p = plan("sketch_countmin_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe must be a broadcast join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("corpus prep pipeline: one shuffle (content digest), filters before it") {
     val p = plan("corpus_prep_pipeline")
     // the lang/quality gates and stats are per-row expressions over ONE
