@@ -112,11 +112,6 @@ object Aggregates extends QuerySet {
         t(s, dir, "lineitem").filter(col("l_returnflag") === "A"),
         col("l_partkey"), k = 64)),
 
-    // Bloom membership sketch: 1024-bit / 4-hash filter built over one
-    // nation band's customers (bit_or words — partial+final mergeable),
-    // probed by every customer. All-integer md5 bit positions, so the
-    // filter WORDS and verdicts hash-match DuckDB; is_member alongside
-    // demonstrates the contract (no false negatives, some false positives)
     // Count-Min heavy hitters over the corpus token stream: one-pass
     // mergeable d×w counter grid (broadcastable), candidates probe it
     // with min-over-rows point estimates. est >= true always (collisions
@@ -129,6 +124,11 @@ object Aggregates extends QuerySet {
             .as("tok")),
         col("tok"), minEst = 200L)),
 
+    // Bloom membership sketch: 1024-bit / 4-hash filter built over one
+    // nation band's customers (bit_or words — partial+final mergeable),
+    // probed by every customer. All-integer md5 bit positions, so the
+    // filter WORDS and verdicts hash-match DuckDB; is_member alongside
+    // demonstrates the contract (no false negatives, some false positives)
     "sketch_bloom_membership" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       graft.operators.SketchOps.bloomProbe(

@@ -89,9 +89,14 @@ object Streaming extends QuerySet {
       val clicks = ev.filter(_.event_type == "click").map(e =>
         CoEvent[(Long, Long), Long](e.user_id, micros(e.ts), e.event_id,
           Some((e.event_id, e.user_id)), None))
+      // HALF_UP (away-from-zero on ties) matches SQL round() on BOTH
+      // engines for negative values too — Math.round (floor(x+0.5))
+      // would diverge on a negative .5 tie if the fixture ever gains
+      // refund-style values
       val purchases = ev.filter(_.event_type == "purchase").map(e =>
         CoEvent[(Long, Long), Long](e.user_id, micros(e.ts), e.event_id,
-          None, Some(Math.round(e.value * 100))))
+          None, Some(BigDecimal(e.value * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
       val out = StatefulOps.coProcess[
           (Long, Long), Long, (Long, Long), (Long, Long, Long, Long)](
         clicks, purchases, zero = (0L, 0L))(

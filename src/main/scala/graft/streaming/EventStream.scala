@@ -39,13 +39,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The fixture's physical `ts` type, from the parquet footer — one
-    * driver-side read, same detection as the batch loader
-    * (`Tables.normalizeEvents`). LongType for legacy INT64-nanos files
-    * (via nanosAsLong); Timestamp(NTZ)Type for native timestamp[us]. */
-  private def fixtureTsType(spark: SparkSession, dir: String): DataType =
-    spark.read.parquet(new Path(dir, "events.parquet").toString)
-      .schema("ts").dataType
+  /** The fixture's physical `ts` type, from the parquet footer — same
+    * detection as the batch loader (`Tables.normalizeEvents`). LongType
+    * for legacy INT64-nanos files (via nanosAsLong); Timestamp(NTZ)Type
+    * for native timestamp[us]. Memoized per (dir, mtime/size stamp): the
+    * footer parse + file listing would otherwise repeat for every one of
+    * the ~20 streaming queries in a bench run, and the stamp key means an
+    * in-place fixture regeneration still re-probes. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def fixtureTsType(spark: SparkSession, dir: String): DataType = {
+    val src = new Path(dir, "events.parquet")
+    val key = dir + "|" + StagingFs.fileStamp(spark, src)
+    tsTypeCache.computeIfAbsent(key, _ =>
+      spark.read.parquet(src.toString).schema("ts").dataType)
+  }
 
   /** Streaming view of `events` with a µs `ts` of TimestampType (LTZ) —
     * normalized per the fixture's ACTUAL physical type: LongType nanos →
@@ -87,14 +95,29 @@ object EventStream {
         // copy to a temp name OUTSIDE the listed dir, then rename into
         // place: a second JVM sharing the staging root can never list a
         // partially written events.parquet (the synchronized block only
-        // serializes within one JVM); stamp written only after the rename
+        // serializes within one JVM); stamp written only after the rename.
+        // Stale .tmp- copies from a crashed earlier attempt are swept
+        // first (age-gated so a CONCURRENT JVM's live copy is left alone).
+        val fsys = StagingFs.fs(spark, stage)
+        val tmpPrefix = stage.getName + ".tmp-"
+        if (fsys.exists(stage.getParent))
+          fsys.listStatus(stage.getParent)
+            .filter(st => st.getPath.getName.startsWith(tmpPrefix) &&
+              st.getModificationTime < System.currentTimeMillis() - 600000L)
+            .foreach(st => fsys.delete(st.getPath, false))
         val tmp = new Path(stage.getParent,
-          stage.getName + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          tmpPrefix + java.util.UUID.randomUUID().toString.take(8))
         StagingFs.copyFile(spark, src, tmp)
         val dst = new Path(stage, "events.parquet")
         StagingFs.delete(spark, dst)
-        require(StagingFs.fs(spark, tmp).rename(tmp, dst),
-          s"rename $tmp -> $dst failed")
+        if (!fsys.rename(tmp, dst)) {
+          // a concurrent JVM's rename can win between our delete and
+          // rename — that copy is byte-identical (same stamp), so losing
+          // the race is success; anything else is a real failure
+          require(StagingFs.exists(spark, dst),
+            s"rename $tmp -> $dst failed and no staged copy exists")
+          fsys.delete(tmp, false)
+        }
         StagingFs.writeStamp(spark, stampFile, stampNow)
       }
       stage.toString
@@ -139,30 +162,35 @@ object EventStream {
         StagingFs.mkdirs(spark, stage)
         // the batch loader already normalizes ts for any fixture format;
         // writing its output makes the quarters format-independent
+        // persisted across the count + 4 quarter writes — without it the
+        // full fixture scan + normalization re-executes 5×
         val raw = graft.Tables.load(spark, dir, "events")
           .select(rawSchema(LongType).fieldNames.toSeq.map(col): _*)
           .withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("__q", ((dayofmonth(col("ts")) - 1) / 8).cast("int"))
-        // a quarter with zero rows means the replay silently degenerates to
-        // fewer real micro-batches (r5 failure mode) — fail loudly instead
-        val qCounts = raw.groupBy(col("__q")).count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        require((0 to 3).forall(q => qCounts.getOrElse(q, 0L) > 0L),
-          s"degenerate quarter split (rows per quarter: $qCounts) — " +
-            "fixture ts range no longer spans the expected month")
-        (0 to 3).foreach { q =>
-          val tmpOut = new Path(stage, s"tmp_q$q")
-          raw.filter(col("__q") === q).drop("__q")
-            .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val part = StagingFs.listParts(spark, tmpOut.toString).head.getPath
-          val dst = new Path(stage, s"q$q.parquet")
-          StagingFs.delete(spark, dst)
-          require(StagingFs.fs(spark, part).rename(part, dst),
-            s"rename $part -> $dst failed")
-          // strictly increasing mtimes pin the micro-batch order
-          StagingFs.setMtime(spark, dst, 1700000000000L + q * 60000L)
-          StagingFs.delete(spark, tmpOut)
-        }
+          .persist()
+        try {
+          // a quarter with zero rows means the replay silently degenerates
+          // to fewer real micro-batches (r5 failure mode) — fail loudly
+          val qCounts = raw.groupBy(col("__q")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          require((0 to 3).forall(q => qCounts.getOrElse(q, 0L) > 0L),
+            s"degenerate quarter split (rows per quarter: $qCounts) — " +
+              "fixture ts range no longer spans the expected month")
+          (0 to 3).foreach { q =>
+            val tmpOut = new Path(stage, s"tmp_q$q")
+            raw.filter(col("__q") === q).drop("__q")
+              .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+            val part = StagingFs.listParts(spark, tmpOut.toString).head.getPath
+            val dst = new Path(stage, s"q$q.parquet")
+            StagingFs.delete(spark, dst)
+            require(StagingFs.fs(spark, part).rename(part, dst),
+              s"rename $part -> $dst failed")
+            // strictly increasing mtimes pin the micro-batch order
+            StagingFs.setMtime(spark, dst, 1700000000000L + q * 60000L)
+            StagingFs.delete(spark, tmpOut)
+          }
+        } finally raw.unpersist()
         StagingFs.writeStamp(spark, stampFile, stampNow)
       }
       stage.toString
