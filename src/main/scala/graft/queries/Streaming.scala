@@ -145,6 +145,24 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, agg, "complete")
     }),
 
+    // APPEND-mode merging session windows over the REAL 4-batch replay:
+    // sessions merge in the state store across micro-batches and emit
+    // exactly once, when the advancing watermark passes their end
+    // (last event + gap). The hardest streaming state path — cross-batch
+    // session MERGE + watermark finalization — under a value oracle; the
+    // end-of-stream cutoff (sessions ending after max(ts) − 10 min stay
+    // unemitted) is stated by the oracle explicitly.
+    "stream_session_append" -> ((s, dir) => {
+      val agg = EventStream.readMultiBatch(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("user_id"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "append")
+    }),
+
     // keyed side input (PROTEUS): stream–static equi join enrichment
     "stream_static_join" -> ((s, dir) => {
       val side = KeyedSideInput(
@@ -547,6 +565,26 @@ object Streaming extends QuerySet {
          |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
          |  user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    // append emits only sessions finalized by the end-of-stream watermark
+    "stream_session_append" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked),
+         |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+         |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+         |  user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
+         |FROM sessions GROUP BY user_id, sid
+         |HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)""".stripMargin,
 
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment
