@@ -202,6 +202,103 @@ object SimilarityOps {
           .otherwise(transform(col("e"), _ => lit("0"))), ",").as("qvec"))
   }
 
+  // ---- product quantization ----------------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into 4 subspaces of 16 dims, 16
+    * codewords per subspace (a 4-byte code per vector — 64× smaller than
+    * the float payload; the standard ANN compression at corpus scale). */
+  val PqSub = 4
+  val PqDims = 16
+  val PqK = 16
+
+  /** Deterministic PQ codebook: the PqK smallest-id vectors, one subvector
+    * per (codeword, subspace). A trained codebook would come from k-means;
+    * seeding keeps the whole pipeline value-oracle-able (no float
+    * iteration), and NOTHING downstream depends on how the codebook was
+    * chosen — swap in trained centroids and the encode/ADC shapes are
+    * unchanged. PqK rows collect driver-side (tiny, like the bloom filter
+    * words) and broadcast to every probe. */
+  private[operators] def pqCodebook(embs: DataFrame, vecCol: String,
+                                    idCol: String): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val seeds = embs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .orderBy(col("id")).limit(PqK).collect()
+      .zipWithIndex.flatMap { case (r, cid) =>
+        val v = r.getSeq[Double](1)
+        (0 until PqSub).map(s =>
+          (cid, s, v.slice(s * PqDims, (s + 1) * PqDims)))
+      }
+    seeds.toSeq.toDF("cid", "s", "cv")
+  }
+
+  /** Ordered-fold squared L2 distance between two equal-length arrays —
+    * sequential index-order fold, so the double is bit-identical on any
+    * engine that folds in list order (the [[dot]] determinism contract). */
+  private def sqDist(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** PQ encode: one (vec_id, subspace, code, d2_micro) row per subspace —
+    * code = argmin codeword by squared L2 (ties to the smaller codeword
+    * id), d2_micro the integer-quantized residual. The corpus never
+    * shuffles for the codebook probe (broadcast); the argmin is a
+    * partial+final min over a struct, so the whole encode is one narrow
+    * scan plus a map-side-combined aggregation. */
+  def pqEncode(embs: DataFrame, vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val sub = embs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
+        col("v"))
+      .select(col("id"), col("s"),
+        expr(s"slice(v, s * $PqDims + 1, $PqDims)").as("sv"))
+    sub.join(broadcast(pqCodebook(embs, vecCol, idCol)), "s")
+      .select(col("id"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("id").as("vec_id"), col("s"), col("m.cid").as("code"),
+        expr("CAST(round(m.d2 * 1e6) AS BIGINT)").as("d2_micro"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes a
+    * distance table to every codeword (PqSub × PqK entries, broadcast),
+    * and a corpus vector's approximate distance is the SUM of table
+    * lookups at its codes — the corpus side touches only its 4-byte
+    * codes, never the float vectors, which is the entire point at scale.
+    * Subspace partials are integer-quantized BEFORE the sum so the
+    * aggregation is associative — rank order cannot flip on float
+    * addition order. */
+  def pqAdcTopK(embs: DataFrame, k: Int, queryPred: Column,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val codes = pqEncode(embs, vecCol, idCol)
+    val qsub = embs.filter(queryPred)
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("qid"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
+        col("v"))
+      .select(col("qid"), col("s"),
+        expr(s"slice(v, s * $PqDims + 1, $PqDims)").as("sv"))
+    val qtable = qsub.join(broadcast(pqCodebook(embs, vecCol, idCol)), "s")
+      .select(col("qid"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
+      .select(col("qid"), col("s"), col("cid"),
+        expr("CAST(round(d2 * 1e6) AS BIGINT)").as("qd2"))
+    val adc = codes.as("c")
+      .join(broadcast(qtable).as("q"),
+        col("c.s") === col("q.s") && col("c.code") === col("q.cid"))
+      .filter(col("q.qid") =!= col("c.vec_id"))
+      .groupBy(col("q.qid").as("qid"), col("c.vec_id").as("nid"))
+      .agg(sum(col("qd2")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-label centroids in exact integer arithmetic: dims are quantized
     * (×1e6, round) so the cross-row sum is associative, then the mean is
     * surfaced as a rounded double. Output one row per (label, dim) —

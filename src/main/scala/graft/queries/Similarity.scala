@@ -54,7 +54,19 @@ object Similarity extends QuerySet {
 
     // vector prep: l2-normalize + int8 codes (narrow, scan-composed)
     "sim_normalize_quantize" -> ((s, dir) =>
-      SimilarityOps.normalizeQuantize(embs(s, dir)))
+      SimilarityOps.normalizeQuantize(embs(s, dir))),
+
+    // product quantization: 4-byte codes per 64-dim vector (the standard
+    // ANN compression — the corpus index stores codes, not floats)
+    "sim_pq_encode" -> ((s, dir) =>
+      SimilarityOps.pqEncode(embs(s, dir))),
+
+    // asymmetric-distance top-k over the PQ codes: queries build a
+    // distance table to the codebook; the corpus side is touched only
+    // through its codes
+    "sim_pq_adc_topk" -> ((s, dir) =>
+      SimilarityOps.pqAdcTopK(embs(s, dir), k = 10,
+        col("vec_id") % 100 === 0))
   )
 
   // ---- DuckDB fragments ---------------------------------------------------
@@ -189,6 +201,64 @@ object Similarity extends QuerySet {
          |  array_to_string(CASE WHEN nrm > 0
          |    THEN list_transform(e, x -> CAST(floor(x / nrm * 127) AS BIGINT))
          |    ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END, ',') AS qvec
-         |FROM n""".stripMargin
+         |FROM n""".stripMargin,
+
+    // identical index-order folds → bit-identical d2 doubles → identical
+    // argmin; residuals surface integer-quantized
+    "sim_pq_encode" ->
+      s"""$PqCtes
+         |SELECT id AS vec_id, CAST(s AS INT) AS s, CAST(cid AS INT) AS code,
+         |  CAST(round(d2 * 1e6) AS BIGINT) AS d2_micro
+         |FROM enc WHERE rn = 1""".stripMargin,
+
+    // subspace partials integer-quantized BEFORE summing → associative,
+    // rank order engine-exact
+    "sim_pq_adc_topk" ->
+      s"""$PqCtes,
+         |codes AS (SELECT id, s, cid AS code FROM enc WHERE rn = 1),
+         |q AS (SELECT id AS qid, s, sv FROM vs WHERE id % 100 = 0),
+         |qd AS (
+         |  SELECT qid, q.s, cbs.cid, CAST(round(
+         |    list_aggregate(list_transform(range(16),
+         |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum')
+         |    * 1e6) AS BIGINT) AS qd2
+         |  FROM q JOIN cbs ON q.s = cbs.s),
+         |adc AS (
+         |  SELECT qd.qid, codes.id AS nid, CAST(SUM(qd2) AS BIGINT) AS adc_micro
+         |  FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.code
+         |  WHERE qd.qid <> codes.id
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin
   )
+
+  /** Shared PQ CTE chain: codebook = the 16 smallest-id vectors split into
+    * 4×16-dim subvectors; `enc` scores every (vector, subspace, codeword)
+    * with the same index-order fold the Spark side uses. */
+  private val PqCtes =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, $E AS e FROM embeddings),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, e
+       |  FROM v ORDER BY id LIMIT 16),
+       |sub AS (SELECT unnest(range(4)) AS s),
+       |cbs AS (
+       |  SELECT cid, s,
+       |    list_transform(range(16), i -> e[s * 16 + i + 1]) AS cv
+       |  FROM cb CROSS JOIN sub),
+       |vs AS (
+       |  SELECT id, s,
+       |    list_transform(range(16), i -> e[s * 16 + i + 1]) AS sv
+       |  FROM v CROSS JOIN sub),
+       |scored AS (
+       |  SELECT id, vs.s, cid,
+       |    list_aggregate(list_transform(range(16),
+       |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum') AS d2
+       |  FROM vs JOIN cbs ON vs.s = cbs.s),
+       |enc AS (
+       |  SELECT id, s, cid, d2,
+       |    row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn
+       |  FROM scored)""".stripMargin
 }
