@@ -241,28 +241,43 @@ object SimilarityOps {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
+  /** Per-row PQ minimization: (vec_id, mins) where mins[s] is the
+    * struct(d2, cid) of the winning codeword for subspace s (ties to the
+    * smaller codeword id — struct ordering). ENTIRELY NARROW: the 64
+    * codebook structs ride in as a one-row broadcast and the argmin runs
+    * inside higher-order functions per corpus row — no explode fan-out,
+    * no shuffle, nothing between the parquet scan and the result. That is
+    * the 100 TB shape: encoding N vectors costs exactly one pass. */
+  private def pqMins(embs: DataFrame, vecCol: String,
+                     idCol: String): DataFrame = {
+    val cbRow = pqCodebook(embs, vecCol, idCol)
+      .select(struct(col("cid"), col("s"), col("cv")).as("c"))
+      .agg(collect_list(col("c")).as("cbs"))
+    embs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${PqSub - 1}), s ->
+           |  array_min(transform(filter(cbs, c -> c.s = s), c ->
+           |    struct(
+           |      aggregate(zip_with(slice(v, s * $PqDims + 1, $PqDims), c.cv,
+           |          (x, y) -> (x - y) * (x - y)),
+           |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2,
+           |      c.cid AS cid))))""".stripMargin).as("mins"))
+  }
+
   /** PQ encode: one (vec_id, subspace, code, d2_micro) row per subspace —
     * code = argmin codeword by squared L2 (ties to the smaller codeword
-    * id), d2_micro the integer-quantized residual. The corpus never
-    * shuffles for the codebook probe (broadcast); the argmin is a
-    * partial+final min over a struct, so the whole encode is one narrow
-    * scan plus a map-side-combined aggregation. */
+    * id), d2_micro the integer-quantized residual. Narrow end-to-end
+    * (see [[pqMins]]); the only explode is the final per-subspace
+    * row-shaping, after the minimization. */
   def pqEncode(embs: DataFrame, vecCol: String = "embedding",
-               idCol: String = "vec_id"): DataFrame = {
-    val sub = embs
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
-        col("v"))
-      .select(col("id"), col("s"),
-        expr(s"slice(v, s * $PqDims + 1, $PqDims)").as("sv"))
-    sub.join(broadcast(pqCodebook(embs, vecCol, idCol)), "s")
-      .select(col("id"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("id").as("vec_id"), col("s"), col("m.cid").as("code"),
+               idCol: String = "vec_id"): DataFrame =
+    pqMins(embs, vecCol, idCol)
+      .select(col("vec_id"), posexplode(col("mins")).as(Seq("s", "m")))
+      .select(col("vec_id"), col("s"), col("m.cid").as("code"),
         expr("CAST(round(m.d2 * 1e6) AS BIGINT)").as("d2_micro"))
-  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes a
     * distance table to every codeword (PqSub × PqK entries, broadcast),
@@ -275,7 +290,12 @@ object SimilarityOps {
   def pqAdcTopK(embs: DataFrame, k: Int, queryPred: Column,
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
-    val codes = pqEncode(embs, vecCol, idCol)
+    // wide codes: one row per corpus vector, codes[s] = winning codeword —
+    // narrow all the way (pqMins)
+    val codesWide = pqMins(embs, vecCol, idCol)
+      .select(col("vec_id"), expr("transform(mins, m -> m.cid)").as("codes"))
+    // per-query distance table, shaped as qd2s[s][cid] (nested arrays in
+    // subspace/codeword order) — one broadcastable row per query
     val qsub = embs.filter(queryPred)
       .select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("v"))
@@ -287,12 +307,22 @@ object SimilarityOps {
       .select(col("qid"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
       .select(col("qid"), col("s"), col("cid"),
         expr("CAST(round(d2 * 1e6) AS BIGINT)").as("qd2"))
-    val adc = codes.as("c")
-      .join(broadcast(qtable).as("q"),
-        col("c.s") === col("q.s") && col("c.code") === col("q.cid"))
-      .filter(col("q.qid") =!= col("c.vec_id"))
-      .groupBy(col("q.qid").as("qid"), col("c.vec_id").as("nid"))
-      .agg(sum(col("qd2")).as("adc_micro"))
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("s"), col("cid"), col("qd2"))).as("t"))
+      .select(col("qid"), expr(
+        s"""transform(sequence(0, ${PqSub - 1}), s ->
+           |  transform(sequence(0, ${PqK - 1}), j ->
+           |    filter(t, e -> e.s = s AND e.cid = j)[0].qd2))""".stripMargin)
+        .as("qd2s"))
+    // ADC = ordered sum of table lookups at the corpus vector's codes —
+    // pure expression over (codes × broadcast tables); the ONLY shuffle in
+    // the whole query is the final per-query top-k window
+    val adc = codesWide.crossJoin(broadcast(qtable))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr("aggregate(zip_with(sequence(0, " + (PqSub - 1) + "), codes, " +
+          "(s, c) -> qd2s[s][c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("adc_micro"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_micro").asc, col("nid").asc)
     adc.withColumn("rank", row_number().over(w).cast("int"))

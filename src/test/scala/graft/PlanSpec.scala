@@ -95,6 +95,25 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("pq encode is shuffle-free; adc's only shuffle is the top-k window") {
+    // encoding N vectors must cost exactly one pass: the codebook rides in
+    // as a one-row broadcast and the argmin runs inside per-row
+    // higher-order functions — any hash exchange here is a regression
+    val enc = plan("sim_pq_encode")
+    assert(!enc.contains("Exchange hashpartitioning"),
+      s"pq encode must not shuffle the corpus:\n${enc.take(1500)}")
+    // adc: one corpus-sized shuffle (the per-query top-k window) plus the
+    // tiny query-side table aggregation; the window must carry the
+    // WindowGroupLimit pushdown so each partition pre-prunes to k before
+    // the exchange — without it the full n×q score set crosses the wire
+    val adc = plan("sim_pq_adc_topk")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(adc).length
+    assert(shuffles <= 2,
+      s"adc grew extra shuffles ($shuffles):\n${adc.take(1500)}")
+    assert(adc.contains("WindowGroupLimit"),
+      s"top-k window lost its partial group-limit pushdown:\n${adc.take(1500)}")
+  }
+
   test("corpus prep pipeline: one shuffle (content digest), filters before it") {
     val p = plan("corpus_prep_pipeline")
     // the lang/quality gates and stats are per-row expressions over ONE
