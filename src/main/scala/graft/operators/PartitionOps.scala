@@ -78,11 +78,20 @@ object PartitionOps {
     // side carries EVERY salt value, so a row joins identically whatever
     // salt it gets — per-partition-offset ids are stable under replay and
     // correctness would hold even if they weren't.
-    val salted = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = saltProbe(skewed, saltBuckets)
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The probe-side salting [[saltedJoin]] actually uses, exposed so layout
+    * specs assert the join's real bucket spread instead of re-deriving a
+    * salt whose monotonically_increasing_id values depend on partition
+    * layout. */
+  private[graft] def saltProbe(skewed: DataFrame, saltBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    skewed.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` capped at `n`, restoring

@@ -248,9 +248,13 @@ object SimilarityOps {
     * inside higher-order functions per corpus row — no explode fan-out,
     * no shuffle, nothing between the parquet scan and the result. That is
     * the 100 TB shape: encoding N vectors costs exactly one pass. */
-  private def pqMins(embs: DataFrame, vecCol: String,
-                     idCol: String): DataFrame = {
-    val cbRow = pqCodebook(embs, vecCol, idCol)
+  private def pqMins(embs: DataFrame, vecCol: String, idCol: String,
+                     codebook: Option[DataFrame] = None): DataFrame = {
+    // precomputed-codebook parameter mirrors DedupOps' precomputedSigs:
+    // callers that also need the codebook for themselves (ADC's query
+    // distance table) compute it once and thread it through instead of
+    // paying the driver-side orderBy+limit collect twice
+    val cbRow = codebook.getOrElse(pqCodebook(embs, vecCol, idCol))
       .select(struct(col("cid"), col("s"), col("cv")).as("c"))
       .agg(collect_list(col("c")).as("cbs"))
     embs
@@ -290,9 +294,14 @@ object SimilarityOps {
   def pqAdcTopK(embs: DataFrame, k: Int, queryPred: Column,
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
+    // codebook computed ONCE for both consumers (corpus encode + query
+    // distance table); it is PqK*PqSub tiny rows but building it costs a
+    // driver-side orderBy+limit collect over the corpus — not worth paying
+    // twice
+    val cb = pqCodebook(embs, vecCol, idCol)
     // wide codes: one row per corpus vector, codes[s] = winning codeword —
     // narrow all the way (pqMins)
-    val codesWide = pqMins(embs, vecCol, idCol)
+    val codesWide = pqMins(embs, vecCol, idCol, Some(cb))
       .select(col("vec_id"), expr("transform(mins, m -> m.cid)").as("codes"))
     // per-query distance table, shaped as qd2s[s][cid] (nested arrays in
     // subspace/codeword order) — one broadcastable row per query
@@ -303,7 +312,7 @@ object SimilarityOps {
         col("v"))
       .select(col("qid"), col("s"),
         expr(s"slice(v, s * $PqDims + 1, $PqDims)").as("sv"))
-    val qtable = qsub.join(broadcast(pqCodebook(embs, vecCol, idCol)), "s")
+    val qtable = qsub.join(broadcast(cb), "s")
       .select(col("qid"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
       .select(col("qid"), col("s"), col("cid"),
         expr("CAST(round(d2 * 1e6) AS BIGINT)").as("qd2"))

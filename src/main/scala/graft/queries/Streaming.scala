@@ -519,9 +519,13 @@ object Streaming extends QuerySet {
          |GROUP BY 1, 2""".stripMargin,
 
     // append mode emits only watermark-finalized windows: w_end <= final
-    // watermark (global max ts − the 10-minute delay)
+    // watermark (global max ts − the 10-minute delay). Spark truncates the
+    // event-time watermark to millisecond precision (max µs / 1000), so the
+    // oracle cutoff is ms-floored too — a window ending in the sub-ms sliver
+    // below a full-precision max(ts) must NOT be counted as emitted
     "stream_tumble_append" ->
-      s"""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+      s"""WITH wm AS (SELECT date_trunc('milliseconds', max(ts))
+         |              - INTERVAL 10 MINUTE AS w FROM events)
          |SELECT $tumble1h AS w_start, $tumble1h + INTERVAL 1 HOUR AS w_end,
          |  event_type, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2, 3
@@ -580,7 +584,8 @@ object Streaming extends QuerySet {
          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM marked),
-         |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+         |wm AS (SELECT date_trunc('milliseconds', max(ts))
+         |         - INTERVAL 10 MINUTE AS w FROM events)
          |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
          |  user_id, COUNT(*) AS n, CAST(SUM($C) AS BIGINT) AS sum_cents
          |FROM sessions GROUP BY user_id, sid

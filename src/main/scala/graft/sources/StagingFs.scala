@@ -57,6 +57,20 @@ object StagingFs {
   // lock for the duration of an expensive distributed write
   private val stages = new ConcurrentHashMap[String, () => String]()
 
+  // wall-clock seconds each one-time stage build cost, by stage key —
+  // benchmark attribution: whichever query triggers the build pays the
+  // whole chain, and this ledger lets Bench report that cost explicitly
+  // instead of leaving a mystery spike on one query's timing
+  private val buildLedger = new ConcurrentHashMap[String, Double]()
+
+  /** Snapshot of (stage key -> build seconds) for builds that ran in this
+    * JVM. Read by [[graft.Bench]] after each query to attribute one-time
+    * stage costs to the query that paid them. */
+  def buildCosts: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildLedger.asScala.toMap
+  }
+
   /** Build-once-per-key staging: the first caller for `key` creates a stage
     * dir and runs `build` into it; every caller (including concurrent first
     * callers) gets the same directory back once the build completes. */
@@ -65,7 +79,11 @@ object StagingFs {
     val thunk = stages.computeIfAbsent(key, _ => {
       lazy val dir: String = {
         val d = newStageDir(spark, prefix)
+        val t0 = System.nanoTime()
         build(d)
+        val sec = (System.nanoTime() - t0) / 1e9
+        buildLedger.put(key, sec)
+        System.err.println(f"[stage-build] key=$key prefix=$prefix ${sec}%.2fs")
         d
       }
       () => dir

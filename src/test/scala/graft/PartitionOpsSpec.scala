@@ -80,9 +80,13 @@ class PartitionOpsSpec extends SparkSpecBase {
       plain.select("k", "payload", "name")).isEmpty)
     // the hot key's rows must occupy >1 (key, salt) group pre-merge —
     // including the worst case of bitwise-IDENTICAL rows, which a
-    // row-value hash would all send to one salt
-    val saltSpread = skewed.filter(col("k") === 7)
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
+    // row-value hash would all send to one salt. Measured through the
+    // join's OWN salting (PartitionOps.saltProbe), on a single-partition
+    // probe so the per-partition-offset id covers residues
+    // deterministically — a recomputed salt on the spec's own layout
+    // could cover fewer residues purely from test parallelism
+    val saltSpread = PartitionOps
+      .saltProbe(skewed.filter(col("k") === 7).repartition(1), 8)
       .select("__salt").distinct().count()
     // near-full fan-out, not merely >1: with a round-robin salt every
     // partition holding ≥8 hot rows covers all residues — a weaker spread
@@ -91,8 +95,7 @@ class PartitionOpsSpec extends SparkSpecBase {
     val dupRows = Seq.fill(200)((7L, 1L)).toDF("k", "payload")
     val dupJoined = PartitionOps.saltedJoin(dupRows, build, "k", saltBuckets = 8)
     assert(dupJoined.count() == 200L)
-    val dupSpread = dupRows
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
+    val dupSpread = PartitionOps.saltProbe(dupRows.repartition(1), 8)
       .select("__salt").distinct().count()
     assert(dupSpread >= 7, s"identical rows spread only $dupSpread/8 salt buckets")
   }
