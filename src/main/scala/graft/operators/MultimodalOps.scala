@@ -8,11 +8,17 @@ import graft.functions.GraftFunctions._
   * (BASELINE.json north-star operator family; no reference counterpart).
   *
   * Spark-side plumbing is real — binary columns, schema, partition-friendly
-  * per-row transforms, frame explosion; the actual codec work is STUBBED
-  * (no image/audio libraries ship in this container):
-  * [[realDecode]] is `???` behind a flag and [[fakeDecode]] derives
-  * deterministic pseudo-metadata from the bytes, so the pipeline shape
-  * (including the oracle comparison) is fully exercised.
+  * per-row transforms, frame explosion. Two decode paths:
+  *
+  *  - [[realDecode]]: a REAL image decode through the JDK's own
+  *    `javax.imageio` (PNG/JPEG/GIF/BMP codecs ship in every JVM — no
+  *    external libraries). Exercised end-to-end by the
+  *    `media_decode_real` oracle query over synthesized PNG payloads.
+  *    Audio/video codecs are not in the JDK; deployments plug e.g. javacv
+  *    into the same entry point — everything downstream is codec-agnostic.
+  *  - [[fakeWidth]]/[[fakeHeight]]: deterministic pseudo-metadata for the
+  *    fixture's TEXT payloads (which are not decodable media), keeping the
+  *    rest of the pipeline value-oracle-able.
   *
   * At 100 TB: media tables should be stored with the binary column LAST in
   * wide parquet row groups, metadata columns first (column pruning lets
@@ -22,10 +28,34 @@ import graft.functions.GraftFunctions._
   */
 object MultimodalOps {
 
-  /** Real decoder entry point — intentionally unimplemented here: the
-    * container has no codec libraries. Deployments install e.g. javacv and
-    * swap this in; everything downstream is codec-agnostic. */
-  def realDecode(bytes: Array[Byte]): (Int, Int) = ???
+  /** Real image decode via the JDK's ImageIO registry: (width, height) of
+    * the first decodable frame. Fails loudly on payloads no registered
+    * codec matches — route such rows to a quarantine side output rather
+    * than letting nulls flow on. Runs per-row inside tasks (a narrow map);
+    * ImageIO's reader lookup is threadsafe and cached per JVM. */
+  def realDecode(bytes: Array[Byte]): (Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      "undecodable media payload: no registered ImageIO codec matches")
+    (img.getWidth, img.getHeight)
+  }
+
+  /** Deterministic PNG synthesis (w×h, pixel(x,y) = (x·31 + y·17) RGB) —
+    * real compressed image bytes from plain JDK, used to exercise
+    * [[realDecode]] end-to-end without fixture media files. */
+  def encodePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Deterministic stand-in "decode": pseudo width/height derived from a
     * stable hash of the bytes. Same arithmetic is mirrored in the oracle. */

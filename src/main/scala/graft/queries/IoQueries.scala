@@ -30,6 +30,28 @@ object IoQueries extends QuerySet {
         nationSchema.add(StructField("tricky", StringType)))
     }),
 
+    // JDBC sink + partitioned source round trip (reference
+    // `flink-jdbc/.../JDBCOutputFormat` batched inserts +
+    // `JDBCInputFormat` parallel range scan) against the embedded Derby
+    // engine on the Spark classpath — the real spark.read/write.jdbc
+    // machinery, no network. The read back is the PARALLEL form (4 range
+    // partitions on the key), so the value oracle also pins that the
+    // range split neither drops nor duplicates rows.
+    "io_jdbc_roundtrip" -> ((s, dir) => {
+      val db = java.nio.file.Paths.get(IoOps.scratch("derby"),
+        java.util.UUID.randomUUID.toString.take(8)).toString
+      val url = s"jdbc:derby:$db;create=true"
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      IoOps.writeJdbc(cust, url, "CUST_JD")
+      val hi = cust.agg(max(col("c_custkey"))).head.getLong(0)
+      val back = IoOps.readJdbcPartitioned(s, url, "CUST_JD", "C_CUSTKEY",
+        1L, hi, numPartitions = 4)
+      // Derby folds unquoted identifiers to upper case on the way in
+      back.select(back.columns.toSeq.map(c => col(c).as(c.toLowerCase)): _*)
+    }),
+
     // CSV parsing options: comments + lenient (malformed rows dropped)
     "io_csv_options" -> ((s, dir) => {
       val path = IoOps.scratch("csv_options") + "/data.csv"
@@ -133,6 +155,24 @@ object IoQueries extends QuerySet {
       MultimodalOps.perceptualHash(
         MultimodalOps.asMediaTable(Tables.load(s, dir, "documents")))),
 
+    // multimodal: REAL codec round trip — each row synthesizes a w×h PNG
+    // (JDK ImageIO, real DEFLATE-compressed image bytes) and realDecode
+    // reads the dimensions back out of the binary payload; the oracle
+    // pins decoded dims == constructed dims. UDFs are the sanctioned
+    // shape here (codec work is per-row imperative by nature); both are
+    // narrow maps that pipeline inside the scan with no shuffle.
+    "media_decode_real" -> ((s, dir) => {
+      val enc = udf((w: Int, h: Int) => MultimodalOps.encodePng(w, h))
+      val dec = udf((b: Array[Byte]) => MultimodalOps.realDecode(b))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          enc((col("doc_id") % 64 + 1).cast("int"),
+            (col("doc_id") % 37 + 1).cast("int")).as("bytes"))
+        .select(col("doc_id"), dec(col("bytes")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"),
+          col("d._2").as("height"))
+    }),
+
     // multimodal: near-duplicate media via phash chunk blocking + hamming
     "media_phash_pairs" -> ((s, dir) =>
       MultimodalOps.perceptualHashPairs(
@@ -140,6 +180,14 @@ object IoQueries extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    "io_jdbc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+
+    // decoded dims must equal the dims the PNGs were synthesized with
+    "media_decode_real" ->
+      """SELECT doc_id, CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 37 + 1 AS INT) AS height FROM documents""".stripMargin,
+
     "io_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  n_name || ',x"y' AS tricky FROM nation""".stripMargin,

@@ -376,6 +376,52 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // late-data side output (reference `WindowedStream
+    // .sideOutputLateData`, WindowedStream.java:131-184): the fixture
+    // replays in 4 ROUND-ROBIN batches (event_id % 4) so batches 1-3
+    // carry rows far behind the watermark the earlier batches
+    // established; each row is tagged late iff its event time is behind
+    // the watermark AT ITS ARRIVAL BATCH (cumulative prior-batch
+    // max(ts) − 10 min) — a pure function of the data, stated exactly by
+    // the oracle's per-batch watermark trajectory.
+    "stream_late_side_output" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.withLateTag(
+        EventStream.readLateBatches(s, dir)
+          .withWatermark("ts", "10 minutes").as[EventRow]).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
+    // GlobalWindows + non-purging CountTrigger (reference
+    // `GlobalWindows.java` + `CountTrigger.java`): the window grows
+    // unboundedly per key and the trigger fires at every 5th arrival —
+    // each emission aggregates ALL elements seen so far. The per-key
+    // arrival order is (ts, event_id) under the AvailableNow replay, so
+    // every fire point and its prefix aggregate are a SQL window over
+    // row_number — the trigger API's first value-oracle row.
+    "stream_count_trigger_fire" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.triggeredGlobalWindows(
+        events(s, dir).as[EventRow],
+        StatefulOps.CountFireTrigger(5, purge = false)).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
+    // tumbling count windows of 10 with a TimeEvictor (reference
+    // `TimeEvictor.java`): before each window aggregates, elements older
+    // than the window's max event-time − 48 h are evicted — window
+    // ASSIGNMENT is unchanged (still every 10 arrivals), only what the
+    // aggregate sees shrinks. On the fixture ~96 % of complete windows
+    // span more than 48 h, so the eviction path is exercised with both
+    // partial and no-op outcomes.
+    "stream_time_evictor" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.countWindows(
+        events(s, dir).as[EventRow], size = 10,
+        evictor = Some(StatefulOps.TimeEvictor(48L * 3600 * 1000))).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // sliding count windows: every 4th arrival aggregates the last ≤10
     // (KeyedStream.countWindow(size, slide))
     "stream_count_window_slide" -> ((s, dir) => {
@@ -759,6 +805,58 @@ object Streaming extends QuerySet {
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM seq GROUP BY user_id, rn // 10
          |HAVING COUNT(*) = 10""".stripMargin,
+
+    // per-batch watermark trajectory of the round-robin replay: batch k's
+    // watermark is max event-time (ms, truncated like Timestamp.getTime)
+    // over batches 0..k-1 minus the 10-minute delay; batch 0 runs at the
+    // initial watermark (no row late)
+    "stream_late_side_output" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    event_id % 4 AS bq
+        |  FROM events),
+        |bmax AS (SELECT bq, max(tms) AS mx FROM e GROUP BY bq),
+        |cum AS (
+        |  SELECT bq, max(mx) OVER (ORDER BY bq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM bmax)
+        |SELECT e.event_id, e.user_id,
+        |  (pmax IS NOT NULL AND e.tms < pmax - 600000) AS is_late
+        |FROM e JOIN cum USING (bq)""".stripMargin,
+
+    // non-purging CountTrigger fires at every 5th arrival per key; the
+    // un-purged global window means each fire aggregates the full prefix
+    "stream_count_trigger_fire" ->
+      s"""WITH seq AS (
+         |  SELECT user_id,
+         |    row_number() OVER w AS rn,
+         |    SUM($C) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, CAST(rn // 5 - 1 AS BIGINT) AS win_idx,
+         |  CAST(rn AS INT) AS n_events, CAST(run AS BIGINT) AS sum_cents
+         |FROM seq WHERE rn % 5 = 0""".stripMargin,
+
+    // complete 10-arrival windows; elements older than the window's max
+    // event-time (ms precision — Timestamp.getTime) − 48 h are evicted
+    // before the aggregate
+    "stream_time_evictor" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, $C AS cents, epoch_ms(ts) AS tms,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS rn
+         |  FROM events),
+         |win AS (
+         |  SELECT user_id, rn // 10 AS wi, cents, tms,
+         |    COUNT(*) OVER (PARTITION BY user_id, rn // 10) AS wn,
+         |    MAX(tms) OVER (PARTITION BY user_id, rn // 10) AS wmax
+         |  FROM seq)
+         |SELECT user_id, CAST(wi AS BIGINT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM win WHERE wn = 10 AND tms >= wmax - ${48L * 3600 * 1000}
+         |GROUP BY user_id, wi""".stripMargin,
 
     // emission at every 4th arrival, window = last ≤10 elements
     "stream_count_window_slide" ->

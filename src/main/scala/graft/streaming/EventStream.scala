@@ -145,9 +145,29 @@ object EventStream {
   private val stampVersion = "v3|"
 
   private[graft] def stageQuarters(spark: SparkSession, dir: String): String =
+    stageSplit(spark, dir, "graft-stream-quarters",
+      ((dayofmonth(col("ts")) - 1) / 8).cast("int"))
+
+  /** Deterministic OUT-OF-ORDER replay: the fixture split round-robin by
+    * `event_id % 4` instead of by time, so batches 1-3 each contain rows
+    * whose event time is far behind the watermark established by the
+    * earlier batches — the late-data path (allowedLateness /
+    * sideOutputLateData) becomes value-oracle-able because the per-batch
+    * watermark trajectory (cumulative prior-batch max(ts) − delay) is a
+    * pure function of the data. */
+  def readLateBatches(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
+    spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageSplit(spark, dir, "graft-stream-rrobin",
+        pmod(col("event_id"), lit(4)).cast("int")))
+  }
+
+  private def stageSplit(spark: SparkSession, dir: String, prefix: String,
+                         splitCol: org.apache.spark.sql.Column): String =
     synchronized {
       val stage = StagingFs.namedStageDir(spark,
-        "graft-stream-quarters-" + Integer.toHexString(dir.hashCode))
+        prefix + "-" + Integer.toHexString(dir.hashCode))
       // the staged quarters are COPIES — invalidate them when the source
       // fixture was regenerated at the same path (mtime/size stamp),
       // otherwise multi-batch queries would silently replay stale data
@@ -167,16 +187,16 @@ object EventStream {
         val raw = graft.Tables.load(spark, dir, "events")
           .select(rawSchema(LongType).fieldNames.toSeq.map(col): _*)
           .withColumn("ts", col("ts").cast(TimestampType))
-          .withColumn("__q", ((dayofmonth(col("ts")) - 1) / 8).cast("int"))
+          .withColumn("__q", splitCol)
           .persist()
         try {
-          // a quarter with zero rows means the replay silently degenerates
+          // a batch with zero rows means the replay silently degenerates
           // to fewer real micro-batches (r5 failure mode) — fail loudly
           val qCounts = raw.groupBy(col("__q")).count().collect()
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
           require((0 to 3).forall(q => qCounts.getOrElse(q, 0L) > 0L),
-            s"degenerate quarter split (rows per quarter: $qCounts) — " +
-              "fixture ts range no longer spans the expected month")
+            s"degenerate batch split (rows per batch: $qCounts) — " +
+              "fixture no longer populates all 4 split buckets")
           (0 to 3).foreach { q =>
             val tmpOut = new Path(stage, s"tmp_q$q")
             raw.filter(col("__q") === q).drop("__q")

@@ -141,13 +141,18 @@ object StatefulOps {
     def onElement(win: Seq[(Long, Long)]): TriggerResult
   }
 
-  /** reference `CountTrigger.java` — fire every n elements (purging by
-    * default; `purge = false` keeps the window growing, the
-    * GlobalWindows + non-purging-count shape). */
+  /** reference `CountTrigger.java` — fire every n-th element: the
+    * reference keeps a ReducingState arrival counter that CLEARS on fire
+    * while the window contents stay (GlobalWindows + CountTrigger grows
+    * unboundedly). Purged windows restart the count at the purge, so the
+    * window length IS the since-last-fire counter in both modes —
+    * `length % n == 0` reproduces the counter-clear exactly. */
   final case class CountFireTrigger(n: Int, purge: Boolean = true)
     extends WindowTrigger {
     override def onElement(win: Seq[(Long, Long)]): TriggerResult =
-      if (win.length >= n) { if (purge) FireAndPurge else Fire } else Continue
+      if (win.length >= n && win.length % n == 0) {
+        if (purge) FireAndPurge else Fire
+      } else Continue
   }
 
   /** reference `DeltaTrigger.java` — fire when the arriving element's

@@ -455,11 +455,15 @@ class StreamingSpec extends SparkSpecBase {
       in3.addData(ev(21, 1, 3, value = 1.0), ev(22, 2, 3, value = 1.0),
         ev(23, 3, 3, value = 1.0))
       q3.processAllAvailable()
+      in3.addData(ev(24, 4, 3, value = 1.0))
+      q3.processAllAvailable()
       val rows = spark.table("trig_grow").as[StatefulOps.CountWindowOut]
         .collect().sortBy(_.win_idx)
-      // fires at every element from the 2nd on; contents never purge
+      // reference CountTrigger: fires at every n-th arrival (counter
+      // clears on fire) while the un-purged window keeps growing — the
+      // 2nd and 4th arrivals fire, over 2 then 4 accumulated elements
       assert(rows.map(r => (r.win_idx, r.n_events, r.sum_cents)).toSeq ==
-        Seq((0L, 2, 200L), (1L, 3, 300L)), s"${rows.toSeq}")
+        Seq((0L, 2, 200L), (1L, 4, 400L)), s"${rows.toSeq}")
     } finally q3.stop()
   }
 
