@@ -422,6 +422,29 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // CountEvictor (reference `CountEvictor.java` — keep from the END of
+    // the buffer): each complete 10-arrival window aggregates only its
+    // last 4 elements
+    "stream_count_evictor" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.countWindows(
+        events(s, dir).as[EventRow], size = 10,
+        evictor = Some(StatefulOps.CountEvictor(4))).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
+    // DeltaEvictor (reference `DeltaEvictor.java` — evict where
+    // deltaFunction(element, last) >= threshold): elements whose value
+    // deviates >= 100.00 from the window's LAST element are evicted
+    // before the aggregate (avg 8.8 of 10 kept on the fixture)
+    "stream_delta_evictor" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.countWindows(
+        events(s, dir).as[EventRow], size = 10,
+        evictor = Some(StatefulOps.DeltaEvictor(10000L))).toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // sliding count windows: every 4th arrival aggregates the last ≤10
     // (KeyedStream.countWindow(size, slide))
     "stream_count_window_slide" -> ((s, dir) => {
@@ -857,6 +880,45 @@ object Streaming extends QuerySet {
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM win WHERE wn = 10 AND tms >= wmax - ${48L * 3600 * 1000}
          |GROUP BY user_id, wi""".stripMargin,
+
+    // complete 10-arrival windows aggregating only their last 4 elements
+    "stream_count_evictor" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, $C AS cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS rn
+         |  FROM events),
+         |win AS (
+         |  SELECT user_id, rn // 10 AS wi, cents, rn % 10 AS pos,
+         |    COUNT(*) OVER (PARTITION BY user_id, rn // 10) AS wn
+         |  FROM seq)
+         |SELECT user_id, CAST(wi AS BIGINT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM win WHERE wn = 10 AND pos >= 6
+         |GROUP BY user_id, wi""".stripMargin,
+
+    // elements deviating >= 10000 cents from the window's last element
+    // are evicted before the aggregate
+    "stream_delta_evictor" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, $C AS cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS rn
+         |  FROM events),
+         |win AS (
+         |  SELECT user_id, rn // 10 AS wi, cents, rn % 10 AS pos,
+         |    COUNT(*) OVER (PARTITION BY user_id, rn // 10) AS wn
+         |  FROM seq),
+         |lastc AS (
+         |  SELECT user_id, wi, MAX(CASE WHEN pos = 9 THEN cents END) AS lc
+         |  FROM win GROUP BY user_id, wi)
+         |SELECT w.user_id, CAST(w.wi AS BIGINT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_events,
+         |  CAST(SUM(w.cents) AS BIGINT) AS sum_cents
+         |FROM win w JOIN lastc l ON w.user_id = l.user_id AND w.wi = l.wi
+         |WHERE w.wn = 10 AND abs(w.cents - l.lc) < 10000
+         |GROUP BY w.user_id, w.wi""".stripMargin,
 
     // emission at every 4th arrival, window = last ≤10 elements
     "stream_count_window_slide" ->
