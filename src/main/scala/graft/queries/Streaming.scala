@@ -392,6 +392,25 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // allowedLateness end-to-end (reference `WindowedStream
+    // .allowedLateness`, WindowedStream.java:131): over the round-robin
+    // replay, a late row still MERGES into its window while the window
+    // is open (w_end > watermark at its arrival batch) and is DROPPED
+    // once the window closed — both outcomes deterministic because the
+    // per-batch watermark trajectory is a pure function of the data.
+    // The oracle states row inclusion (open-window test per batch) and
+    // emission (w_end <= end-of-stream watermark) exactly.
+    "stream_allowed_lateness" -> ((s, dir) => {
+      val agg = EventStream.readLateBatches(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_cents"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_cents"))
+      EventStream.runToTable(s, agg, "append")
+    }),
+
     // GlobalWindows + non-purging CountTrigger (reference
     // `GlobalWindows.java` + `CountTrigger.java`): the window grows
     // unboundedly per key and the trigger fires at every 5th arrival —
@@ -828,6 +847,36 @@ object Streaming extends QuerySet {
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM seq GROUP BY user_id, rn // 10
          |HAVING COUNT(*) = 10""".stripMargin,
+
+    // Spark's TWO-watermark contract (SPARK-24634 multi-stateful-operator
+    // work: watermarkForLateEvents vs watermarkForEviction): the LATE
+    // filter in batch k uses the PREVIOUS watermark — stats through batch
+    // k-2 — while eviction/emission uses the current one. So a row is
+    // included iff its window end > (max ts over batches 0..k-2) − 30 min
+    // (the 2-PRECEDING frame), and a window is emitted iff the
+    // end-of-stream watermark passed its end. Verified empirically: the
+    // 1-PRECEDING (single-watermark) model emits 1912 groups, Spark and
+    // this oracle both emit 2775.
+    "stream_allowed_lateness" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_ms(ts) AS tms, $C AS cents,
+         |    $tumble1h AS w_start, event_id % 4 AS bq
+         |  FROM events),
+         |bmax AS (SELECT bq, max(tms) AS mx FROM e GROUP BY bq),
+         |cum AS (
+         |  SELECT bq, max(mx) OVER (ORDER BY bq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS pmax
+         |  FROM bmax),
+         |inc AS (
+         |  SELECT e.* FROM e JOIN cum USING (bq)
+         |  WHERE pmax IS NULL
+         |     OR epoch_ms(w_start + INTERVAL 1 HOUR) > pmax - 1800000),
+         |wm AS (SELECT max(tms) - 1800000 AS w FROM e)
+         |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+         |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM inc GROUP BY 1, 2, 3
+         |HAVING epoch_ms(w_start + INTERVAL 1 HOUR) <= (SELECT w FROM wm)"""
+        .stripMargin,
 
     // per-batch watermark trajectory of the round-robin replay: batch k's
     // watermark is max event-time (ms, truncated like Timestamp.getTime)
