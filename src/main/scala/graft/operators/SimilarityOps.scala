@@ -338,6 +338,70 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Sparse TF-IDF document similarity — the lexical counterpart of the
+    * dense-vector ANN paths above, and the classic all-pairs-similarity
+    * job at corpus scale: tokenize → per-doc term frequencies → document
+    * frequencies → weighted postings → inverted-index join on shared
+    * tokens → cosine re-rank.
+    *
+    * Scale levers, all visible in the plan:
+    *  - `maxDf` prunes hot posting lists BEFORE the join (stopword cut):
+    *    candidate volume is Σ_t df_q(t)·df(t) which the cap bounds —
+    *    without it one stopword token joins every document against every
+    *    query;
+    *  - the query side is a small filtered subset, so the index join is
+    *    selective, not all-pairs;
+    *  - weights are integer rationals (tf·scale div df — the ln-idf swap
+    *    is a one-line change that alters no plan shape), norms/dots are
+    *    exact BIGINT sums, and the only floats are two correctly-rounded
+    *    sqrt's and one division, so the scores value-oracle exactly.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
+                scale: Long = 10000, queryMod: Long = 97): DataFrame = {
+    import graft.functions.GraftFunctions.{shingles, tokens}
+    // bigram terms, not unigrams: word co-occurrence is what separates
+    // documents drawn from a small shared vocabulary (the fixture's
+    // unigram df is nearly flat), and n-gram terms are the standard
+    // lexical-similarity unit anyway (same shingle helper as the dedup
+    // family)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // df cap RELATIVE to corpus size (tokens in > maxDfPct% of docs are
+    // stopwords) — an absolute cap would rot as the corpus grows; the
+    // count rides in as a one-row broadcast, no driver round trip
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
+      .drop("n_docs")
+    val w = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        expr(s"(tf * $scale) div df").as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val q = w.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("qid"), col("tok"), col("w").as("wq"))
+    val dot = q
+      .join(w.select(col("doc_id").as("nid"), col("tok"), col("w").as("wn")),
+        "tok")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("wq") * col("wn")).as("dot"))
+    val scored = dot
+      .join(norms.select(col("doc_id").as("qid"), col("n2").as("nq")), "qid")
+      .join(norms.select(col("doc_id").as("nid"), col("n2").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nn").cast("double"))),
+          6).as("cos"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(win).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-label centroids in exact integer arithmetic: dims are quantized
     * (×1e6, round) so the cross-row sum is associative, then the mean is
     * surfaced as a rounded double. Output one row per (label, dim) —

@@ -89,6 +89,64 @@ object SketchOps {
             element_at(col("mins"), k).cast("double")), 4).as("est"))
   }
 
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** HLL precision: p=10 → m=1024 registers. The 60-bit stableHash splits
+    * as bucket = h mod m (low p bits) and a 50-bit rank window w = h div m;
+    * rank = leading-zero count of w within the window + 1
+    * (w = 0 → 51). */
+  val HllP = 10
+  val HllM = 1 << HllP
+
+  /** Deterministic HyperLogLog distinct-count summary — the
+    * industry-standard mergeable cardinality sketch (Flajolet et al.;
+    * what production engines' approx_count_distinct runs). Register
+    * layout is usually implementation-private, which is why the KMV
+    * sketch above argues it can't sit in a value oracle — but THIS
+    * implementation pins the layout to the md5-derived [[stableHash]],
+    * making registers AND estimate engine-reproducible:
+    *
+    *  - registers: groupBy(bucket).max(rank) — exact integers, mergeable
+    *    by max, O(m) state;
+    *  - harmonic denominator: Σ 2^(51−rank) as a BIGINT (integer shifts,
+    *    exact — no float accumulation ordering anywhere);
+    *  - estimate: αm·m²·2^51 / denom, with the standard small-range
+    *    linear-counting correction m·ln(m/zeros) when est ≤ 2.5m and
+    *    empty registers exist; rounded to a whole count, so a last-ulp
+    *    libm difference cannot surface.
+    *
+    * One summary row per labeled input: at 100 TB the registers travel as
+    * 1024 small integers per partition/day/shard and merge by max —
+    * distinct counts over any shard combination without rescanning. */
+  def hllSummary(inputs: Seq[(String, DataFrame, Column)]): DataFrame = {
+    val perSrc = inputs.map { case (label, df, valueCol) =>
+      df.select(stableHash(valueCol.cast("string")).as("h"))
+        .select(pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+          expr(s"h div $HllM").as("w"))
+        .select(col("bucket"),
+          when(col("w") > 0, lit(51) - length(expr("bin(w)")))
+            .otherwise(lit(51)).cast("int").as("rank"))
+        .groupBy(col("bucket")).agg(max(col("rank")).as("r"))
+        .agg(
+          count(lit(1)).as("nonzero"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")).as("denom_used"))
+        .select(lit(label).as("src"), col("nonzero"),
+          (col("denom_used") +
+            (lit(HllM.toLong) - col("nonzero")) * lit(1L << 51))
+            .as("denom_scaled"))
+    }
+    val alphaM2 = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+    perSrc.reduce(_ unionAll _)
+      .withColumn("est_raw",
+        lit(alphaM2) * lit((1L << 51).toDouble) /
+          col("denom_scaled").cast("double"))
+      .withColumn("zeros", lit(HllM.toLong) - col("nonzero"))
+      .select(col("src"), col("nonzero"), col("denom_scaled"),
+        expr(s"CAST(round(CASE WHEN est_raw <= 2.5 * $HllM AND zeros > 0 " +
+          s"THEN $HllM * ln($HllM / CAST(zeros AS DOUBLE)) " +
+          "ELSE est_raw END) AS BIGINT)").as("est"))
+  }
+
   // ---- Bloom filter membership sketch -------------------------------------
 
   /** Bloom parameters: m bits packed 32 per long (shift counts stay ≤ 31 —

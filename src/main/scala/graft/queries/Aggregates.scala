@@ -112,6 +112,16 @@ object Aggregates extends QuerySet {
         t(s, dir, "lineitem").filter(col("l_returnflag") === "A"),
         col("l_partkey"), k = 64)),
 
+    // HyperLogLog distinct sketch with a PINNED register layout (md5
+    // stableHash), so registers AND estimate are engine-reproducible —
+    // documents.text lands in the small-range linear-counting branch,
+    // lineitem.l_orderkey in the raw-estimate branch, covering both
+    // paths of the standard estimator
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.operators.SketchOps.hllSummary(Seq(
+        ("documents", Tables.load(s, dir, "documents"), col("text")),
+        ("lineitem", t(s, dir, "lineitem"), col("l_orderkey"))))),
+
     // Count-Min heavy hitters over the corpus token stream: one-pass
     // mergeable d×w counter grid (broadcastable), candidates probe it
     // with min-over-rows point estimates. est >= true always (collisions
@@ -267,6 +277,42 @@ object Aggregates extends QuerySet {
         |      CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
         |    END, 4) AS est
         |FROM r GROUP BY grp, nd""".stripMargin,
+
+    // identical md5-pinned register layout: bucket = h mod 1024, rank =
+    // 51 − bit-length of the 50-bit window; denominator in exact integer
+    // shifts; estimate rounded to a whole count so a last-ulp libm ln()
+    // difference cannot surface
+    "sketch_hll_distinct" ->
+      """WITH src AS (
+        |  SELECT 'documents' AS src, text AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(l_orderkey AS VARCHAR) FROM lineitem),
+        |h AS (
+        |  SELECT src,
+        |    CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS hv
+        |  FROM src),
+        |rk AS (
+        |  SELECT src, hv % 1024 AS bucket,
+        |    CASE WHEN hv // 1024 > 0 THEN 51 - length(bin(hv // 1024))
+        |         ELSE 51 END AS rank
+        |  FROM h),
+        |regs AS (SELECT src, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+        |summ AS (
+        |  SELECT src, COUNT(*) AS nonzero,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (51 - r)) +
+        |      (1024 - COUNT(*)) * (CAST(1 AS BIGINT) << 51) AS BIGINT)
+        |      AS denom_scaled
+        |  FROM regs GROUP BY src),
+        |est AS (
+        |  SELECT src, nonzero, denom_scaled, 1024 - nonzero AS zeros,
+        |    (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+        |      * 2251799813685248.0 / CAST(denom_scaled AS DOUBLE) AS est_raw
+        |  FROM summ)
+        |SELECT src, nonzero, denom_scaled,
+        |  CAST(round(CASE WHEN est_raw <= 2.5 * 1024 AND zeros > 0
+        |    THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE))
+        |    ELSE est_raw END) AS BIGINT) AS est
+        |FROM est""".stripMargin,
 
     // identical md5 grid cells + min-over-rows point estimates
     "sketch_countmin_tokens" ->

@@ -66,7 +66,13 @@ object Similarity extends QuerySet {
     // through its codes
     "sim_pq_adc_topk" -> ((s, dir) =>
       SimilarityOps.pqAdcTopK(embs(s, dir), k = 10,
-        col("vec_id") % 100 === 0))
+        col("vec_id") % 100 === 0)),
+
+    // lexical counterpart of the dense ANN paths: TF-IDF weighted
+    // inverted-index join with a df cap pruning hot posting lists, exact
+    // cosine re-rank (integer rational weights → value-oracle-exact)
+    "sim_tfidf_topk" -> ((s, dir) =>
+      SimilarityOps.tfidfTopK(Tables.load(s, dir, "documents")))
   )
 
   // ---- DuckDB fragments ---------------------------------------------------
@@ -88,6 +94,48 @@ object Similarity extends QuerySet {
     s"sqrt(list_aggregate(list_transform(range(64), i -> $E[i+1] * $E[i+1]), 'sum'))"
 
   override def oracle: Map[String, String] = Map(
+    // same tokenize → tf → df-capped rational weights → inverted-index
+    // join → cosine; sums cast back from DuckDB's HUGEINT
+    "sim_tfidf_topk" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, unnest(
+           |      CASE WHEN len(t) >= 2
+           |        THEN list_transform(range(len(t) - 1),
+           |          i -> t[i+1] || ' ' || t[i+2])
+           |        ELSE [array_to_string(t, ' ')] END) AS tok
+           |    FROM toks) GROUP BY 1, 2),
+           |dfreq AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+           |  GROUP BY tok
+           |  HAVING COUNT(*) * 100 <= (SELECT COUNT(*) FROM documents) * 18),
+           |w AS (
+           |  SELECT doc_id, t.tok, CAST((t.tf * 10000) // d.df AS BIGINT) AS w
+           |  FROM tf t JOIN dfreq d USING (tok)),
+           |norms AS (
+           |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+           |  FROM w GROUP BY doc_id),
+           |q AS (SELECT doc_id AS qid, tok, w AS wq FROM w
+           |      WHERE doc_id % 97 = 0),
+           |dt AS (
+           |  SELECT q.qid, w.doc_id AS nid,
+           |    CAST(SUM(q.wq * w.w) AS BIGINT) AS dot
+           |  FROM q JOIN w ON q.tok = w.tok AND q.qid <> w.doc_id
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT d.qid, d.nid,
+           |    round(CAST(d.dot AS DOUBLE) /
+           |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))),
+           |      6) AS cos
+           |  FROM dt d JOIN norms nq ON d.qid = nq.doc_id
+           |            JOIN norms nn ON d.nid = nn.doc_id)
+           |SELECT qid, nid, cos, CAST(row_number() OVER (
+           |  PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+           |FROM scored QUALIFY rank <= 5""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id, $E AS e, $VNorm AS nrm FROM embeddings),
