@@ -40,7 +40,10 @@ object IoQueries extends QuerySet {
     "io_jdbc_roundtrip" -> ((s, dir) => {
       val db = java.nio.file.Paths.get(IoOps.scratch("derby"),
         java.util.UUID.randomUUID.toString.take(8)).toString
-      val url = s"jdbc:derby:$db;create=true"
+      // explicit territory: Derby derives the new database's locale from
+      // the JVM default, and rejects Locale.ROOT (empty language) — which
+      // is exactly what Bench sets for its JSON decimal contract
+      val url = s"jdbc:derby:$db;create=true;territory=en_US"
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"))
