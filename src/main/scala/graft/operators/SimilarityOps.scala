@@ -364,10 +364,14 @@ object SimilarityOps {
     // unigram df is nearly flat), and n-gram terms are the standard
     // lexical-similarity unit anyway (same shingle helper as the dedup
     // family)
+    // term frequencies feed BOTH the document-frequency aggregate and the
+    // weighted-postings join — materialize so the tokenize+explode scan
+    // runs once
     val tf = docs
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 2)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df cap RELATIVE to corpus size (tokens in > maxDfPct% of docs are
     // stopwords) — an absolute cap would rot as the corpus grows; the
     // count rides in as a one-row broadcast, no driver round trip
@@ -376,9 +380,14 @@ object SimilarityOps {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
       .drop("n_docs")
+    // the weighted postings feed THREE consumers (norms, the query side,
+    // the index join's corpus side) — materialize once or Catalyst
+    // replays the tokenize+tf+df chain per branch (same localCheckpoint
+    // pattern as the staged dedup family)
     val w = tf.join(dfreq, "tok")
       .select(col("doc_id"), col("tok"),
         expr(s"(tf * $scale) div df").as("w"))
+      .localCheckpoint()
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
     val q = w.filter(col("doc_id") % queryMod === 0)

@@ -70,9 +70,12 @@ object Similarity extends QuerySet {
 
     // lexical counterpart of the dense ANN paths: TF-IDF weighted
     // inverted-index join with a df cap pruning hot posting lists, exact
-    // cosine re-rank (integer rational weights → value-oracle-exact)
+    // cosine re-rank (integer rational weights → value-oracle-exact);
+    // fixture-scale shuffle sizing like the dedup family
     "sim_tfidf_topk" -> ((s, dir) =>
-      SimilarityOps.tfidfTopK(Tables.load(s, dir, "documents")))
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        SimilarityOps.tfidfTopK(Tables.load(s, dir, "documents"))
+      })
   )
 
   // ---- DuckDB fragments ---------------------------------------------------
