@@ -656,6 +656,23 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("round-robin late replay: both late and on-time outcomes occur, rows conserved") {
+    // Guards the late-data oracle rows (stream_late_side_output,
+    // stream_allowed_lateness) against fixture drift making the late path
+    // vacuous: the event_id % 4 split must produce BOTH genuinely late
+    // rows (batches 1-3 behind the watermark batch 0 established) and
+    // on-time rows, and the replay must conserve the fixture exactly.
+    val tagged = SparkEntry.queries("stream_late_side_output")(spark, sfDir)
+      .groupBy(col("is_late")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(tagged.values.sum == total,
+      s"late-tag replay dropped rows: $tagged vs $total")
+    assert(tagged.getOrElse(true, 0L) > 0L,
+      "no late rows — the round-robin split no longer exercises lateness")
+    assert(tagged.getOrElse(false, 0L) > 0L, "no on-time rows")
+  }
+
   test("end-of-stream file-source results equal batch semantics (smoke)") {
     val out = SparkEntry.queries("stream_running_agg")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
