@@ -55,6 +55,40 @@ object IoQueries extends QuerySet {
       back.select(back.columns.toSeq.map(c => col(c).as(c.toLowerCase)): _*)
     }),
 
+    // z-order-clustered write + read back: lineitem is Morton-interleaved
+    // on (l_partkey, l_suppkey) so every output file covers a tight
+    // rectangle of BOTH dimensions (footer min/max stats then prune
+    // two-dimensional filters — the 100 TB data-skipping layout).
+    // The oracle pins the Morton values AND the write/read round trip;
+    // LayoutSpec asserts the bounding-box tightening itself.
+    "io_zorder_layout" -> ((s, dir) => {
+      val path = IoOps.scratch("lineitem_zorder")
+      graft.operators.LayoutOps.zorderWrite(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        path, col("l_partkey"), col("l_suppkey"), nFiles = 8)
+      val back = s.read.parquet(path)
+      back.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.LayoutOps.zorderValue(
+          col("l_partkey"), col("l_suppkey")).as("zval"))
+    }),
+
+    // small-files compaction: fragment orders into 64 shards, compact to
+    // ~byte-sized target, read back — content identical (the oracle),
+    // file count bounded (LayoutSpec)
+    "io_compact_roundtrip" -> ((s, dir) => {
+      val frag = IoOps.scratch("orders_frag")
+      val dst = IoOps.scratch("orders_compact")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(64)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+      graft.operators.LayoutOps.compactFiles(s, frag, dst,
+        targetFileBytes = 8L * 1024 * 1024)
+      s.read.parquet(dst)
+    }),
+
     // CSV parsing options: comments + lenient (malformed rows dropped)
     "io_csv_options" -> ((s, dir) => {
       val path = IoOps.scratch("csv_options") + "/data.csv"
@@ -185,6 +219,20 @@ object IoQueries extends QuerySet {
   override def oracle: Map[String, String] = Map(
     "io_jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+
+    // identical Morton interleave: x bits to odd positions, y to even
+    "io_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_aggregate(list_transform(range(16), i ->
+        |    ((l_partkey // (CAST(1 AS BIGINT) << i)) % 2)
+        |      * (CAST(1 AS BIGINT) << (2 * i + 1))
+        |    + ((l_suppkey // (CAST(1 AS BIGINT) << i)) % 2)
+        |      * (CAST(1 AS BIGINT) << (2 * i))), 'sum') AS BIGINT) AS zval
+        |FROM lineitem""".stripMargin,
+
+    // compaction is pure layout: content identical to the source table
+    "io_compact_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
     // decoded dims must equal the dims the PNGs were synthesized with
     "media_decode_real" ->
