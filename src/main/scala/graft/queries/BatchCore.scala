@@ -18,6 +18,53 @@ object BatchCore extends QuerySet {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO emulation (LLM-pipeline extension — refreshed-crawl
+    // reconciliation): matched keys take the source's values, new keys
+    // insert, unmatched target rows persist; one full outer join
+    "merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.operators.MergeOps.upsert(
+        o.filter(col("o_orderkey") % 3 =!= 0),
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0),
+        "o_orderkey", Seq("o_custkey", "o_totalprice"))
+    }),
+
+    // SCD type-2 merge: changed payloads close the current version and
+    // open a new one at the effective date; unchanged matches, absent
+    // keys, and closed history rows pass through untouched — the
+    // point-in-time-reproducible metadata shape
+    "merge_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val current = c.select(col("c_custkey"), col("c_acctbal"),
+        to_date(lit("2023-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val history = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") - 50.0).as("c_acctbal"),
+          to_date(lit("2022-01-01")).as("valid_from"),
+          to_date(lit("2023-01-01")).as("valid_to"))
+      val source = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 3 &&
+            col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal")))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_acctbal")))
+      // open rows surface the standard 9999-12-31 sentinel instead of
+      // NULL, and validity bounds surface as ISO strings: the oracle's
+      // pandas normalization renders NULL dates differently per engine,
+      // and year 9999 overflows the ns-epoch on the parquet read-back
+      graft.operators.MergeOps.scd2Merge(
+          current.unionByName(history), source, "c_custkey",
+          Seq("c_acctbal"), to_date(lit("2024-01-01")))
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), to_date(lit("9999-12-31"))))
+        .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+        .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+    }),
+
     // global sort + offset/fetch — total order pinned by unique key suffix
     "sort_limit_offset" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -151,6 +198,58 @@ object BatchCore extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |           FROM orders WHERE o_orderkey % 3 <> 0),
+        |s AS (SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+        |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin,
+
+    "merge_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+        |tgt AS (
+        |  SELECT c_custkey, c_acctbal, DATE '2023-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal - 50.0, DATE '2022-01-01',
+        |    DATE '2023-01-01' FROM c WHERE c_custkey % 10 = 0),
+        |src AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal FROM c
+        |  WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal FROM c
+        |  WHERE c_custkey % 7 = 3 AND c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM c
+        |  WHERE c_custkey % 11 = 0),
+        |keep AS (
+        |  SELECT t.c_custkey, t.c_acctbal, t.valid_from, t.valid_to
+        |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |  WHERE t.valid_to IS NOT NULL OR s.c_custkey IS NULL
+        |     OR t.c_acctbal IS NOT DISTINCT FROM s.c_acctbal),
+        |closed AS (
+        |  SELECT t.c_custkey, t.c_acctbal, t.valid_from,
+        |    DATE '2024-01-01' AS valid_to
+        |  FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey
+        |  WHERE t.valid_to IS NULL
+        |    AND t.c_acctbal IS DISTINCT FROM s.c_acctbal),
+        |opened AS (
+        |  SELECT s.c_custkey, s.c_acctbal, DATE '2024-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to
+        |  FROM src s LEFT JOIN (SELECT * FROM tgt WHERE valid_to IS NULL) cu
+        |    ON s.c_custkey = cu.c_custkey
+        |  WHERE cu.c_custkey IS NULL
+        |     OR cu.c_acctbal IS DISTINCT FROM s.c_acctbal)
+        |SELECT c_custkey, c_acctbal,
+        |  CAST(valid_from AS VARCHAR) AS valid_from,
+        |  CAST(COALESCE(valid_to, DATE '9999-12-31') AS VARCHAR)
+        |    AS valid_to
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |      UNION ALL SELECT * FROM opened)""".stripMargin,
+
     "sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 20""".stripMargin,
