@@ -114,6 +114,30 @@ class PlanSpec extends SparkSpecBase {
       s"top-k window lost its partial group-limit pushdown:\n${adc.take(1500)}")
   }
 
+  test("tfidf topk: window pre-prunes with group-limit; no cartesian") {
+    // the inverted-index join must stay an equi-join on the term (a
+    // cartesian means the df cap / token equi-condition was lost), and
+    // the per-query top-k must carry WindowGroupLimit so partitions
+    // pre-prune to k before the final window exchange
+    val p = plan("sim_tfidf_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"tfidf candidate join degenerated to a cartesian:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"tfidf top-k lost its partial group-limit pushdown:\n${p.take(1500)}")
+  }
+
+  test("zorder value is a pure per-row expression (no exchange, no UDF)") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .select(operators.LayoutOps.zorderValue(
+        col("l_partkey"), col("l_suppkey")).as("z"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"Morton value computation must compose into the scan:\n${p.take(1200)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "Morton value must stay a codegen'd expression")
+  }
+
   test("corpus prep pipeline: one shuffle (content digest), filters before it") {
     val p = plan("corpus_prep_pipeline")
     // the lang/quality gates and stats are per-row expressions over ONE
