@@ -30,6 +30,36 @@ object PartitionOps {
   def sortPartition(df: DataFrame, cols: Column*): DataFrame =
     df.sortWithinPartitions(cols: _*)
 
+  /** Custom partitioner + per-partition sort with partition PROVENANCE
+    * (reference `partitionCustom` `DataSet.java:1341` + `sortPartition`
+    * `:1401` + `mapPartition`): rows route by an explicit user partition
+    * function (`key % n` — the classic manual-layout idiom), each
+    * partition sorts locally, and the output carries
+    * (partition_id, position) so the physical layout the directives
+    * produced is value-checkable. The routing function is a pure function
+    * of the data, so unlike Spark's internal Murmur3 `repartition`
+    * routing this layout is ORACLE-stateable. The RDD drop-down is the
+    * sanctioned path: a user-supplied Partitioner is exactly the API
+    * Dataset does not expose. */
+  def customPartitionSorted(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int =
+        (key.asInstanceOf[Long] % n).toInt
+    }
+    df.select(keyCol).as[Long].rdd
+      .map(k => (k, k))
+      .partitionBy(part)
+      .mapPartitionsWithIndex { case (pid, it) =>
+        it.map(_._1).toArray.sorted.iterator.zipWithIndex.map {
+          case (k, pos) => (pid, pos.toLong + 1L, k)
+        }
+      }
+      .toDF("partition_id", "pos", keyCol)
+  }
+
   /** Two-phase salted aggregation — the manual skew-mitigation pattern for
     * hot keys (SURVEY "salting for skew"): phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers, phase 2

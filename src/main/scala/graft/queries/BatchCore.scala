@@ -18,6 +18,19 @@ object BatchCore extends QuerySet {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // count()/collect() as ACTIONS (reference DataSet.count/collect,
+    // DataSet.java:397/413 — driver-side materialization, not the COUNT
+    // aggregate): the result row is BUILT on the driver from the two
+    // action results, so the oracle pins the actions themselves. Scale
+    // note: collect() is deliberately on the bounded dimension table —
+    // the reference's own collect contract (driver must hold the result).
+    "batch_count_collect" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "region").count()
+      val names = t(s, dir, "region").select(col("r_name"))
+        .collect().map(_.getString(0)).sorted.mkString(",")
+      Seq((n, names)).toDF("n_regions", "region_names")
+    }),
     // MERGE INTO emulation (LLM-pipeline extension — refreshed-crawl
     // reconciliation): matched keys take the source's values, new keys
     // insert, unmatched target rows persist; one full outer join
@@ -142,6 +155,15 @@ object BatchCore extends QuerySet {
           col("agg1").as("n"))
     }),
 
+    // partitionCustom + sortPartition + mapPartition with partition
+    // provenance: routing is the user function o_orderkey % 8, so the
+    // physical layout (which partition, which position) is a pure
+    // function of the data and the oracle states it exactly — upgrades
+    // the partitioning directives from layout-spec to value-oracle
+    "partition_custom_sorted" -> ((s, dir) =>
+      graft.operators.PartitionOps.customPartitionSorted(
+        t(s, dir, "orders"), "o_orderkey", 8)),
+
     // SQL entry surface: HAVING + IN over grouped subquery (TPC-H Q18 shape)
     "sql_having_in" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -198,6 +220,17 @@ object BatchCore extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    "partition_custom_sorted" ->
+      """SELECT CAST(o_orderkey % 8 AS INT) AS partition_id,
+        |  row_number() OVER (PARTITION BY o_orderkey % 8
+        |    ORDER BY o_orderkey) AS pos,
+        |  o_orderkey
+        |FROM orders""".stripMargin,
+
+    "batch_count_collect" ->
+      """SELECT COUNT(*) AS n_regions,
+        |  string_agg(r_name, ',' ORDER BY r_name) AS region_names
+        |FROM region""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice
         |           FROM orders WHERE o_orderkey % 3 <> 0),

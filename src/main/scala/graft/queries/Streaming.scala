@@ -507,6 +507,24 @@ object Streaming extends QuerySet {
       EventStream.runToTable(s, out, "append")
     }),
 
+    // punctuated watermarks end-to-end (reference
+    // `AssignerWithPunctuatedWatermarks` /
+    // `TimestampsAndPunctuatedWatermarksOperator.java`): marker records
+    // (event_id % 7 == 0) emit watermark ts − 2 min AFTER the element.
+    // Over the ROUND-ROBIN replay the processing order is
+    // (batch = event_id % 4, ts, event_id) — batches 1-3 carry rows far
+    // behind markers batch 0 established, so the late tag is exercised
+    // for real, and the whole trajectory is a SQL window with an
+    // exclusive upper frame bound over that order.
+    "stream_punctuated_watermark" -> ((s, dir) => {
+      import s.implicits._
+      val out = StatefulOps.punctuatedLateTagOrdered(
+        EventStream.readLateBatches(s, dir).as[EventRow]) { e =>
+          if (e.event_id % 7 == 0) Some(e.ts.getTime - 120000L) else None
+        }.toDF()
+      EventStream.runToTable(s, out, "append")
+    }),
+
     // custom event-time ordered emission (DataStreamSort)
     "stream_sorted_emit" -> ((s, dir) => {
       import s.implicits._
@@ -983,6 +1001,21 @@ object Streaming extends QuerySet {
          |FROM em e JOIN seq s ON s.user_id = e.user_id
          |  AND s.rn <= e.p AND s.rn > e.p - 10
          |GROUP BY s.user_id, e.p""".stripMargin,
+
+    // the watermark judging each record is the max over marker rows
+    // (event_id % 7 = 0, each carrying ts − 2 min) strictly BEFORE it in
+    // (batch = event_id % 4, ts, event_id) processing order —
+    // marker-after-element, as the reference emits punctuated watermarks
+    "stream_punctuated_watermark" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    MAX(CASE WHEN event_id % 7 = 0 THEN epoch_ms(ts) - 120000 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id % 4, ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM events)
+        |SELECT event_id, user_id, wm AS wm_ms,
+        |  (wm IS NOT NULL AND tms < wm) AS is_late
+        |FROM seq""".stripMargin,
 
     "stream_over_rows" ->
       s"""SELECT event_id, user_id,

@@ -108,6 +108,26 @@ object TextAnalysis extends QuerySet {
         .select(col("doc_id"), col("n_tokens"), col("band"), col("cum_tokens"))
     }),
 
+    // BPE-style vocabulary induction, step 1 (the merge-candidate scan):
+    // corpus-wide counts of ADJACENT token pairs, top 30 — the exact
+    // distributed form of a byte-pair-merge round (count pairs, take the
+    // max, merge, repeat). One codegen'd scan builds the pair arrays with
+    // higher-order functions (no UDF), one shuffle aggregates — the same
+    // map-side-combine shape as agg_top_tokens, so each merge round at
+    // 100 TB is one pass + one bounded-cardinality exchange
+    "corpus_bpe_pairs" -> ((s, dir) => {
+      val toks = graft.functions.GraftFunctions.tokens(col("text"))
+      docs(s, dir)
+        .select(toks.as("toks"))
+        .select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => array_join(slice(col("toks"), i + 1, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(30)
+    }),
+
     // PII-style scrub over a composed customer record: the structured
     // customer id is redacted first, then remaining digit runs (the
     // balance) — counts + digest of the scrubbed text. The balance is
@@ -125,6 +145,15 @@ object TextAnalysis extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    "corpus_bpe_pairs" ->
+      s"""WITH t AS (SELECT $T AS toks FROM documents),
+         |p AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(len(toks) - 1),
+         |          i -> toks[i+1] || ' ' || toks[i+2])
+         |        ELSE CAST([] AS VARCHAR[]) END) AS pair FROM t)
+         |SELECT pair, COUNT(*) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
     "text_scrub" ->
       """WITH t AS (
         |  SELECT c_custkey,

@@ -503,6 +503,35 @@ object StatefulOps {
       }
   }
 
+  case class PunctTagOut(event_id: Long, user_id: Long, wm_ms: Option[Long],
+                         is_late: Boolean)
+
+  /** Value-oracle-able variant of [[punctuatedLateTag]]: per-key processing
+    * order is pinned to (ts, event_id) — the same deterministic order every
+    * other oracled count/trigger operator uses — so the watermark each
+    * record is judged against (the max over marker records strictly BEFORE
+    * it) is a pure function of the data, stateable as a SQL window with an
+    * exclusive upper frame bound. `wm_ms` is None until the first marker
+    * (the reference starts at Long.MIN_VALUE: nothing is late). */
+  def punctuatedLateTagOrdered(events: Dataset[EventRow])
+                              (punct: EventRow => Option[Long]): Dataset[PunctTagOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
+          var wm = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val row = PunctTagOut(e.event_id, key,
+              if (wm == Long.MinValue) None else Some(wm),
+              wm != Long.MinValue && e.ts.getTime < wm)
+            punct(e).foreach(w => wm = math.max(wm, w))
+            row
+          }
+          state.update(wm)
+          out.iterator
+      }
+  }
+
   // ---- queryable state ----------------------------------------------------
 
   /** Point-in-time external view of a stateful query's keyed state — the

@@ -496,6 +496,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("punctuated watermarks (ordered): out-of-order arrivals are judged in (ts, event_id) order") {
+    import spark.implicits._
+    val input = mem()
+    val out = StatefulOps.punctuatedLateTagOrdered(input.toDS()) { e =>
+      if (e.event_type == "wm") Some(e.ts.getTime) else None
+    }
+    val q = out.toDF().writeStream.format("memory").queryName("punct_ord")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives scrambled: the ordered variant must sort each
+      // batch to (ts, event_id) before marker-after-element judgement,
+      // so the result is a pure function of the data (the oracle contract)
+      input.addData(ev(2, 10, 9, typ = "wm"), ev(1, 5, 9))
+      q.processAllAvailable()
+      // batch 2: ts 8 is genuinely late vs the minute-10 watermark from
+      // batch 1; within the batch, ev(4) sorts before ev(5) and its
+      // marker applies to ev(5) only after ev(4) was judged
+      input.addData(ev(5, 12, 9), ev(3, 8, 9), ev(4, 11, 9, typ = "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("punct_ord").as[StatefulOps.PunctTagOut]
+        .collect().sortBy(_.event_id)
+      assert(rows.map(r => r.event_id -> r.is_late).toSeq == Seq(
+        1L -> false, // first in (ts, id) order: no watermark yet
+        2L -> false, // the marker itself precedes its own watermark
+        3L -> true,  // minute 8 behind the minute-10 cross-batch watermark
+        4L -> false, // minute 11 ahead of watermark 10; then marks wm=11
+        5L -> false),// minute 12 ahead of the in-batch-advanced wm=11
+        s"${rows.toSeq}")
+      // exact watermark values: minute-10 marker judges 3 and 4; the
+      // in-batch minute-11 marker judges 5
+      assert(rows(2).wm_ms.contains(3600000L + 10 * 60000L), s"${rows(2)}")
+      assert(rows(4).wm_ms.contains(3600000L + 11 * 60000L), s"${rows(4)}")
+      assert(rows(0).wm_ms.isEmpty, "no watermark before the first marker")
+    } finally q.stop()
+  }
+
   test("queryable state: the state-store source exposes per-key aggregation state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qstate").toString
