@@ -35,6 +35,29 @@ object MergeOps {
           cols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
   }
 
+  /** CDC changelog apply: fold an ordered change stream into a snapshot.
+    * `changes` carries (key, seq, op, cols...) with op ∈ I/U/D and `seq`
+    * strictly increasing per key; the result is last-writer-wins per key
+    * with D as a tombstone. Shape: snapshot rows enter as seq = -1
+    * pseudo-inserts, one union + ONE keyed aggregation (`max_by` on seq)
+    * resolves every key — a single shuffle, partial-aggregated map-side,
+    * so applying a day's changelog to a 100 TB snapshot moves each key
+    * once regardless of how many times it changed. */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
+                     cols: Seq[String], seqCol: String = "seq",
+                     opCol: String = "op"): DataFrame = {
+    val snap = snapshot.select(
+      col(key) +: lit(-1L).as(seqCol) +: lit("I").as(opCol) +:
+        cols.map(col): _*)
+    val all = snap.unionByName(
+      changes.select(col(key) +: col(seqCol).cast("long").as(seqCol) +:
+        col(opCol) +: cols.map(col): _*))
+    all.groupBy(col(key))
+      .agg(max_by(struct((opCol +: cols).map(col): _*), col(seqCol)).as("w"))
+      .filter(col(s"w.$opCol") =!= "D")
+      .select(col(key) +: cols.map(c => col(s"w.$c").as(c)): _*)
+  }
+
   /** SCD type-2 merge: `target` rows carry (key, cols..., valid_from,
     * valid_to — null = current); `source` rows carry (key, cols...) and
     * take effect at `effectiveDate`. A current target row whose key

@@ -44,6 +44,38 @@ object BatchCore extends QuerySet {
         "o_orderkey", Seq("o_custkey", "o_totalprice"))
     }),
 
+    // CDC changelog apply: an ordered I/U/D stream folds into the
+    // snapshot via ONE keyed max_by aggregation (last-writer-wins,
+    // tombstones drop) — each key moves once however many times it
+    // changed. The changelog is derived deterministically from the
+    // fixture: seq 1 updates (%5==1 balances +100, %11==0 new keys
+    // insert), seq 2 deletes (%7==3) — a key hit by both update and
+    // delete ends deleted, proving the per-key seq order is honored.
+    "merge_cdc_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), dec2(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      val updates = c.filter(col("c_custkey") % 5 === 1)
+        .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("c_acctbal") + lit(100).cast("decimal(12,2)"))
+            .cast("decimal(12,2)").as("c_acctbal"),
+          col("c_mktsegment"))
+      val inserts = c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(1L).as("seq"), lit("I").as("op"),
+          lit(0).cast("decimal(12,2)").as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      val deletes = c.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+          col("c_acctbal"), col("c_mktsegment"))
+      graft.operators.MergeOps.applyChangelog(
+          c, updates.unionByName(inserts).unionByName(deletes),
+          "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_mktsegment"))
+    }),
+
     // SCD type-2 merge: changed payloads close the current version and
     // open a new one at the effective date; unchanged matches, absent
     // keys, and closed history rows pass through untouched — the
@@ -240,6 +272,23 @@ object BatchCore extends QuerySet {
         |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
         |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
         |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin,
+
+    "merge_cdc_apply" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+        |  FROM customer),
+        |kept AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 1
+        |      THEN CAST(bal + 100 AS DECIMAL(12,2)) ELSE bal END AS bal,
+        |    c_mktsegment
+        |  FROM c WHERE c_custkey % 7 <> 3),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    CAST(0 AS DECIMAL(12,2)) AS bal, 'NEW' AS c_mktsegment
+        |  FROM c WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey, CAST(bal AS DOUBLE) AS acctbal, c_mktsegment
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)""".stripMargin,
 
     "merge_scd2" ->
       """WITH c AS (SELECT c_custkey, c_acctbal FROM customer),

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOps
+
+/** Ordering contracts of the CDC changelog fold — the oracle row
+  * (`merge_cdc_apply`) pins the end state over the fixture; these pin the
+  * per-key seq semantics on adversarial sequences the fixture derivation
+  * doesn't produce. */
+class MergeSpec extends SparkSpecBase {
+
+  private def snap(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def changes(rows: (Long, Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "seq", "op", "v")
+  }
+
+  private def applied(s: org.apache.spark.sql.DataFrame,
+                      c: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    MergeOps.applyChangelog(s, c, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("delete then re-insert: the later insert wins") {
+    val out = applied(
+      snap(1L -> "a", 2L -> "b"),
+      changes((1L, 1L, "D", "a"), (1L, 2L, "I", "a2")))
+    assert(out == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("update then delete: the later tombstone wins, other keys untouched") {
+    val out = applied(
+      snap(1L -> "a", 2L -> "b"),
+      changes((1L, 1L, "U", "a2"), (1L, 2L, "D", "a2"), (2L, 1L, "U", "b2")))
+    assert(out == Map(2L -> "b2"))
+  }
+
+  test("insert of a brand-new key and many updates collapse to the last") {
+    val out = applied(
+      snap(1L -> "a"),
+      changes((9L, 1L, "I", "x1"), (9L, 2L, "U", "x2"), (9L, 3L, "U", "x3")))
+    assert(out == Map(1L -> "a", 9L -> "x3"))
+  }
+
+  test("plan: one shuffle resolves the fold (keyed aggregate, no join)") {
+    val s = snap(1L -> "a", 2L -> "b")
+    val c = changes((1L, 1L, "U", "a2"))
+    val plan = MergeOps.applyChangelog(s, c, "k", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got:\n$plan")
+    assert(!plan.contains("Join"), "the changelog fold must not plan a join")
+  }
+}
