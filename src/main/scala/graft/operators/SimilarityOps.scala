@@ -356,8 +356,12 @@ object SimilarityOps {
     *    exact BIGINT sums, and the only floats are two correctly-rounded
     *    sqrt's and one division, so the scores value-oracle exactly.
     */
-  def tfidfTopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
-                scale: Long = 10000, queryMod: Long = 97): DataFrame = {
+  /** The df-capped weighted postings (doc_id, tok, w) — the expensive
+    * stage of [[tfidfTopK]], split out so callers can STAGE it once per
+    * fixture (parquet via StagingFs, like the dedup signature family)
+    * instead of re-deriving tokenize→tf→df on every pass. */
+  def tfidfWeights(docs: DataFrame, maxDfPct: Int = 18,
+                   scale: Long = 10000): DataFrame = {
     import graft.functions.GraftFunctions.{shingles, tokens}
     // bigram terms, not unigrams: word co-occurrence is what separates
     // documents drawn from a small shared vocabulary (the fixture's
@@ -380,14 +384,20 @@ object SimilarityOps {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
       .drop("n_docs")
-    // the weighted postings feed THREE consumers (norms, the query side,
-    // the index join's corpus side) — materialize once or Catalyst
-    // replays the tokenize+tf+df chain per branch (same localCheckpoint
-    // pattern as the staged dedup family)
-    val w = tf.join(dfreq, "tok")
+    tf.join(dfreq, "tok")
       .select(col("doc_id"), col("tok"),
         expr(s"(tf * $scale) div df").as("w"))
-      .localCheckpoint()
+  }
+
+  def tfidfTopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
+                scale: Long = 10000, queryMod: Long = 97,
+                precomputedWeights: Option[DataFrame] = None): DataFrame = {
+    // the weighted postings feed THREE consumers (norms, the query side,
+    // the index join's corpus side) — when not staged by the caller,
+    // materialize once or Catalyst replays the tokenize+tf+df chain per
+    // branch (same localCheckpoint pattern as the staged dedup family)
+    val w = precomputedWeights.getOrElse(
+      tfidfWeights(docs, maxDfPct, scale).localCheckpoint())
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
     val q = w.filter(col("doc_id") % queryMod === 0)
