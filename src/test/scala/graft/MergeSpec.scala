@@ -45,6 +45,35 @@ class MergeSpec extends SparkSpecBase {
     assert(out == Map(1L -> "a", 9L -> "x3"))
   }
 
+  test("randomized changelogs match a sequential per-key fold (seeded)") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 3).foreach { round =>
+      val keys = (1L to 40L)
+      val snapRows = keys.filter(_ => rnd.nextBoolean())
+        .map(k => k -> s"s$k")
+      // up to 6 ops per key, seq strictly increasing per key
+      val changeRows = keys.flatMap { k =>
+        (1L to rnd.nextInt(7).toLong).map { seq =>
+          val op = rnd.nextInt(3) match {
+            case 0 => "I"; case 1 => "U"; case 2 => "D"
+          }
+          (k, seq, op, s"v$k-$seq")
+        }
+      }
+      // sequential reference: start from the snapshot, replay ops per key
+      // in seq order; D removes, I/U set
+      val expected = changeRows.groupBy(_._1).foldLeft(snapRows.toMap) {
+        case (acc, (k, ops)) =>
+          ops.sortBy(_._2).foldLeft(acc) {
+            case (m, (_, _, "D", _)) => m - k
+            case (m, (_, _, _, v))   => m + (k -> v)
+          }
+      }
+      val out = applied(snap(snapRows: _*), changes(changeRows: _*))
+      assert(out == expected, s"round $round diverged from sequential fold")
+    }
+  }
+
   test("plan: one shuffle resolves the fold (keyed aggregate, no join)") {
     val s = snap(1L -> "a", 2L -> "b")
     val c = changes((1L, 1L, "U", "a2"))
