@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("bpe pairs: partial+final aggregate, no UDF, pair build stays in codegen") {
+    val p = plan("corpus_bpe_pairs")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"pair counting must map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "the pair build must be higher-order expressions, not a UDF")
+    // one exchange total: the pair explode is pipelined with the scan and
+    // the partial aggregate; only the final count shuffles (bounded by
+    // distinct-pair cardinality, not corpus size)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"pair counting must shuffle exactly once:\n${p.take(1500)}")
+  }
+
   test("q02: part size filter reaches the scan; region dims broadcast") {
     val f = formatted("q02_min_cost_supplier")
     assert(f.contains("EqualTo(r_name,ASIA)"),
