@@ -128,6 +128,20 @@ object TextAnalysis extends QuerySet {
         .limit(30)
     }),
 
+    // deterministic shard assignment (training-data layout): shard =
+    // md5-hash(doc_id) % 64 — a pure function of the KEY, not of row
+    // position or partition layout, so reprocessing the corpus (or any
+    // subset) routes every doc to the same shard; per-shard stats prove
+    // the balance a hash shard gives data-loader parallelism. One
+    // map-side-combined shuffle of 64 groups.
+    "corpus_shard_assign" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("shard", graft.functions.GraftFunctions
+          .stableHashMod(col("doc_id").cast("string"), 64L).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))),
+
     // PII-style scrub over a composed customer record: the structured
     // customer id is redacted first, then remaining digit runs (the
     // balance) — counts + digest of the scrubbed text. The balance is
@@ -145,6 +159,14 @@ object TextAnalysis extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    "corpus_shard_assign" ->
+      """SELECT CAST(CAST(concat('0x',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64
+        |    AS INT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "corpus_bpe_pairs" ->
       s"""WITH t AS (SELECT $T AS toks FROM documents),
          |p AS (SELECT unnest(CASE WHEN len(toks) >= 2
