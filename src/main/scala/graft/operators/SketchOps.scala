@@ -242,13 +242,24 @@ object SketchOps {
     * role and the sketch answers point queries the same way. */
   def cmsHeavyHitters(df: DataFrame, value: Column, minEst: Long,
                       depth: Int = 4, width: Long = 1024L): DataFrame = {
-    val sketch = countMin(df, value, depth, width)
-    df.select(value.cast("string").as("v"))
+    // pre-aggregate BEFORE hashing: the sketch cell (r, b) holds the sum
+    // of occurrence counts of the values hashing there — identical to
+    // counting occurrences directly, but the d md5's are paid per
+    // DISTINCT value instead of per occurrence, and one aggregated table
+    // feeds both the sketch build and the candidate probe (one corpus
+    // scan, not two). At open vocabulary the same shape holds: the
+    // pre-aggregation is the map-side combine the sketch exists to bound.
+    val counts = df.select(value.cast("string").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("true_count"))
+      .localCheckpoint()
+    val hashed = counts
       .select(col("v"), col("true_count"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("b",
         stableHashMod(concat(col("v"), lit("#"), col("r")), width))
+    val sketch = hashed.groupBy(col("r"), col("b"))
+      .agg(sum(col("true_count")).as("c"))
+    hashed
       .join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("v"), col("true_count")).agg(min(col("c")).as("est_count"))
       .filter(col("est_count") >= minEst)
