@@ -46,8 +46,10 @@ object PartitionOps {
     import spark.implicits._
     val part = new org.apache.spark.Partitioner {
       override def numPartitions: Int = n
+      // floorMod: a negative key must still land in [0, n) — plain % would
+      // hand Spark a negative partition id and kill the job
       override def getPartition(key: Any): Int =
-        (key.asInstanceOf[Long] % n).toInt
+        java.lang.Math.floorMod(key.asInstanceOf[Long], n.toLong).toInt
     }
     df.select(keyCol).as[Long].rdd
       .map(k => (k, k))
