@@ -46,12 +46,16 @@ object Bench {
       val stageSec = stageHere.values.sum
       if (stageSec > 0.05)
         System.err.println(f"[bench-stage] $name paid $stageSec%.2fs one-time stage build (${stageHere.keys.mkString(",")})")
+      // subtract the one-time build from the first pass BEFORE best-of-2:
+      // stage_sec reports that cost separately, so leaving it in dt (when
+      // no second pass runs, or when the second pass happens slower)
+      // would double-count it in the "fully accounted" totals
+      val firstSteady = math.max(0.0, first - stageSec)
       // best-of-2 for the expensive tail: the driver box shows ±2x
-      // scheduler jitter on unchanged queries round over round, and the
-      // first pass of a stage-building query carries the one-time build.
-      // The min of two passes is the steady-state per-pass cost; the
-      // one-time build cost is reported separately as stage_sec.
-      val dt = if (first > 0.8) math.min(first, onePass()) else first
+      // scheduler jitter on unchanged queries round over round. The min
+      // of two passes is the steady-state per-pass cost.
+      val dt = if (firstSteady > 0.8) math.min(firstSteady, onePass())
+               else firstSteady
       val gd = gcMs - g0
       if (gd > 500) System.err.println(f"[bench-gc] $name ${dt}%.1fs gc=${gd}ms")
       // drop per-query residue (localCheckpoint RDDs, memory-sink tables) —

@@ -29,10 +29,17 @@ object MergeOps {
              cols: Seq[String]): DataFrame = {
     val t = target.as("t")
     val s = source.as("s")
+    // whole-ROW source-wins, not per-column coalesce: a matched source row
+    // carrying NULL in a payload column must null that column (MERGE INTO
+    // "update set col = s.col"), not resurrect the target's stale value —
+    // and a per-column mix of source and target would be a row that
+    // existed in neither input
+    val matched = col(s"s.$key").isNotNull
     t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
       .select(
         coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +:
-          cols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+          cols.map(c =>
+            when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 
   /** CDC changelog apply: fold an ordered change stream into a snapshot.
@@ -46,14 +53,21 @@ object MergeOps {
   def applyChangelog(snapshot: DataFrame, changes: DataFrame, key: String,
                      cols: Seq[String], seqCol: String = "seq",
                      opCol: String = "op"): DataFrame = {
+    // ordering key is (seq, isChange), not a seq sentinel: the snapshot
+    // enters at (MinValue, 0) and a change at (seq, 1), so a change beats
+    // the snapshot at ANY seq — including a changelog whose per-key
+    // sequence legitimately starts negative — with no nondeterministic
+    // max_by tie possible (per-key change seqs are strictly increasing by
+    // contract, and the snapshot holds one row per key)
     val snap = snapshot.select(
-      col(key) +: lit(-1L).as(seqCol) +: lit("I").as(opCol) +:
-        cols.map(col): _*)
+      col(key) +: lit(Long.MinValue).as(seqCol) +: lit(0).as("__src") +:
+        lit("I").as(opCol) +: cols.map(col): _*)
     val all = snap.unionByName(
       changes.select(col(key) +: col(seqCol).cast("long").as(seqCol) +:
-        col(opCol) +: cols.map(col): _*))
+        lit(1).as("__src") +: col(opCol) +: cols.map(col): _*))
     all.groupBy(col(key))
-      .agg(max_by(struct((opCol +: cols).map(col): _*), col(seqCol)).as("w"))
+      .agg(max_by(struct((opCol +: cols).map(col): _*),
+        struct(col(seqCol), col("__src"))).as("w"))
       .filter(col(s"w.$opCol") =!= "D")
       .select(col(key) +: cols.map(c => col(s"w.$c").as(c)): _*)
   }
@@ -68,35 +82,38 @@ object MergeOps {
     * are never touched. */
   def scd2Merge(target: DataFrame, source: DataFrame, key: String,
                 cols: Seq[String], effectiveDate: Column): DataFrame = {
+    // already-closed history rows are never touched — pass them through
+    // WITHOUT joining; the one full-outer join is current-vs-source and
+    // feeds all three live branches, so the (100 TB) target is joined
+    // once, not twice, and the changed-payload predicate exists once
     val payloadChanged: Column = cols
       .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
       .reduce(_ || _)
-    val t = target.as("t")
+    val closedHistory = target.filter(col("valid_to").isNotNull)
+    val t = target.filter(col("valid_to").isNull).as("t")
     val s = source.as("s")
-    // current target rows joined to their (possible) source replacement
-    val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
-    val keep = joined
-      .filter(col("t.valid_to").isNotNull || // closed history: untouched
-        col(s"s.$key").isNull ||             // no source row: untouched
-        !payloadChanged)                     // same payload: untouched
+    val j = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val tPresent = col(s"t.$key").isNotNull
+    val sPresent = col(s"s.$key").isNotNull
+    val keep = j
+      .filter(tPresent && (!sPresent || !payloadChanged))
       .select(col(s"t.$key").as(key) +: cols.map(c => col(s"t.$c").as(c)) :+
         col("t.valid_from").as("valid_from") :+
         col("t.valid_to").as("valid_to"): _*)
-    val closed = joined
-      .filter(col("t.valid_to").isNull && col(s"s.$key").isNotNull &&
-        payloadChanged)
+    val closed = j
+      .filter(tPresent && sPresent && payloadChanged)
       .select(col(s"t.$key").as(key) +: cols.map(c => col(s"t.$c").as(c)) :+
         col("t.valid_from").as("valid_from") :+
         effectiveDate.as("valid_to"): _*)
-    // source rows that open a new version: changed payload, or brand-new key
-    val current = t.filter(col("valid_to").isNull)
-    val opened = s
-      .join(current.as("c"), col(s"s.$key") === col(s"c.$key"), "left_outer")
-      .filter(col(s"c.$key").isNull ||
-        cols.map(c => !(col(s"c.$c") <=> col(s"s.$c"))).reduce(_ || _))
+    // source rows that open a new version: changed payload, or no current
+    // version (brand-new key, or a key whose history is fully closed)
+    val opened = j
+      .filter(sPresent && (!tPresent || payloadChanged))
       .select(col(s"s.$key").as(key) +: cols.map(c => col(s"s.$c").as(c)) :+
         effectiveDate.as("valid_from") :+
         lit(null).cast("date").as("valid_to"): _*)
-    keep.unionByName(closed).unionByName(opened)
+    closedHistory.select(
+        col(key) +: cols.map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+      .unionByName(keep).unionByName(closed).unionByName(opened)
   }
 }

@@ -129,7 +129,11 @@ object SketchOps {
         .groupBy(col("bucket")).agg(max(col("rank")).as("r"))
         .agg(
           count(lit(1)).as("nonzero"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")).as("denom_used"))
+          // coalesce: an EMPTY input yields nonzero=0 and a NULL sum,
+          // which would poison denom_scaled → est = NULL; with 0 the
+          // linear-counting branch correctly returns est = 0
+          coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")),
+            lit(0L)).as("denom_used"))
         .select(lit(label).as("src"), col("nonzero"),
           (col("denom_used") +
             (lit(HllM.toLong) - col("nonzero")) * lit(1L << 51))

@@ -269,8 +269,10 @@ object BatchCore extends QuerySet {
         |s AS (SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
         |      FROM orders WHERE o_orderkey % 2 = 0)
         |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
-        |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+        |       ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |       ELSE t.o_totalprice END AS o_totalprice
         |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin,
 
     "merge_cdc_apply" ->

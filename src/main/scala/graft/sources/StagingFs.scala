@@ -71,6 +71,14 @@ object StagingFs {
     buildLedger.asScala.toMap
   }
 
+  /** Record a one-time build that happened OUTSIDE [[stageOnce]] (the
+    * streaming replay-quarter copies use their own stamp-invalidated
+    * fixed-name staging) so it still lands in the bench's stage ledger. */
+  def recordBuild(key: String, seconds: Double): Unit = {
+    buildLedger.put(key, seconds)
+    System.err.println(f"[stage-build] key=$key $seconds%.2fs")
+  }
+
   /** Build-once-per-key staging: the first caller for `key` creates a stage
     * dir and runs `build` into it; every caller (including concurrent first
     * callers) gets the same directory back once the build completes. */

@@ -45,6 +45,26 @@ class MergeSpec extends SparkSpecBase {
     assert(out == Map(1L -> "a", 9L -> "x3"))
   }
 
+  test("upsert: a matched source row carrying NULL nulls the column (source wins whole-row)") {
+    import spark.implicits._
+    val target = Seq((1L, Option("old"), Option("x")),
+      (2L, Option("keep"), Option("y"))).toDF("k", "a", "b")
+    val source = Seq((1L, Option.empty[String], Option("z"))).toDF("k", "a", "b")
+    val out = MergeOps.upsert(target, source, "k", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    // k=1 takes the source row AS A WHOLE: a → NULL (not resurrected
+    // 'old'), b → z; k=2 untouched
+    assert(out == Set((1L, None, Some("z")), (2L, Some("keep"), Some("y"))))
+  }
+
+  test("changelog seqs may be negative: any change beats the snapshot") {
+    val out = applied(
+      snap(1L -> "a"),
+      changes((1L, -5L, "U", "neg")))
+    assert(out == Map(1L -> "neg"))
+  }
+
   test("randomized changelogs match a sequential per-key fold (seeded)") {
     val rnd = new scala.util.Random(0xC0FFEE)
     (1 to 3).foreach { round =>
