@@ -94,6 +94,34 @@ class MergeSpec extends SparkSpecBase {
     }
   }
 
+  test("plan: scd2's one logical join specializes per branch and reuses its shuffles") {
+    import spark.implicits._
+    // Catalyst rewrites the single full-outer + branch filters into the
+    // CHEAPER specialized join per branch (LeftOuter for keep, Inner for
+    // closed, RightOuter for opened); under sort-merge the identical
+    // child exchanges are reused, so each side shuffles once. Locked
+    // with broadcast off — the shape that matters at 100 TB.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val target = Seq(
+        (1L, "a", "2023-01-01", Option.empty[String]),
+        (1L, "a0", "2022-01-01", Option("2023-01-01"))).toDF("k", "v", "f", "t")
+        .select(col("k"), col("v"), col("f").cast("date").as("valid_from"),
+          col("t").cast("date").as("valid_to"))
+      val source = Seq((1L, "a2")).toDF("k", "v")
+      val df = MergeOps.scd2Merge(target, source, "k", Seq("v"),
+        to_date(lit("2024-01-01")))
+      df.collect() // materialize so AQE finalizes reuse
+      // AQE's toString prints final AND initial plans — assert on final
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("SortMergeJoin".r.findAllIn(plan).size == 3, plan.take(2000))
+      assert(plan.contains("ReusedExchange"),
+        s"branch joins must reuse the shared child exchanges:\n${plan.take(2500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan: one shuffle resolves the fold (keyed aggregate, no join)") {
     val s = snap(1L -> "a", 2L -> "b")
     val c = changes((1L, 1L, "U", "a2"))
