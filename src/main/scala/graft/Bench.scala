@@ -92,7 +92,8 @@ object Bench {
       "dedup_minhash_lsh", "sim_topk_lsh", "text_stats", "corpus_prep_pipeline",
       "media_features", "ml_knn_classify", "stream_retract_changelog",
       "join_asof_backward", "dedup_clusters", "cep_one_or_more_relaxed",
-      "dedup_embedding_lsh", "stream_socket_counts", "dedup_incremental")
+      "dedup_embedding_lsh", "stream_socket_counts", "dedup_incremental",
+      "sim_tfidf_topk", "merge_cdc_apply", "stream_punctuated_watermark")
     // fail fast on drift: a renamed/misspelled headline entry would
     // otherwise vanish silently from the driver contract
     require(headline.forall(results.contains),
