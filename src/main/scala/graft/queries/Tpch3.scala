@@ -33,16 +33,22 @@ object Tpch3 extends QuerySet {
         .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
       val pa = t(s, dir, "part").filter(col("p_size") % 10 === 0)
+      // exact integer rational, not round(double, 6): price and quantity
+      // are 2-dp, so cents are exact BIGINTs and the floored micro-unit
+      // cost is integer arithmetic — a 6-dp double round sits on a
+      // representation boundary for some fixture rows (found at sf0.1)
+      // and Spark/DuckDB break the half tie differently
       val up = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
-          .as("unit_cost"))
+        .agg(min(expr("(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "* 1000000) div CAST(round(l_quantity * 100) AS BIGINT)"))
+          .as("unit_cost_micros"))
       pa.join(up, col("p_partkey") === col("l_partkey"))
         .join(asia, col("l_suppkey") === col("s_suppkey"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("p_partkey"))
-          .orderBy(col("unit_cost"), col("s_suppkey"))))
+          .orderBy(col("unit_cost_micros"), col("s_suppkey"))))
         .filter(col("rn") === 1)
-        .select(col("p_partkey"), col("s_suppkey"), col("unit_cost"),
+        .select(col("p_partkey"), col("s_suppkey"), col("unit_cost_micros"),
           col("s_name"), col("n_name"))
     }),
 
@@ -211,20 +217,21 @@ object Tpch3 extends QuerySet {
     "q02_min_cost_supplier" ->
       """WITH up AS (
         |  SELECT l_partkey, l_suppkey,
-        |    MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000
+        |        // CAST(round(l_quantity * 100) AS BIGINT)) AS unit_cost_micros
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
         |asia AS (
         |  SELECT s_suppkey, s_name, n_name
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
         |ranked AS (
-        |  SELECT p_partkey, s_suppkey, unit_cost, s_name, n_name,
+        |  SELECT p_partkey, s_suppkey, unit_cost_micros, s_name, n_name,
         |    row_number() OVER (PARTITION BY p_partkey
-        |      ORDER BY unit_cost, s_suppkey) AS rn
+        |      ORDER BY unit_cost_micros, s_suppkey) AS rn
         |  FROM part JOIN up ON p_partkey = l_partkey
         |  JOIN asia ON l_suppkey = s_suppkey
         |  WHERE p_size % 10 = 0)
-        |SELECT p_partkey, s_suppkey, unit_cost, s_name, n_name
+        |SELECT p_partkey, s_suppkey, unit_cost_micros, s_name, n_name
         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q07_volume_shipping" ->
