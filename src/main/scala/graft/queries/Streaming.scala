@@ -329,6 +329,18 @@ object Streaming extends QuerySet {
     "stream_socket_counts" -> ((s, dir) =>
       EventStream.socketCounts(s, dir)),
 
+    // USER-DEFINED streaming source (the reference's addSource /
+    // SourceFunction, StreamExecutionEnvironment.java:1186): the same TCP
+    // replay ingested through a custom DataSourceV2 MicroBatchStream
+    // (GraftSocketSource) that buffers off the query path, tracks
+    // line-count offsets, and SPLITS every micro-batch across 4 input
+    // partitions — the scale path next to the built-in single-partition
+    // socket source's labeled baseline above; identical oracle.
+    "stream_custom_source_counts" -> ((s, dir) =>
+      EventStream.socketCounts(s, dir,
+        format = classOf[graft.streaming.GraftSocketSourceProvider].getName,
+        statePartitions = 4, sourcePartitions = 4)),
+
     // stateful streaming dedup (dropDuplicates state store)
     "stream_dedup" -> ((s, dir) => {
       val dd = events(s, dir)
@@ -837,6 +849,10 @@ object Streaming extends QuerySet {
     // end-of-stream complete-mode aggregate over the socket replay equals
     // the batch aggregate
     "stream_socket_counts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+
+    // same end-of-stream contract through the custom DSv2 source
+    "stream_custom_source_counts" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
 
     "stream_dedup" ->

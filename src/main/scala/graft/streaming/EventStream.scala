@@ -244,7 +244,10 @@ object EventStream {
   private val feedIdsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  def socketCounts(spark: SparkSession, dir: String): DataFrame = {
+  def socketCounts(spark: SparkSession, dir: String,
+                   format: String = "socket",
+                   statePartitions: Int = 1,
+                   sourcePartitions: Int = 1): DataFrame = {
     val t0 = System.nanoTime()
     def sinceS: Double = (System.nanoTime() - t0) / 1e9
     val srcStamp = dir + "|" +
@@ -288,14 +291,22 @@ object EventStream {
     feeder.setDaemon(true)
     feeder.start()
     val name = s"graft_stream_socket_${runId.incrementAndGet()}"
-    val counts = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", server.getLocalPort).load()
+    // numPartitions only for the graft source: the BUILT-IN socket source
+    // also honors it, and pinning it to 1 there serializes its ~1 ms/row
+    // line conversion onto one task (measured 2 s -> 97 s per 100k-row
+    // batch) — its default defaultParallelism split is what keeps the
+    // baseline query at its usual cost
+    val reader0 = spark.readStream.format(format)
+      .option("host", "127.0.0.1").option("port", server.getLocalPort)
+    val reader = if (format == "socket") reader0
+      else reader0.option("numPartitions", sourcePartitions)
+    val counts = reader.load()
       .select(col("value").cast("long").as("user_id"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     // ONE state partition: a socket is parallelism-1 by the reference's own
     // semantics and the keyed state is ~150 users — every extra state-store
     // instance is a per-micro-batch open/commit tax with nothing to shard
-    graft.operators.PartitionOps.withShufflePartitions(spark, 1) {
+    graft.operators.PartitionOps.withShufflePartitions(spark, statePartitions) {
       val q = counts.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       def total(): Long = {

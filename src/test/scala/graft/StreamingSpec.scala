@@ -532,6 +532,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("custom socket source: offsets slice the line buffer, batches split, commit trims") {
+    import graft.streaming.{GraftSocketMicroBatchStream, GraftSocketPartition}
+    import graft.streaming.GraftSocketSource.CountOffset
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream)
+      (1 to 10).foreach(i => out.println(s"line$i"))
+      out.flush()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val stream = new GraftSocketMicroBatchStream(
+      "127.0.0.1", server.getLocalPort, numPartitions = 4)
+    try {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (stream.latestOffset().asInstanceOf[CountOffset].n < 10 &&
+             System.nanoTime() < deadline) Thread.sleep(10)
+      assert(stream.latestOffset().asInstanceOf[CountOffset].n == 10)
+      // the 10-line range splits into ceil(10/4)=3-line chunks → 4 tasks
+      val parts = stream.planInputPartitions(CountOffset(0), CountOffset(10))
+        .map(_.asInstanceOf[GraftSocketPartition].rows.toSeq)
+      assert(parts.map(_.length).sum == 10 && parts.length == 4, parts.toSeq)
+      assert(parts.flatten.toSeq == (1 to 10).map(i => s"line$i"),
+        "order within the range must be arrival order")
+      // a replay of a sub-range is a buffer slice
+      assert(stream.planInputPartitions(CountOffset(4), CountOffset(6))
+        .flatMap(_.asInstanceOf[GraftSocketPartition].rows).toSeq ==
+        Seq("line5", "line6"))
+      stream.commit(CountOffset(10))
+      // committed lines are gone; asking for them again must fail loudly
+      assert(stream.planInputPartitions(CountOffset(10), CountOffset(10)).isEmpty)
+      intercept[IllegalArgumentException] {
+        stream.planInputPartitions(CountOffset(5), CountOffset(10))
+      }
+    } finally { stream.stop(); server.close() }
+  }
+
   test("queryable state: the state-store source exposes per-key aggregation state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qstate").toString
