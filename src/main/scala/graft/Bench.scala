@@ -93,7 +93,8 @@ object Bench {
       "media_features", "ml_knn_classify", "stream_retract_changelog",
       "join_asof_backward", "dedup_clusters", "cep_one_or_more_relaxed",
       "dedup_embedding_lsh", "stream_socket_counts", "dedup_incremental",
-      "sim_tfidf_topk", "merge_cdc_apply", "stream_punctuated_watermark")
+      "sim_tfidf_topk", "merge_cdc_apply", "stream_punctuated_watermark",
+      "stream_custom_source_counts")
     // fail fast on drift: a renamed/misspelled headline entry would
     // otherwise vanish silently from the driver contract
     require(headline.forall(results.contains),
