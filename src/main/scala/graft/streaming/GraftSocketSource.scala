@@ -48,10 +48,13 @@ class GraftSocketSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftSocketSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new GraftSocketTable(properties.get("host"),
-      properties.get("port").toInt,
-      Option(properties.get("numpartitions")).map(_.toInt).getOrElse(4))
+                        properties: java.util.Map[String, String]): Table = {
+    // getTable receives the ORIGINAL-cased option keys (Spark hands over
+    // asCaseSensitiveMap) — re-wrap so "numPartitions" actually resolves
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftSocketTable(opts.get("host"), opts.get("port").toInt,
+      opts.getInt("numpartitions", 4))
+  }
 }
 
 class GraftSocketTable(host: String, port: Int, numPartitions: Int)
@@ -119,6 +122,14 @@ class GraftSocketMicroBatchStream(host: String, port: Int, numPartitions: Int)
     val hi = end.asInstanceOf[CountOffset].n
     val chunk = lines.synchronized {
       require(lo >= trimmed, s"offset $lo already committed past (trimmed=$trimmed)")
+      // the symmetric upper bound: silently slicing past the buffer would
+      // complete a recovered batch with 0 rows and misattribute every
+      // later offset — the exactly-once claim demands failing loudly
+      // (this in-memory source cannot replay lines a previous instance
+      // buffered; a durable source would re-read them from its log)
+      require(hi <= trimmed + lines.length,
+        s"offset range [$lo, $hi) beyond buffered data " +
+          s"(trimmed=$trimmed, buffered=${lines.length})")
       lines.slice((lo - trimmed).toInt, (hi - trimmed).toInt).toArray
     }
     // split the range across tasks — the whole point vs the built-in
@@ -146,6 +157,9 @@ class GraftSocketMicroBatchStream(host: String, port: Int, numPartitions: Int)
   override def commit(end: Offset): Unit = {
     val upTo = end.asInstanceOf[CountOffset].n
     lines.synchronized {
+      require(upTo <= trimmed + lines.length,
+        s"commit($upTo) beyond buffered data " +
+          s"(trimmed=$trimmed, buffered=${lines.length})")
       val drop = (upTo - trimmed).toInt
       if (drop > 0) { lines.dropInPlace(drop); trimmed = upTo }
     }

@@ -567,6 +567,12 @@ class StreamingSpec extends SparkSpecBase {
       intercept[IllegalArgumentException] {
         stream.planInputPartitions(CountOffset(5), CountOffset(10))
       }
+      // ...and so must a range (or commit) beyond the buffered data —
+      // silent truncation would zero a recovered batch
+      intercept[IllegalArgumentException] {
+        stream.planInputPartitions(CountOffset(10), CountOffset(11))
+      }
+      intercept[IllegalArgumentException] { stream.commit(CountOffset(11)) }
     } finally { stream.stop(); server.close() }
   }
 
