@@ -329,6 +329,16 @@ object Streaming extends QuerySet {
     "stream_socket_counts" -> ((s, dir) =>
       EventStream.socketCounts(s, dir)),
 
+    // checkpoint RECOVERY across a real restart (the reference's
+    // savepoint → resume contract): a keyed aggregation runs over the
+    // first two replay quarters, terminates, and a NEW query restores
+    // from the checkpoint once the remaining quarters appear — the final
+    // complete-mode table must aggregate ALL the data, which only holds
+    // if the state store actually came back (post-restart-only counts
+    // would hash-mismatch the batch oracle)
+    "stream_checkpoint_recovery" -> ((s, dir) =>
+      EventStream.checkpointRecoveryCounts(s, dir)),
+
     // USER-DEFINED streaming source (the reference's addSource /
     // SourceFunction, StreamExecutionEnvironment.java:1186): the same TCP
     // replay ingested through a custom DataSourceV2 MicroBatchStream
@@ -853,6 +863,10 @@ object Streaming extends QuerySet {
 
     // same end-of-stream contract through the custom DSv2 source
     "stream_custom_source_counts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+
+    // recovery must resume, not restart: the full-corpus aggregate
+    "stream_checkpoint_recovery" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
 
     "stream_dedup" ->

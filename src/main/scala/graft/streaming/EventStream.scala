@@ -223,6 +223,40 @@ object EventStream {
       stage.toString
     }
 
+  /** Stop/restore across a REAL restart — the reference's savepoint →
+    * resume contract (`flink-runtime` checkpointing; `SavepointV2`):
+    * run a stateful aggregation over the FIRST TWO replay quarters with a
+    * checkpoint, let the query terminate, then start a NEW query from the
+    * same checkpoint after the remaining quarters appear. The restored
+    * run must produce the aggregate over ALL the data — counts covering
+    * only the post-restart files would mean the state never came back,
+    * so the batch oracle pins recovery exactly. */
+  def checkpointRecoveryCounts(spark: SparkSession, dir: String): DataFrame = {
+    val quarters = stageQuarters(spark, dir)
+    val work = StagingFs.newStageDir(spark, "graft-ckpt-src")
+    val ckpt = StagingFs.newStageDir(spark, "graft-ckpt-state")
+    def copyQ(q: Int): Unit = StagingFs.copyFile(spark,
+      new Path(quarters, s"q$q.parquet"), new Path(work, s"q$q.parquet"))
+    def runOnce(): DataFrame = {
+      val name = s"graft_stream_ckpt_${runId.incrementAndGet()}"
+      val counts = spark.readStream.schema(rawSchema(TimestampType))
+        .option("maxFilesPerTrigger", 1).parquet(work)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      graft.operators.PartitionOps.withShufflePartitions(spark, 4) {
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+    }
+    (0 to 1).foreach(copyQ)
+    val firstRun = runOnce() // terminates; state lives only in the checkpoint
+    require(firstRun.count() > 0, "pre-restart run produced no state")
+    (2 to 3).foreach(copyQ)
+    runOnce() // NEW query, fresh sink — restored state + the new quarters
+  }
+
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Non-file streaming ingestion: feed the events fixture through a
