@@ -33,6 +33,40 @@ class PartitionOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE skew join: a hot key splits across tasks without manual salting") {
+    // the ADAPTIVE counterpart of saltedJoin (DESIGN.md "salting for
+    // skew"): with thresholds scaled to the fixture, AQE must detect the
+    // hot partition and split it — the path a 100 TB run takes before
+    // anyone reaches for the manual salt
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val skewed = ((1 to 60000).map(i => (7L, i.toLong)) ++
+        (1 to 3000).map(i => (i.toLong % 64, i.toLong))).toDF("k", "payload")
+      val dim = (0L to 64L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = skewed.join(dim, "k")
+      // collect() THIS dataframe: count() would execute a derived plan
+      // and leave joined's own adaptive plan unfinalized
+      assert(joined.collect().length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n${plan.take(2500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rebalance: even round-robin distribution") {
     val parted = PartitionOps.rebalance(orders, 6)
     val sizes = parted.withColumn("pid", spark_partition_id())
