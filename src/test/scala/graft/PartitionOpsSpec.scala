@@ -67,6 +67,25 @@ class PartitionOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("customPartitionSorted: negative keys route in-range and positions stay sorted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBADF00D)
+    val keys = Seq.fill(500)(rnd.nextLong() % 10000) // mixed sign, dups possible
+    val df = keys.distinct.toDF("k")
+    val out = PartitionOps.customPartitionSorted(df, "k", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == keys.distinct.length)
+    // floorMod routing: every key in its partition, ids all in [0, 8)
+    assert(out.forall { case (pid, _, k) =>
+      pid == java.lang.Math.floorMod(k, 8L).toInt })
+    // within each partition, pos 1..n follows ascending key order
+    out.groupBy(_._1).values.foreach { rows =>
+      val byPos = rows.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq == (1L to rows.length).toSeq)
+      assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("rebalance: even round-robin distribution") {
     val parted = PartitionOps.rebalance(orders, 6)
     val sizes = parted.withColumn("pid", spark_partition_id())
