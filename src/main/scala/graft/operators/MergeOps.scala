@@ -62,9 +62,21 @@ object MergeOps {
     val snap = snapshot.select(
       col(key) +: lit(Long.MinValue).as(seqCol) +: lit(0).as("__src") +:
         lit("I").as(opCol) +: cols.map(col): _*)
+    // fail-fast on contract-violating changes: a NULL op would silently
+    // drop its key (`op =!= 'D'` evaluates NULL → filtered), and a NULL
+    // seq makes the max_by ordering undefined — malformed changelogs must
+    // error, not vanish. The guard wraps the op VALUE, so column pruning
+    // cannot optimize it away.
+    val opChecked = when(
+      col(opCol).isin("I", "U", "D") && col(seqCol).isNotNull, col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChangelog: malformed change row ($opCol="),
+        coalesce(col(opCol).cast("string"), lit("NULL")),
+        lit(s", $seqCol="),
+        coalesce(col(seqCol).cast("string"), lit("NULL")), lit(")"))))
     val all = snap.unionByName(
       changes.select(col(key) +: col(seqCol).cast("long").as(seqCol) +:
-        lit(1).as("__src") +: col(opCol) +: cols.map(col): _*))
+        lit(1).as("__src") +: opChecked.as(opCol) +: cols.map(col): _*))
     all.groupBy(col(key))
       .agg(max_by(struct((opCol +: cols).map(col): _*),
         struct(col(seqCol), col("__src"))).as("w"))

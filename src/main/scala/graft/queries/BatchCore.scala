@@ -60,8 +60,12 @@ object BatchCore extends QuerySet {
           (col("c_acctbal") + lit(100).cast("decimal(12,2)"))
             .cast("decimal(12,2)").as("c_acctbal"),
           col("c_mktsegment"))
+      // insert keys are -(k+1): strictly negative, disjoint from the
+      // non-negative TPC-H key space at EVERY scale factor (a +1000000
+      // offset would collide with real keys past sf≈7 and silently
+      // diverge from the UNION ALL oracle; plain -k collides at k=0)
       val inserts = c.filter(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        .select((-(col("c_custkey") + 1)).as("c_custkey"),
           lit(1L).as("seq"), lit("I").as("op"),
           lit(0).cast("decimal(12,2)").as("c_acctbal"),
           lit("NEW").as("c_mktsegment"))
@@ -95,7 +99,8 @@ object BatchCore extends QuerySet {
             col("c_custkey") % 5 =!= 0)
           .select(col("c_custkey"), col("c_acctbal")))
         .unionByName(c.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"),
+          // -(k+1): strictly negative, disjoint at every scale factor
+          .select((-(col("c_custkey") + 1)).as("c_custkey"),
             col("c_acctbal")))
       // open rows surface the standard 9999-12-31 sentinel instead of
       // NULL, and validity bounds surface as ISO strings: the oracle's
@@ -286,7 +291,7 @@ object BatchCore extends QuerySet {
         |    c_mktsegment
         |  FROM c WHERE c_custkey % 7 <> 3),
         |ins AS (
-        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |  SELECT -(c_custkey + 1) AS c_custkey,
         |    CAST(0 AS DECIMAL(12,2)) AS bal, 'NEW' AS c_mktsegment
         |  FROM c WHERE c_custkey % 11 = 0)
         |SELECT c_custkey, CAST(bal AS DOUBLE) AS acctbal, c_mktsegment
@@ -307,7 +312,7 @@ object BatchCore extends QuerySet {
         |  SELECT c_custkey, c_acctbal FROM c
         |  WHERE c_custkey % 7 = 3 AND c_custkey % 5 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_acctbal FROM c
+        |  SELECT -(c_custkey + 1), c_acctbal FROM c
         |  WHERE c_custkey % 11 = 0),
         |keep AS (
         |  SELECT t.c_custkey, t.c_acctbal, t.valid_from, t.valid_to

@@ -254,7 +254,12 @@ object EventStream {
     val firstRun = runOnce() // terminates; state lives only in the checkpoint
     require(firstRun.count() > 0, "pre-restart run produced no state")
     (2 to 3).foreach(copyQ)
-    runOnce() // NEW query, fresh sink — restored state + the new quarters
+    val restored = runOnce() // NEW query, fresh sink — restored state + q2/q3
+    // a recovery failure (no batch fired, state not restored) must report
+    // itself directly, not as a confusing oracle hash mismatch downstream
+    require(restored.count() > 0,
+      "post-restart run produced no output — checkpoint state not restored")
+    restored
   }
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)

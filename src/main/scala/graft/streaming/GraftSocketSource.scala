@@ -52,8 +52,12 @@ class GraftSocketSourceProvider extends TableProvider {
     // getTable receives the ORIGINAL-cased option keys (Spark hands over
     // asCaseSensitiveMap) — re-wrap so "numPartitions" actually resolves
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftSocketTable(opts.get("host"), opts.get("port").toInt,
-      opts.getInt("numpartitions", 4))
+    val host = opts.get("host")
+    val port = opts.get("port")
+    require(host != null && port != null,
+      "graft-socket source requires 'host' and 'port' options " +
+        s"(got host=$host, port=$port)")
+    new GraftSocketTable(host, port.toInt, opts.getInt("numpartitions", 4))
   }
 }
 
@@ -130,7 +134,9 @@ class GraftSocketMicroBatchStream(host: String, port: Int, numPartitions: Int)
       require(hi <= trimmed + lines.length,
         s"offset range [$lo, $hi) beyond buffered data " +
           s"(trimmed=$trimmed, buffered=${lines.length})")
-      lines.slice((lo - trimmed).toInt, (hi - trimmed).toInt).toArray
+      // toIntExact: a buffer past 2^31 lines must fail loudly, not wrap
+      lines.slice(Math.toIntExact(lo - trimmed),
+        Math.toIntExact(hi - trimmed)).toArray
     }
     // split the range across tasks — the whole point vs the built-in
     // single-partition source; empty batches plan zero partitions
@@ -160,7 +166,7 @@ class GraftSocketMicroBatchStream(host: String, port: Int, numPartitions: Int)
       require(upTo <= trimmed + lines.length,
         s"commit($upTo) beyond buffered data " +
           s"(trimmed=$trimmed, buffered=${lines.length})")
-      val drop = (upTo - trimmed).toInt
+      val drop = Math.toIntExact(upTo - trimmed)
       if (drop > 0) { lines.dropInPlace(drop); trimmed = upTo }
     }
   }
