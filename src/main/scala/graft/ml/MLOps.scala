@@ -212,6 +212,101 @@ object MLOps {
     model.transform(ratings)
   }
 
+  /** One EXACT ALS half-step at rank 1 — the oracle-able counterpart of
+    * the iterative [[alsFit]] façade (reference FlinkML
+    * `recommendation/ALS.scala`, `updateFactors`: solve the per-user
+    * normal equation holding item factors fixed). At rank 1 the solve is
+    * closed-form: xᵤ = Σⱼ rᵤⱼ·yⱼ / (λ·nᵤ + Σⱼ yⱼ²) — ALS-WR's
+    * weighted-λ regularization (Zhou et al. 2008), λ scaled by the user's
+    * rating count exactly as the reference does. `itemFactor` supplies
+    * the FIXED iteration-0 item factors as an integer expression over the
+    * item id (a deterministic seed, so numerator and denominator are
+    * exact integers and the single final division is the only FP op —
+    * the same trick as [[kmeansStepExact]]).
+    *
+    * Plan shape: one keyed aggregation over the ratings, partial-agg
+    * map-side; a later iteration would broadcast-join the (small) factor
+    * table in place of the pure-function seed. Each rating moves once. */
+  def alsStepExact(ratings: DataFrame, userCol: String, itemCol: String,
+                   ratingCol: String, itemFactor: Column => Column,
+                   lambda: Int = 10): DataFrame = {
+    val y = itemFactor(col(itemCol))
+    ratings.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(ratingCol) * y).as("num"),
+        sum(y * y).as("den"))
+      .select(col(userCol),
+        round(col("num").cast("double") /
+          (lit(lambda) * col("n_items") + col("den")), 6).as("factor"),
+        col("n_items"))
+  }
+
+  /** One EXACT full-batch subgradient step of the soft-margin linear SVM —
+    * the oracle-able counterpart of [[fitLinearSvc]] (reference FlinkML
+    * `classification/SVM.scala`, CoCoA hinge-loss training). Features and
+    * labels must be integer-valued and the initial weights integers, so
+    * every margin yᵢ·(w·xᵢ) and every violator gradient sum Σ yᵢ·xᵢₖ is
+    * exact integer arithmetic; only the final scalar update
+    * w'ₖ = (1 − ηλ)·wₖ + (η/n)·Σ_viol yᵢ·xᵢₖ touches FP, in a fixed
+    * evaluation order. Returns ONE row: updated weights + violator count.
+    *
+    * Plan shape: a single partial+final aggregation — one pass over the
+    * data per step, the textbook full-batch gradient shape that scales to
+    * any n (the reducer state is 2·|w| longs). */
+  def svmStepExact(df: DataFrame, features: Seq[Column], label: Column,
+                   w0: Seq[Double], eta: Double, lambda: Double): DataFrame = {
+    require(features.nonEmpty && w0.length == features.length,
+      s"need one initial weight per feature (got ${w0.length} for ${features.length})")
+    require(w0.forall(w => w == math.round(w).toDouble),
+      s"initial weights must be integral for exact margins (got $w0)")
+    val margin = label * features.zip(w0).map { case (x, w) =>
+      x * lit(math.round(w)) }.reduce(_ + _)
+    val viol = margin < 1
+    val grads = features.zipWithIndex.map { case (x, i) =>
+      sum(when(viol, label * x).otherwise(0L)).as(s"g$i") }
+    val agg = df.agg(count(lit(1)).as("n"),
+      (sum(when(viol, 1L).otherwise(0L)).as("n_violations") +: grads): _*)
+    agg.select(
+      w0.indices.map(i =>
+        round(lit((1.0 - eta * lambda) * w0(i)) +
+          lit(eta) * (col(s"g$i").cast("double") / col("n")), 6)
+          .as(s"w$i")) ++
+        Seq(col("n_violations"), col("n").as("n_rows")): _*)
+  }
+
+  /** Exact k-NN-distance outlier score — the oracle-able counterpart of
+    * the [[stochasticOutlierSelection]] façade (reference FlinkML
+    * `outlier/StochasticOutlierSelection.scala`): the same
+    * pairwise-distance structure, but the score is the ×1e6-quantized
+    * integer squared distance to the k-th nearest neighbor (classic
+    * distance-based outlier detection) instead of the FP probability
+    * chain, so it hash-matches any engine. SOS's perplexity-tuned
+    * probabilities stay MLSpec-verified (binary-searched β is not
+    * oracle-expressible).
+    *
+    * `queryPred` bounds the scored side; candidates are the full set —
+    * the same blocked shape as `ml_knn_classify` (at corpus scale the
+    * candidate side goes through the LSH bucket join, same contract as
+    * embedding dedup). */
+  def knnDistOutlierScores(embs: DataFrame, vecCol: String, idCol: String,
+                           queryPred: Column, k: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.quantize
+    def proj(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(v))
+    val queries = proj(embs.filter(queryPred), "id", "qv")
+    val cand = proj(embs, "nid", "nv")
+    val scored = queries.crossJoin(cand)
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"), aggregate(
+        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d2"), col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("id").as(idCol), col("d2").as("knn_d2"))
+  }
+
   /** Soft-margin linear SVM façade (FlinkML `classification/SVM.scala` —
     * CoCoA-trained there; hinge-loss LinearSVC here). Label column must be
     * 0/1. Returns the input with `prediction`. */

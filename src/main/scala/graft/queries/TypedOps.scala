@@ -69,6 +69,29 @@ object TypedOps extends QuerySet {
         .toDF("c_nationkey", "c_custkey", "c_acctbal")
     }),
 
+    // combineGroup (reference DataSet.java:486, GroupCombineFunction): an
+    // EXPLICIT user combiner — per-partition partial (key → (cents, n))
+    // built inside mapPartitions, then ONE final keyed aggregation over
+    // the partials. The combiner contract: the result equals the plain
+    // aggregation for ANY partition count (integer-cents arithmetic keeps
+    // the fold order-free), which is exactly what the value oracle pins.
+    "typed_combine_group" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem").as[Lineitem]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          it.foreach { l =>
+            val (cents, n) = m.getOrElse(l.l_returnflag, (0L, 0L))
+            m.update(l.l_returnflag,
+              (cents + math.round(l.l_extendedprice * 100), n + 1))
+          }
+          m.iterator.map { case (k, (cents, n)) => (k, cents, n) }
+        }
+        .toDF("l_returnflag", "cents", "n")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("cents")).as("price_cents"), sum(col("n")).as("n_rows"))
+    }),
+
     // mapPartitions: per-partition iterator transform, row-local semantics
     "typed_map_partitions" -> ((s, dir) => {
       import s.implicits._
@@ -104,6 +127,13 @@ object TypedOps extends QuerySet {
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal DESC, c_custkey) rn
         |  FROM customer) WHERE rn <= 2""".stripMargin,
+
+    "typed_combine_group" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "typed_map_partitions" ->
       """SELECT n_nationkey,

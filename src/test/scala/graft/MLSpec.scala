@@ -210,4 +210,52 @@ class MLSpec extends SparkSpecBase {
     val z4 = fitted(Seq(Tuple1(4.0)).toDF("v")).head().getAs[Double]("z")
     assert(math.abs(z4 - 2.0 / math.sqrt(2.0 / 3.0)) < 1e-9, s"z4=$z4")
   }
+
+  test("exact ALS half-step is partition-count independent and matches the closed form") {
+    import spark.implicits._
+    val ratings = Seq(
+      (1L, 10L, 4L), (1L, 11L, 2L), (2L, 10L, 5L), (2L, 12L, 1L), (3L, 13L, 3L)
+    ).toDF("user_id", "item_id", "rating")
+    def run(parts: Int) =
+      MLOps.alsStepExact(ratings.repartition(parts), "user_id", "item_id",
+          "rating", item => item % 7 + 1, lambda = 10)
+        .orderBy("user_id").collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val one = run(1)
+    assert(one == run(7))
+    // user 1: items 10,11 -> y = (10%7)+1=4, (11%7)+1=5; num = 4*4+2*5 = 26
+    // den = lambda*2 + (16+25) = 61 -> 26/61
+    val u1 = one.find(_._1 == 1L).get
+    assert(u1._2 == math.rint(26.0 / 61.0 * 1e6) / 1e6 && u1._3 == 2L)
+  }
+
+  test("exact SVM subgradient step matches hand-computed update and ignores non-violators") {
+    import spark.implicits._
+    // w0 = (1, -1): margin = y * (x1 - x2)
+    val df = Seq(
+      (5L, 1L, 1L, 1L),   // margin 4 >= 1: not a violator
+      (0L, 3L, 1L, 1L),   // margin -3 < 1: violator, y*x = (0, 3, 1)
+      (2L, 0L, 1L, -1L)   // margin -2 < 1: violator, y*x = (-2, 0, -1)
+    ).toDF("x1", "x2", "x3", "y")
+    val r = MLOps.svmStepExact(df, Seq(col("x1"), col("x2"), col("x3")),
+      col("y"), w0 = Seq(1.0, -1.0, 0.0), eta = 0.5, lambda = 0.1).head()
+    assert(r.getAs[Long]("n_violations") == 2 && r.getAs[Long]("n_rows") == 3)
+    // w'_k = 0.95 * w_k + 0.5 * g_k / 3 with g = (-2, 3, 0)
+    assert(r.getAs[Double]("w0") == math.rint((0.95 - 1.0 / 3.0) * 1e6) / 1e6)
+    assert(r.getAs[Double]("w1") == math.rint((-0.95 + 0.5) * 1e6) / 1e6)
+    assert(r.getAs[Double]("w2") == 0.0)
+  }
+
+  test("k-NN-distance outlier scores rank the isolated point highest") {
+    import spark.implicits._
+    // a tight cluster near the origin plus one far point
+    val vecs = (0 to 9).map(i =>
+      (i.toLong, Array(0.001f * i, 0.001f * i))) :+ (10L, Array(5f, 5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val scores = MLOps.knnDistOutlierScores(df, "embedding", "vec_id",
+        lit(true), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scores(10L) == scores.values.max)
+    assert(scores(10L) > 100L * scores.filter(_._1 != 10L).values.max)
+  }
 }

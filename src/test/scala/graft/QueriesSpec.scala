@@ -62,4 +62,34 @@ class QueriesSpec extends SparkSpecBase {
     val anti = SparkEntry.queries("join_anti")(spark, sfDir).count()
     assert(semi + anti == c)
   }
+
+  test("combineGroup: explicit combiner equals the plain aggregation at any partition count") {
+    import spark.implicits._
+    import graft.Fixtures.Lineitem
+    val plain = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("price_cents"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (parts <- Seq(1, 5)) {
+      val combined = Tables.load(spark, sfDir, "lineitem").as[Lineitem]
+        .repartition(parts)
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          it.foreach { l =>
+            val (cents, n) = m.getOrElse(l.l_returnflag, (0L, 0L))
+            m.update(l.l_returnflag,
+              (cents + math.round(l.l_extendedprice * 100), n + 1))
+          }
+          m.iterator.map { case (k, (cents, n)) => (k, cents, n) }
+        }
+        .toDF("l_returnflag", "cents", "n")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("cents")).as("price_cents"), sum(col("n")).as("n_rows"))
+        .orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(combined == plain, s"parts=$parts")
+    }
+  }
 }
