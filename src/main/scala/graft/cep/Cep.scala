@@ -173,26 +173,46 @@ object Cep {
                   val (runIdx, stopReason, _) =
                     loopScan(events, s, a, ft0, pattern.withinMs, timeOf)
                   val len = runIdx.length
-                  // (k, binding still open?) choices. Only greedy-MAXIMAL
-                  // bindings are unstable under append: a non-maximal
-                  // prefix of the run never changes once derived.
-                  val ks: Iterator[(Int, Boolean)] = q match {
+                  // (bound indices, binding still open?) choices. Only
+                  // greedy-MAXIMAL bindings are unstable under append: a
+                  // non-maximal prefix (or subset) of the run never
+                  // changes once derived — a later event yields NEW
+                  // supersets, not mutations of emitted ones.
+                  val picks: Iterator[(Vector[Int], Boolean)] = q match {
                     case TimesRange(min, max, greedy) =>
                       val feasible = math.min(len, max)
                       if (feasible < min) Iterator.empty
                       else if (greedy) Iterator.single(
-                        (feasible, feasible == len && feasible < max &&
-                          stopReason == StopEnd))
-                      else (min to feasible).iterator.map(k => (k, false))
-                    case AtLeast(min, combinations) =>
+                        (runIdx.take(feasible),
+                          feasible == len && feasible < max &&
+                            stopReason == StopEnd))
+                      else (min to feasible).iterator
+                        .map(k => (runIdx.take(k), false))
+                    case AtLeast(min, combinations, exactCap) =>
                       if (len < min) Iterator.empty
+                      else if (combinations && exactCap > 0 &&
+                               len <= exactCap)
+                        // EXACT reference semantics (NFA TAKE/IGNORE
+                        // branching, Pattern.java:435): every
+                        // order-preserving subset of the run containing
+                        // its anchor, size >= min — 2^(len-1) candidates,
+                        // reachable only behind the opt-in cap
+                        (0 until (1 << (len - 1))).iterator
+                          .map { mask =>
+                            runIdx.head +: (1 until len).collect {
+                              case i if (mask & (1 << (i - 1))) != 0 =>
+                                runIdx(i)
+                            }.toVector
+                          }
+                          .filter(_.length >= min)
+                          .map(sel => (sel, false))
                       else if (combinations)
-                        (min to len).iterator.map(k => (k, false))
-                      else Iterator.single((len, stopReason == StopEnd))
+                        (min to len).iterator
+                          .map(k => (runIdx.take(k), false))
+                      else Iterator.single((runIdx, stopReason == StopEnd))
                     case Once => Iterator.empty // unreachable
                   }
-                  ks.flatMap { case (k, kOpen) =>
-                    val idxs = runIdx.take(k)
+                  picks.flatMap { case (idxs, kOpen) =>
                     val b = idxs.map(events)
                     expand(si + 1, idxs.last + 1, Nil,
                       bindings :+ (s.name -> b), ft0, open || kOpen)
@@ -211,7 +231,7 @@ object Cep {
       headLoopSegments(events, pattern, timeOf, validStart).map(_._1).toSet
     (0 until n).iterator.flatMap { i0 =>
       val runStartOk = headStage.quantifier match {
-        case AtLeast(_, _) => headStarts(i0)
+        case _: AtLeast    => headStarts(i0)
         case _             => true
       }
       if (runStartOk && headStage.predicate(events(i0)))
@@ -318,7 +338,7 @@ object Cep {
                 val run = runIdx(s, anchor, ft)
                 val f = math.min(run.length, max)
                 if (f < min) return (bindings, false) else run.take(f)
-              case AtLeast(min, _) =>
+              case AtLeast(min, _, _) =>
                 val run = runIdx(s, anchor, ft)
                 if (run.length < min) return (bindings, false) else run
             }
@@ -447,7 +467,7 @@ object Cep {
     // (e.g. a closed run still waiting on a later stage) stay derivable.
     val ord2 = Ordering.Tuple2(Ordering.Long, Ordering.Long)
     val isHeadLoop = pattern.stages.head.quantifier match {
-      case AtLeast(_, _) => true
+      case _: AtLeast    => true
       case _             => false
     }
     val validStart: Int => Boolean =

@@ -62,8 +62,12 @@ case object Once extends Quantifier
 /** `times(min,max)`; greedy = only the maximal feasible count. */
 final case class TimesRange(min: Int, max: Int, greedy: Boolean) extends Quantifier
 /** `oneOrMore` (min=1) / `timesOrMore(min)`; combinations = also emit
-  * prefixes of the maximal run. */
-final case class AtLeast(min: Int, combinations: Boolean) extends Quantifier
+  * prefixes of the maximal run. `exactCap > 0` additionally opts into the
+  * reference's EXACT non-contiguous subset enumeration (NFA TAKE/IGNORE
+  * branching) for runs of length <= exactCap — 2^(len-1) candidates, so
+  * the cap bounds the blow-up; longer runs fall back to prefixes. */
+final case class AtLeast(min: Int, combinations: Boolean,
+                         exactCap: Int = 0) extends Quantifier
 
 object Times {
   /** times(n) — exact count, overlapping candidates (NO_SKIP). */
@@ -160,7 +164,7 @@ final case class Pattern[T](stages: Vector[Stage[T]],
   def greedy: Pattern[T] = modLast { s =>
     s.quantifier match {
       case TimesRange(lo, hi, _) => s.copy(quantifier = TimesRange(lo, hi, greedy = true))
-      case AtLeast(_, _)         => s // already greedy-maximal by pinned semantics
+      case _: AtLeast            => s // already greedy-maximal by pinned semantics
       case Once =>
         throw new IllegalArgumentException("greedy requires a looping quantifier")
     }
@@ -178,9 +182,28 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     * subset of reference `allowCombinations` `Pattern.java:435`). */
   def allowCombinations: Pattern[T] = modLast { s =>
     s.quantifier match {
-      case AtLeast(min, _) => s.copy(quantifier = AtLeast(min, combinations = true))
+      case AtLeast(min, _, cap) =>
+        s.copy(quantifier = AtLeast(min, combinations = true, cap))
       case _ =>
         throw new IllegalArgumentException("allowCombinations requires oneOrMore/timesOrMore")
+    }
+  }
+
+  /** EXACT `allowCombinations` (reference `Pattern.java:435`, NFA
+    * TAKE/IGNORE branching): for runs of up to `cap` events, emit every
+    * order-preserving subset of the run that contains its first event —
+    * the reference's full non-contiguous enumeration, 2^(len-1)
+    * candidates per run. Opt-in capped because the enumeration is
+    * exponential; runs longer than `cap` fall back to the prefix
+    * approximation (the pinned default). */
+  def allowCombinationsExact(cap: Int = 15): Pattern[T] = modLast { s =>
+    require(cap >= 1 && cap <= 24,
+      s"allowCombinationsExact cap must be in [1, 24] (2^cap candidates); got $cap")
+    s.quantifier match {
+      case AtLeast(min, _, _) =>
+        s.copy(quantifier = AtLeast(min, combinations = true, exactCap = cap))
+      case _ =>
+        throw new IllegalArgumentException("allowCombinationsExact requires oneOrMore/timesOrMore")
     }
   }
 
@@ -225,7 +248,7 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     else stages.collect {
       case s if s.isLoop && !s.isNegative && !s.strictInner &&
         s.until.isEmpty && (s.quantifier match {
-          case AtLeast(_, _)            => true
+          case _: AtLeast               => true
           case TimesRange(_, _, greedy) => greedy
           case _                        => false
         }) => s.name

@@ -318,7 +318,16 @@ object Streaming extends QuerySet {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("value"))).cast("double").as("sum_value"))
-      graft.streaming.RetractStream.run(agg, Seq("user_id")).changesDf
+      // hot-path snapshot storage (persisted-RDD generations, the knob
+      // documented on RetractStream): skips the per-batch snapshot
+      // parquet write+read round-trip. The default parquet-generation
+      // posture (executor storage holds nothing between batches) stays
+      // the documented scale path and is spec-covered
+      // (StreamingSpec "reclaims superseded snapshot generations").
+      graft.streaming.RetractStream.run(agg, Seq("user_id"),
+        snapshotLevel =
+          Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .changesDf
     }),
 
     // non-file streaming source end-to-end: the fixture replayed through a

@@ -62,6 +62,9 @@ class RetractStream(keyCols: Seq[String],
     // the batch feeds both the changelog and the snapshot — cache it across
     // the two jobs instead of recomputing the micro-batch scan
     val b = batch.persist()
+    val t0 = System.nanoTime()
+    var tChangelog = 0.0
+    def sinceS: Double = (System.nanoTime() - t0) / 1e9
     try {
       val keys = keyCols.map(col)
       val changes = snap match {
@@ -73,6 +76,7 @@ class RetractStream(keyCols: Seq[String],
       }
       changes.withColumn("__batch_id", lit(batchId))
         .write.mode("append").parquet(changelogDir)
+      tChangelog = sinceS
       wroteAny = true
       batchesInGen += 1
       if (compactEvery > 0 && batchesInGen >= compactEvery)
@@ -107,6 +111,11 @@ class RetractStream(keyCols: Seq[String],
       else if (prevGen >= 0)
         graft.sources.StagingFs.delete(sparkRef,
           new org.apache.hadoop.fs.Path(baseDir, s"snap_gen_$prevGen"))
+      // per-batch cost attribution (bench stderr): changelog diff+write vs
+      // snapshot materialize+reclaim — the two candidate fixed costs behind
+      // the per-micro-batch trend the bench watches
+      System.err.println(f"[retract-cost] batch=$batchId " +
+        f"changelog=$tChangelog%.2fs snapshot=${sinceS - tChangelog}%.2fs")
     } finally b.unpersist()
   }
 

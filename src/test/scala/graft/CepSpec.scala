@@ -160,6 +160,53 @@ class CepSpec extends SparkSpecBase {
       Vector(Seq(1L), Seq(1L, 2L), Seq(1L, 2L, 3L)))
   }
 
+  test("allowCombinationsExact enumerates every anchored subset of the run") {
+    val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "v"), e(4, 4, "x"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.allowCombinationsExact()
+    // reference NFA TAKE/IGNORE semantics: every order-preserving subset
+    // of the run [1,2,3] that contains its anchor 1 — a strict superset
+    // of the prefix approximation
+    val got = run(evs, p).map(m => ids(m, "v")).toSet
+    assert(got == Set(Seq(1L), Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 2L, 3L)))
+    val prefixes = run(evs,
+      Pattern.begin[EventRow]("v")(_.event_type == "v")
+        .oneOrMore.allowCombinations).map(m => ids(m, "v")).toSet
+    assert(prefixes.subsetOf(got) && got.size == 1 << 2)
+  }
+
+  test("allowCombinationsExact: subsets feed later stages from the last taken event") {
+    val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "v"), e(4, 4, "b"))
+    val p = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.allowCombinationsExact()
+      .followedBy("t")(_.event_type == "b")
+    val ms = run(evs, p)
+    assert(ms.map(m => (ids(m, "v"), ids(m, "t").head)).toSet ==
+      Set((Seq(1L), 4L), (Seq(1L, 2L), 4L), (Seq(1L, 3L), 4L),
+        (Seq(1L, 2L, 3L), 4L)))
+    // min bound applies to the subset size, not the run length
+    val p2 = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .timesOrMore(2).allowCombinationsExact()
+    assert(run(evs, p2).map(m => ids(m, "v")).toSet ==
+      Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 2L, 3L)))
+  }
+
+  test("allowCombinationsExact falls back to prefixes past the cap") {
+    val evs = (1 to 6).map(i => e(i, i, "v")) :+ e(7, 7, "x")
+    val exact = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.allowCombinationsExact(cap = 4)
+    // run length 6 > cap 4: prefix approximation
+    assert(run(evs, exact).map(m => ids(m, "v")) ==
+      (1 to 6).map(k => (1L to k.toLong)).toVector)
+    val inCap = Pattern.begin[EventRow]("v")(_.event_type == "v")
+      .oneOrMore.allowCombinationsExact(cap = 6)
+    assert(run(evs, inCap).size == 1 << 5)
+    intercept[IllegalArgumentException] {
+      Pattern.begin[EventRow]("v")(_.event_type == "v")
+        .oneOrMore.allowCombinationsExact(cap = 30)
+    }
+  }
+
   test("subtype restricts the stage to instances of the subtype") {
     sealed trait Ev { def t: Long }
     case class Click(t: Long) extends Ev
