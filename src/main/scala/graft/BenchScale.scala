@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence runner (DESIGN.md "sf1 scaling" table): times a fixed
+  * set of data-scaling queries at two fixture scales in one warmed JVM and
+  * prints per-query seconds + the sf1/sf0.1 ratio. Linear-ish ratios (≲10×
+  * for 10× data on a fixed 32-core box) mean the plan scales with data;
+  * a superlinear ratio is a scale-killer surfaced early.
+  *
+  * Streaming replay queries are deliberately absent: their cost is
+  * micro-batch fixed overhead × replay count (DESIGN.md), not data volume,
+  * so a 10× fixture measures the harness, not the engine.
+  */
+object BenchScale {
+
+  /** Batch queries whose cost is data-driven, spanning every heavy family:
+    * TPC-H joins/aggs, dedup (exact + staged LSH chain + clusters +
+    * embedding), similarity (tfidf/lsh/knn), graph iteration, corpus prep,
+    * merge/CDC, as-of, text. */
+  val ScaleSet: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q09_product_type_profit", "q10_returned_items", "q13_customer_distribution",
+    "q18_large_volume_customer", "agg_basic", "join_inner",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_lsh",
+    "sim_tfidf_topk", "sim_topk_lsh", "ml_knn_classify",
+    "graph_cc_chain", "graph_pagerank",
+    "corpus_prep_pipeline", "text_stats", "merge_cdc_apply",
+    "join_asof_backward", "window_tumble", "over_ranking")
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val dirSmall = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dirBig = if (args.length > 1) args(1) else "bench-data/sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def run(dir: String): Map[String, (Double, Double)] = {
+      // REAL column-data warmup: count() on parquet reads only footers, so
+      // the first query would otherwise pay the cold read of every column
+      // it touches (measured: q01 14.2 s cold vs 1.0 s warm at sf1). A noop
+      // write deserializes every column in parallel into the page cache —
+      // the steady-state (plan-scaling) number is what this table is for.
+      Tables.names.foreach(n =>
+        Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save())
+      ScaleSet.map { name =>
+        val fn = SparkEntry.queries(name)
+        def onePass(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val stagePre = graft.sources.StagingFs.buildCosts
+        val first = onePass()
+        val stageSec = graft.sources.StagingFs.buildCosts
+          .filterNot { case (k, _) => stagePre.contains(k) }.values.sum
+        val firstSteady = math.max(0.0, first - stageSec)
+        // min-of-2, plus a tie-break pass when the two disagree >2× (the
+        // driver box shows occasional 3-4× GC/scheduler hiccups — q18 at
+        // sf1 measured 4.5, 4.9, 16.8, 4.5 s across reps)
+        val dt = if (firstSteady > 0.5) {
+          val second = onePass()
+          val m = math.min(firstSteady, second)
+          if (math.max(firstSteady, second) > 2 * m) math.min(m, onePass())
+          else m
+        } else firstSteady
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.err.println(f"[scale] $dir $name pass=$dt%.2fs stage=$stageSec%.2fs")
+        name -> (dt, stageSec)
+      }.toMap
+    }
+
+    val small = run(dirSmall)
+    System.gc()
+    val big = run(dirBig)
+    println(f"| query | ${dirSmall.split('/').last} s | ${dirBig.split('/').last} s | ratio | stage s (big) |")
+    println("|---|---|---|---|---|")
+    ScaleSet.foreach { q =>
+      val (s, _) = small(q); val (b, bs) = big(q)
+      val ratio = if (s > 0.005) f"${b / s}%.1fx" else "n/a"
+      println(f"| $q | $s%.2f | $b%.2f | $ratio | $bs%.1f |")
+    }
+    val (ts, tb) = (small.values.map(_._1).sum, big.values.map(_._1).sum)
+    println(f"| TOTAL (per-pass) | $ts%.2f | $tb%.2f | ${tb / ts}%.1fx | " +
+      f"${big.values.map(_._2).sum}%.1f |")
+    spark.stop()
+  }
+}

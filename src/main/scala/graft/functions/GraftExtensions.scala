@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -16,29 +17,45 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"), DotProduct.info,
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProduct(children(0), children(1))))
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction(
       (FunctionIdentifier("graft_iqdot"), IntQuantDot.info,
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          IntQuantDot(children(0), children(1))))
+        (children: Seq[Expression]) => IntQuantDot(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_lsh_bands"), LshBandBuckets.info,
+        GraftExtensions.buildLshBands _))
   }
 }
 
 object GraftExtensions {
+
+  /** graft_lsh_bands(vec, bands, bits, dim) — the shape parameters must be
+    * int literals: they size the driver-computed plane-weight table. */
+  private[functions] def buildLshBands(children: Seq[Expression]): LshBandBuckets = {
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_bands: $name must be an int literal, got $other")
+    }
+    LshBandBuckets(children(0), intLit(children(1), "bands"),
+      intLit(children(2), "bits"), intLit(children(3), "dim"))
+  }
+
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val dotId = FunctionIdentifier("graft_dot")
     if (!reg.functionExists(dotId)) {
       reg.registerFunction(dotId, DotProduct.info,
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProduct(children(0), children(1)))
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
     val iqId = FunctionIdentifier("graft_iqdot")
     if (!reg.functionExists(iqId)) {
       reg.registerFunction(iqId, IntQuantDot.info,
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          IntQuantDot(children(0), children(1)))
+        (children: Seq[Expression]) => IntQuantDot(children(0), children(1)))
+    }
+    val lshId = FunctionIdentifier("graft_lsh_bands")
+    if (!reg.functionExists(lshId)) {
+      reg.registerFunction(lshId, LshBandBuckets.info, buildLshBands _)
     }
   }
 }

@@ -465,7 +465,8 @@ object DedupOps {
                            minCos: Double = 0.4,
                            bruteForce: Boolean = false,
                            bands: Int = 8,
-                           maxBucketFreq: Long = 10000L): DataFrame = {
+                           maxBucketFreq: Long = 10000L,
+                           bits: Int = SimilarityOps.LshBits): DataFrame = {
     // the exact rerank shared by both paths: pairs of ids -> scored pairs
     def rescored(cand: DataFrame): DataFrame = {
       val withNorm = embs.select(col(idCol).as("id"),
@@ -500,9 +501,13 @@ object DedupOps {
     } else {
       // slim band rows, materialized once (the hot-bucket scan and both
       // self-join sides would otherwise each replay the 64 iqdot planes)
+      // `bits` is the SCALE knob: within-bucket candidate volume is
+      // Σ m_b² ≈ n²/2^bits per band, so constant bucket occupancy — and
+      // linear total work — needs bits ∝ log₂(n). The fixture default (8)
+      // matches the value oracle; a 10× corpus wants bits+3 or 4 (measured
+      // in DESIGN.md's sf1 table).
       val banded = embs.select(col(idCol).as("id"),
-          posexplode(array((0 until bands).map(b =>
-            SimilarityOps.lshBucketBand(col(vecCol), b)): _*))
+          posexplode(SimilarityOps.lshBandBucketsAll(col(vecCol), bands, bits))
             .as(Seq("band", "bucket")))
         .localCheckpoint()
       val hot = banded.groupBy(col("band"), col("bucket"))
@@ -516,5 +521,57 @@ object DedupOps {
         .distinct() // a pair may collide in several bands — rerank it once
       rescored(cand)
     }
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public paper): coarsely cluster the embedding space,
+    * then within each cluster drop every vector that has an ε-near neighbor
+    * (cosine ≥ tauPct/100) with a smaller id; the min-id member of each
+    * ε-neighborhood survives as the representative. Cross-cluster pairs are
+    * never examined — that is the SemDeDup trade: candidate volume is
+    * Σ m_c² over cluster sizes instead of n², and at real scale `cells` is
+    * sized ≈ √n so each cluster's self-join fits a task (the cluster id is
+    * the shuffle key; one hash exchange per side).
+    *
+    * Clustering here is the deterministic IVF assignment
+    * ([[SimilarityOps.ivfAssign]], seeds = the `cells` smallest-id vectors);
+    * production swaps in trained k-means centroids without touching the
+    * prune. The keep/drop decision is EXACT integer arithmetic over the
+    * 1e-6-quantized vectors (cos ≥ τ ⟺ dot > 0 ∧ dot²·10⁴ ≥ (100τ)²·n²ₐ·n²ᵦ,
+    * cross-multiplied in decimal(38,0)) — no float-ulp hazard can flip a
+    * row's membership.
+    *
+    * Returns (vec_id, cell, dup): `dup` = this vector has a smaller-id
+    * τ-neighbor in its cluster; `filter(!dup)` is the curated corpus. */
+  def semanticDedup(embs: DataFrame, tauPct: Int = 85, cells: Int = 16,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100]: $tauPct")
+    val seeds = embs.filter(col(idCol) < cells)
+    val assigned = SimilarityOps.ivfAssign(embs, seeds, vecCol, idCol)
+    val q = assigned.select(col("nid"), col("cell"),
+        quantize(col("v")).as("qv"))
+      .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      // one narrow stage feeds both self-join sides; without this each side
+      // replays the quantize + n2 fold over the whole corpus
+      .localCheckpoint()
+    val a = q.select(col("nid").as("aid"), col("cell"),
+      col("qv").as("aq"), col("n2").as("an2"))
+    val b = q.select(col("nid").as("bid"), col("cell"),
+      col("qv").as("bq"), col("n2").as("bn2"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dotq = aggregate(zip_with(col("aq"), col("bq"), (x, y) => x * y),
+      lit(0L), (acc, t) => acc + t)
+    val tau2 = lit(tauPct.toLong * tauPct).cast(dec)
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("dot", dotq)
+      .filter(col("dot") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(10000L).cast(dec) >=
+          tau2 * col("an2").cast(dec) * col("bn2").cast(dec))
+      .select(col("bid").as("nid")).distinct()
+    q.join(dups.withColumn("dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("dup"))
   }
 }

@@ -51,7 +51,7 @@ object SimilarityOps {
     * oracle SQL (and [[graft.functions.GraftFunctions.stableHash]]) — the
     * weights are constants, so they are computed once driver-side and baked
     * into the expression as literals. */
-  private[operators] def planeWeightValue(p: Int, d: Int): Long = {
+  private[graft] def planeWeightValue(p: Int, d: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15)
@@ -71,6 +71,16 @@ object SimilarityOps {
     * with the default width is exactly [[lshBucket]]; multiple bands give
     * the OR-amplified collision probability 1−(1−p^bits)^bands that blocked
     * near-duplicate joins need for high recall. */
+  /** ALL `bands` band buckets at once as `array<bigint>` — element b equals
+    * `lshBucketBand(vec, b, bits)`, computed by the native
+    * [[graft.functions.LshBandBuckets]] expression (one quantize pass + a
+    * flat weight table instead of bands·bits separate iqdot calls with
+    * per-plane literal arrays; the latter blows past codegen method limits —
+    * measured 12.8 s vs 0.4 s for a 20 k-row × 8-band banding). */
+  def lshBandBucketsAll(vec: Column, bands: Int, bits: Int = LshBits): Column =
+    call_function("graft_lsh_bands", vec.cast("array<double>"),
+      lit(bands), lit(bits), lit(Dim))
+
   def lshBucketBand(vec: Column, band: Int, bits: Int = LshBits): Column = {
     val ad = vec.cast("array<double>")
     (0 until bits).map { j =>

@@ -163,7 +163,14 @@ object Dedup extends QuerySet {
     // Reuses the staged minhash pair set (shared signature stage).
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.dedupClusters(docs(s, dir), includeSingletons = false,
-        precomputedPairs = Some(minhashPairs(s, dir))))
+        precomputedPairs = Some(minhashPairs(s, dir)))),
+
+    // SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
+    // drop every vector with a smaller-id cosine>=0.85 neighbor in its
+    // cluster — the published semantic-level curation pass that textual
+    // dedup misses (paraphrases, translations, re-encodings)
+    "dedup_semantic" -> ((s, dir) =>
+      DedupOps.semanticDedup(embs(s, dir)))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -452,6 +459,42 @@ object Dedup extends QuerySet {
         |WHERE round(list_aggregate(list_transform(range(64),
         |    i -> a.e[i+1] * b.e[i+1]), 'sum') / (a.nrm * b.nrm), 6)
         |  > 0.9""".stripMargin,
+
+    // same IVF-assignment CTEs as sim_topk_ivf; the keep/drop compare is
+    // pure integer cross-multiplication (HUGEINT there, decimal(38,0) on
+    // the Spark side) so membership can never flip on a float ulp
+    "dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT v.vec_id, v.q, s.cid,
+        |    CAST(list_aggregate(list_transform(range(64), i ->
+        |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+        |      AS BIGINT) AS d2
+        |  FROM v CROSS JOIN seeds s),
+        |cells AS (
+        |  SELECT vec_id, q, cid AS cell,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> q[i+1] * q[i+1]), 'sum') AS BIGINT) AS n2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cid) AS rk FROM assign) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> a.q[i+1] * b.q[i+1]), 'sum') AS BIGINT) AS dot,
+        |    a.n2 AS an2, b.n2 AS bn2
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT bid FROM pairs
+        |  WHERE dot > 0
+        |    AND CAST(dot AS HUGEINT) * dot * 10000
+        |        >= CAST(7225 AS HUGEINT) * an2 * bn2)
+        |SELECT c.vec_id, c.cell, (d.bid IS NOT NULL) AS dup
+        |FROM cells c LEFT JOIN dups d ON c.vec_id = d.bid""".stripMargin,
 
     "dedup_embedding_cosine_baseline" ->
       """WITH v AS (

@@ -192,4 +192,84 @@ class DedupFuzzSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
     assert(gotPairs == expectPairs)
   }
+
+  test("native lsh band buckets equal the per-band bucket expressions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, posexplode}
+    graft.functions.GraftExtensions.install(spark)
+    val vrnd = new scala.util.Random(0xBA4D)
+    // negatives, zeros, sub-micro magnitudes, and short vectors all hit the
+    // quantize/sign edge cases; dim < 64 exercises the min(n, dim) clamp
+    val vecs = (0L until 50L).map { i =>
+      val d = if (i % 7 == 0) 16 else 64
+      (i, Array.tabulate(d)(j =>
+        if ((i + j) % 11 == 0) 0.0f
+        else if ((i + j) % 5 == 0) ((vrnd.nextDouble() - 0.5) * 1e-6).toFloat
+        else (vrnd.nextDouble() - 0.5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    for (bits <- Seq(4, 8)) {
+      val native = df.select(col("vec_id"), posexplode(
+          graft.operators.SimilarityOps.lshBandBucketsAll(col("embedding"), 8, bits))
+          .as(Seq("band", "bucket")))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val perBand = df.select(col("vec_id"), posexplode(
+          array((0 until 8).map(b =>
+            graft.operators.SimilarityOps.lshBucketBand(col("embedding"), b, bits)): _*))
+          .as(Seq("band", "bucket")))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(native == perBand, s"bits=$bits: native banding diverged")
+    }
+  }
+
+  test("semantic dedup equals local IVF-assign + integer-threshold mirror") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    val vrnd = new scala.util.Random(0x5EED)
+    // 60 random vectors + 8 planted near-copies (cos > 0.999 to their base)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(16)((vrnd.nextDouble() - 0.5).toFloat))
+    }
+    val planted = base.take(8).map { case (i, v) =>
+      (i + 100L, v.zipWithIndex.map { case (x, d) =>
+        if (d == 0) x + 0.0005f else x })
+    }
+    val all = base ++ planted
+    val df = all.toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDedup(df, tauPct = 85, cells = 16)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+      .toMap
+
+    // local mirror with exact integer arithmetic (BigInt cross-multiply)
+    def quant(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val q = all.map { case (id, v) => id -> quant(v) }.toMap
+    val seeds = all.filter(_._1 < 16).map(_._1).sorted
+    def cellOf(id: Long): Long = seeds.minBy { cid =>
+      val d2 = q(id).zip(q(cid)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+      (d2, cid)
+    }
+    val cellsL = all.map { case (id, _) => id -> cellOf(id) }.toMap
+    def n2(id: Long): BigInt = q(id).map(x => BigInt(x) * x).sum
+    val dupsL = (for {
+      (aid, _) <- all; (bid, _) <- all
+      if aid < bid && cellsL(aid) == cellsL(bid)
+      dot = q(aid).zip(q(bid)).map { case (a, b) => BigInt(a) * b }.sum
+      if dot > 0 && dot * dot * 10000 >= BigInt(7225) * n2(aid) * n2(bid)
+    } yield bid).toSet
+    assert(got.keySet == all.map(_._1).toSet)
+    all.foreach { case (id, _) =>
+      assert(got(id) == ((cellsL(id), dupsL.contains(id))),
+        s"vec $id: got ${got(id)}, expected (${cellsL(id)}, ${dupsL.contains(id)})")
+    }
+    // every planted copy has a smaller-id near-twin; if clustering kept the
+    // pair together it MUST be flagged (same-cell cos≈1 >= 0.85)
+    planted.foreach { case (id, _) =>
+      if (cellsL(id) == cellsL(id - 100L)) assert(dupsL.contains(id))
+    }
+    assert(planted.count { case (id, _) => got(id)._2 } >= 6,
+      "expected most planted near-copies flagged as semantic dups")
+  }
 }
