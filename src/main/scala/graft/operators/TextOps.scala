@@ -186,6 +186,43 @@ object TextOps {
     df.select((idCol +: cols :+ md5(scrubbed).as("scrubbed_fp")): _*)
   }
 
+  /** Corpus-conditional n-gram fluency score — the integer-exact
+    * counterpart of the n-gram-LM perplexity filters production curation
+    * pipelines run (CCNet/RefinedWeb style): documents whose word
+    * transitions are rare under the corpus model score low and get culled.
+    *
+    * Model = bigram conditionals from ONE grouped pass over the corpus:
+    * P(b|a) = c(a,b) / c(a,·) with c(a,·) = Σ_b c(a,b) (self-consistent,
+    * no separate unigram scan). Per-bigram probability is quantized to
+    * micro-units via integer division BEFORE the per-doc mean, so the
+    * whole score is associative integer arithmetic — deterministic on any
+    * partitioning and value-oracle-exact (a log-domain perplexity would
+    * hinge on cross-engine `ln` ulps; deployments that want log scores
+    * swap the quantized ratio for quantized logs at the same place).
+    *
+    * Shape at scale: explode → two grouped counts → an inverted-index join
+    * on the bigram (the tfidf/posting layout) → one per-doc agg. No
+    * all-pairs anywhere; hot bigrams are bounded by the count pre-agg.
+    * Docs with < 2 tokens have no transitions and are absent (callers
+    * treat missing as "no evidence", like the repetition signal). */
+  def lmFluency(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", scale: Long = 1000000L): DataFrame = {
+    val bi = docs
+      .filter(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 2)).as("bigram"))
+    val c2 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("prefix", split(col("bigram"), " ").getItem(0))
+    val c1 = c2.groupBy(col("prefix")).agg(sum(col("c2")).as("c1"))
+    val probs = c2.join(c1, "prefix")
+      .select(col("bigram"),
+        expr(s"CAST(c2 * ${scale}L DIV c1 AS BIGINT)").as("p_micro"))
+    bi.join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(p_micro) DIV COUNT(1) AS BIGINT)").as("fluency_micro"))
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -155,10 +155,40 @@ object TextAnalysis extends QuerySet {
         col("c_custkey"),
         Seq(
           ("custid", "Customer#[0-9]+", "<CUST>"),
-          ("num", "[0-9]+\\.?[0-9]*", "<NUM>"))))
+          ("num", "[0-9]+\\.?[0-9]*", "<NUM>")))),
+
+    // n-gram LM fluency scoring (the perplexity-filter counterpart of
+    // CCNet/RefinedWeb curation): bigram conditionals from the corpus
+    // itself, per-bigram probability integer-quantized BEFORE the per-doc
+    // mean so the score is value-oracle-exact
+    "text_lm_fluency" -> ((s, dir) =>
+      TextOps.lmFluency(docs(s, dir)))
   )
 
   override def oracle: Map[String, String] = Map(
+    // same bigram space as corpus_bpe_pairs; prefix totals derived from the
+    // bigram counts (self-consistent conditionals); integer `//` division
+    // at the same two places the Spark side uses DIV
+    "text_lm_fluency" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |c2 AS (
+         |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2,
+         |    string_split(bigram, ' ')[1] AS prefix
+         |  FROM bi GROUP BY bigram),
+         |c1 AS (SELECT prefix, CAST(SUM(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY prefix),
+         |p AS (
+         |  SELECT bigram, CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p_micro
+         |  FROM c2 JOIN c1 USING (prefix))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS fluency_micro
+         |FROM bi JOIN p USING (bigram)
+         |GROUP BY doc_id""".stripMargin,
+
     "corpus_shard_assign" ->
       """SELECT CAST(CAST(concat('0x',
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64

@@ -106,4 +106,33 @@ class TextFuzzSpec extends SparkSpecBase {
       assert(gl == lang, s"doc $id lang")
     }
   }
+
+  test("lm fluency equals the local bigram-conditional mirror") {
+    // single-token docs (no transitions) must be absent from the output
+    val extra = Vector((100L, "solo"), (101L, "the the the the"))
+    val all = docsLocal ++ extra
+    import spark.implicits._
+    val got = TextOps.lmFluency(all.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val bigrams: Vector[(Long, String)] = all.flatMap { case (id, t) =>
+      val ts = toks(t)
+      if (ts.length >= 2) ts.sliding(2).map(p => (id, p.mkString(" ")))
+      else Iterator.empty
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1.split(" ")(0))
+      .map { case (a, m) => a -> m.values.sum }
+    val pMicro = c2.map { case (b, c) =>
+      b -> c * 1000000L / c1(b.split(" ")(0)) }
+    val expect = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val ps = xs.map(x => pMicro(x._2))
+      id -> (xs.size.toLong, ps.sum / xs.size)
+    }
+    assert(!got.contains(100L), "single-token doc must have no fluency row")
+    assert(got == expect)
+    // a doc made of one repeated word is perfectly predictable under its
+    // own transitions: P(the|the) = c2/c1 where this doc dominates the pair
+    assert(got(101L)._1 == 3L)
+  }
 }
