@@ -574,4 +574,56 @@ object DedupOps {
       .select(col("nid").as("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)).as("dup"))
   }
+
+  /** Substring-level dedup (the Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better" mode): every token k-gram that
+    * occurs `minCount`+ times ANYWHERE in the corpus marks its k-token
+    * window, and per doc the overlapping-or-adjacent marked windows merge
+    * into maximal spans (gaps-and-islands over window ends). Unlike the
+    * doc-level families above, this finds boilerplate and licence blocks
+    * embedded inside otherwise-unique documents.
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens) with 0-based
+    * inclusive token positions — the cut-list a cleaner applies (which
+    * single copy to KEEP is a policy layered on top, exactly as in the
+    * paper's suffix-array formulation; the k-gram inventory is its
+    * scalable relational equivalent).
+    *
+    * Scale shape: posexplode (one row per token) → one grouped count with
+    * map-side combine → a LEFT SEMI join back on the 128-bit gram hash
+    * (posting layout — never all-pairs; a boilerplate gram present a
+    * million times costs one hash row in the dup set) → per-doc window
+    * sort for the island merge. Skew bound: the per-doc sort partitions
+    * by doc_id, so the widest unit is one document's positions. */
+  def duplicateSpans(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 6,
+                     minCount: Int = 2): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: $k")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(shingles(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (k - 1)).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    // one gram per position, so starts are unique per doc — the order is total
+    val prevMax = max(col("e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_isl",
+        when(col("s") > coalesce(prevMax, lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_isl"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

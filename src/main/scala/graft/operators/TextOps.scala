@@ -223,6 +223,35 @@ object TextOps {
         expr("CAST(SUM(p_micro) DIV COUNT(1) AS BIGINT)").as("fluency_micro"))
   }
 
+  /** Sliding context-window chunking — the prep step that turns documents
+    * into training-context rows: token windows of `width` starting every
+    * `stride` positions (0, stride, 2·stride, … < n_tokens; stride <
+    * width gives the usual overlap, and the tail window is partial).
+    * Emits the window's position, length, and an md5 fingerprint of the
+    * joined tokens rather than the text itself (keeps the output narrow —
+    * a materializing pipeline swaps the fingerprint for the `array_join`).
+    *
+    * Pure per-row explode of codegen'd array expressions — no shuffle, no
+    * UDF; scales embarrassingly parallel like the other TextOps maps. */
+  def chunkWindows(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", width: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    require(width >= 1 && stride >= 1, s"width/stride must be >= 1: $width/$stride")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 1, lit(stride)),
+          st => struct(st.cast("long").as("chunk_start"),
+            array_join(slice(col("toks"), st + 1, lit(width)), " ").as("w"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk_start"),
+        least(lit(width.toLong), col("n_tokens") - col("c.chunk_start"))
+          .as("n_chunk_tokens"),
+        md5(col("c.w")).as("chunk_fp"))
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -170,7 +170,14 @@ object Dedup extends QuerySet {
     // cluster — the published semantic-level curation pass that textual
     // dedup misses (paraphrases, translations, re-encodings)
     "dedup_semantic" -> ((s, dir) =>
-      DedupOps.semanticDedup(embs(s, dir)))
+      DedupOps.semanticDedup(embs(s, dir))),
+
+    // substring-level dedup (Lee et al. 2021): corpus-wide duplicated
+    // 6-gram windows merged into maximal per-doc spans — catches
+    // boilerplate embedded inside otherwise-unique documents, which every
+    // doc-level family above misses
+    "dedup_substring_spans" -> ((s, dir) =>
+      DedupOps.duplicateSpans(docs(s, dir)))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -186,6 +193,35 @@ object Dedup extends QuerySet {
        | ELSE [array_to_string($T, ' ')] END""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // k=6 windows; the island merge is the classic gaps-and-islands
+    // (cummax of prior window ends), identical on both engines because
+    // starts are unique per doc
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(t[i+1:i+6], ' ')) AS gh
+         |  FROM toks, unnest(range(len(t) - 5)) AS u(i)
+         |  WHERE len(t) >= 6),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 5 AS e
+         |         FROM g JOIN dup USING (gh)),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -2) + 1 THEN 1 ELSE 0 END AS new_isl
+         |  FROM hits),
+         |sp AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM isl)
+         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+         |  CAST(MAX(e) AS BIGINT) AS span_end,
+         |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+         |FROM sp GROUP BY doc_id, isl""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id,
         |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,

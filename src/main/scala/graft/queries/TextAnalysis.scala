@@ -162,10 +162,24 @@ object TextAnalysis extends QuerySet {
     // itself, per-bigram probability integer-quantized BEFORE the per-doc
     // mean so the score is value-oracle-exact
     "text_lm_fluency" -> ((s, dir) =>
-      TextOps.lmFluency(docs(s, dir)))
+      TextOps.lmFluency(docs(s, dir))),
+
+    // context-window prep: 32-token windows every 24 tokens (overlap 8),
+    // partial tail kept; windows fingerprinted instead of materialized
+    "corpus_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkWindows(docs(s, dir)))
   )
 
   override def oracle: Map[String, String] = Map(
+    // list slicing t[i+1:i+32] clamps at len like Spark's slice(toks,i+1,32)
+    "corpus_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents)
+         |SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+         |  CAST(i AS BIGINT) AS chunk_start,
+         |  CAST(LEAST(32, len(t) - i) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(t[i+1:i+32], ' ')) AS chunk_fp
+         |FROM toks, unnest(range(0, len(t), 24)) AS u(i)""".stripMargin,
+
     // same bigram space as corpus_bpe_pairs; prefix totals derived from the
     // bigram counts (self-consistent conditionals); integer `//` division
     // at the same two places the Spark side uses DIV

@@ -272,4 +272,55 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(planted.count { case (id, _) => got(id)._2 } >= 6,
       "expected most planted near-copies flagged as semantic dups")
   }
+
+  test("duplicate substring spans equal the local k-gram island mirror") {
+    val k = 6
+    val rnd2 = new scala.util.Random(0x5BAB)
+    val boiler = Vector("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    // long random docs; every 5th gets the boilerplate block spliced in at
+    // a random offset — substring dedup must find it inside unique bodies
+    val longDocs: Vector[(Long, String)] = (0 until 30).map { i =>
+      val body = Vector.fill(20 + rnd2.nextInt(30))(
+        vocab(rnd2.nextInt(vocab.size)))
+      val ts = if (i % 5 == 0) {
+        val cut = rnd2.nextInt(body.size)
+        body.take(cut) ++ boiler ++ body.drop(cut)
+      } else body
+      (i.toLong, ts.mkString(" "))
+    }.toVector ++ Vector((100L, "alpha beta gamma")) // < k tokens: absent
+    import spark.implicits._
+    val got = DedupOps.duplicateSpans(longDocs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val grams = longDocs.flatMap { case (id, t) =>
+      val ts = t.split("\\s+").toVector
+      if (ts.size >= k)
+        ts.sliding(k).zipWithIndex.map { case (g, i) =>
+          (id, i.toLong, g.mkString(" ")) }
+      else Iterator.empty
+    }
+    val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val expect = grams.filter(x => counts(x._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, xs) =>
+        val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        xs.map(x => (x._2, x._2 + k - 1)).sortBy(_._1).foreach {
+          case (s, e) =>
+            if (spans.nonEmpty && s <= spans.last._2 + 1)
+              spans(spans.size - 1) =
+                (spans.last._1, math.max(spans.last._2, e))
+            else spans += ((s, e))
+        }
+        spans.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+    assert(got == expect)
+    assert(!got.exists(_._1 == 100L), "sub-k doc must have no spans")
+    // every doc carrying the boilerplate block must have a span >= k wide
+    (0 until 30 by 5).foreach { i =>
+      assert(got.exists(t => t._1 == i.toLong && t._4 >= k.toLong),
+        s"doc $i: planted boilerplate not spanned")
+    }
+  }
 }

@@ -135,4 +135,25 @@ class TextFuzzSpec extends SparkSpecBase {
     // own transitions: P(the|the) = c2/c1 where this doc dominates the pair
     assert(got(101L)._1 == 3L)
   }
+
+  test("chunk windows equal the local sliding-window mirror") {
+    import spark.implicits._
+    // "" tokenizes to a single empty token (split semantics) → one chunk
+    val all = docsLocal ++ Vector((200L, ""), (201L, "one"))
+    val got = TextOps.chunkWindows(all.toDF("doc_id", "text"),
+        width = 5, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val expect = all.flatMap { case (id, t) =>
+      val ts = toks(t)
+      (0 until ts.size by 3).zipWithIndex.map { case (st, ci) =>
+        val w = ts.slice(st, st + 5)
+        (id, ci.toLong, st.toLong, w.size.toLong, md5hex(w.mkString(" ")))
+      }
+    }.toSet
+    assert(got == expect)
+    // overlap invariant: consecutive full windows share width - stride toks
+    assert(got.exists(_._1 == 200L) && got.count(_._1 == 201L) == 1)
+  }
 }
