@@ -81,6 +81,16 @@ object Dedup extends QuerySet {
       DedupOps.exact(docs(s, dir))
         .select(col("doc_id"), col("group_size"), col("is_kept"))),
 
+    // fuzzy-exact dedup: same digest-groupBy as dedup_exact but over the
+    // canonicalized text (lowercase, punctuation folded, whitespace
+    // collapsed) — catches re-punctuated/re-wrapped copies raw hashing
+    // misses, at identical one-shuffle cost
+    "dedup_exact_normalized" -> ((s, dir) =>
+      DedupOps.exact(
+        docs(s, dir).select(col("doc_id"),
+          graft.operators.TextOps.normalizedText(col("text")).as("text")))
+        .select(col("doc_id"), col("group_size"), col("is_kept"))),
+
     "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
 
     "dedup_simhash" -> ((s, dir) => simhashStaged(s, dir)),
@@ -227,6 +237,19 @@ object Dedup extends QuerySet {
         |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
         |FROM documents""".stripMargin,
+
+    // same window as dedup_exact over the canonicalized text; 'g' flag =
+    // Spark's default replace-all
+    "dedup_exact_normalized" ->
+      raw"""WITH n AS (
+           |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+           |    lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |    '\s+', ' ', 'g'))) AS d
+           |  FROM documents)
+           |SELECT doc_id,
+           |  COUNT(*) OVER (PARTITION BY d) AS group_size,
+           |  doc_id = MIN(doc_id) OVER (PARTITION BY d) AS is_kept
+           |FROM n""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH sig AS (

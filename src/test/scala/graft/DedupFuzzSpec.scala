@@ -273,6 +273,30 @@ class DedupFuzzSpec extends SparkSpecBase {
       "expected most planted near-copies flagged as semantic dups")
   }
 
+  test("normalized exact dedup groups re-punctuated copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Vector(
+      (0L, "Alpha, beta; GAMMA!"),
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha   beta\tgamma "),
+      (3L, "alpha beta gamma delta"),
+      (4L, "Alpha-beta gamma")) // '-' folds to a space → same canon form
+    val got = DedupOps.exact(
+        docs.toDF("doc_id", "text").select(col("doc_id"),
+          graft.operators.TextOps.normalizedText(col("text")).as("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Boolean]("is_kept")))).toMap
+    Seq(0L, 1L, 2L, 4L).foreach { id =>
+      assert(got(id) == ((4L, id == 0L)), s"doc $id") }
+    assert(got(3L) == ((1L, true)))
+    // raw exact dedup sees five distinct texts — normalization is what
+    // collapses them
+    val raw = DedupOps.exact(docs.toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("group_size"))
+    assert(raw.forall(_ == 1L))
+  }
+
   test("duplicate substring spans equal the local k-gram island mirror") {
     val k = 6
     val rnd2 = new scala.util.Random(0x5BAB)

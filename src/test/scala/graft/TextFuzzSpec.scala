@@ -136,6 +136,19 @@ class TextFuzzSpec extends SparkSpecBase {
     assert(got(101L)._1 == 3L)
   }
 
+  test("normalized text equals the local canonicalizer") {
+    val got = docsDf
+      .select(col("doc_id"), TextOps.normalizedText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docsLocal.foreach { case (id, t) =>
+      val exp = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+      assert(got(id) == exp, s"doc $id: '${got(id)}' vs '$exp'")
+    }
+    // the vocab's punctuated/accented words must actually exercise folding
+    assert(docsLocal.exists { case (id, t) => got(id) != t.toLowerCase })
+  }
+
   test("chunk windows equal the local sliding-window mirror") {
     import spark.implicits._
     // "" tokenizes to a single empty token (split semantics) → one chunk
