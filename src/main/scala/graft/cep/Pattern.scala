@@ -175,12 +175,21 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     * `consecutive` `Pattern.java:474`; relaxed is the default, as there). */
   def consecutive: Pattern[T] = modLast { s =>
     require(s.isLoop, "consecutive requires a looping quantifier")
+    // mutually exclusive internal-contiguity modes, as in the reference:
+    // a combinations binding skips events inside the run, which contradicts
+    // strict contiguity
+    require(s.quantifier match {
+      case AtLeast(_, c, _) => !c
+      case _                => true
+    }, "consecutive contradicts allowCombinations on the same stage")
     s.copy(strictInner = true)
   }
 
   /** Additionally emit every prefix of the maximal run (bounded pinned
     * subset of reference `allowCombinations` `Pattern.java:435`). */
   def allowCombinations: Pattern[T] = modLast { s =>
+    require(!s.strictInner,
+      "allowCombinations contradicts consecutive on the same stage")
     s.quantifier match {
       case AtLeast(min, _, cap) =>
         s.copy(quantifier = AtLeast(min, combinations = true, cap))
@@ -198,7 +207,9 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     * approximation (the pinned default). */
   def allowCombinationsExact(cap: Int = 15): Pattern[T] = modLast { s =>
     require(cap >= 1 && cap <= 24,
-      s"allowCombinationsExact cap must be in [1, 24] (2^cap candidates); got $cap")
+      s"allowCombinationsExact cap must be in [1, 24] (2^(cap-1) candidates); got $cap")
+    require(!s.strictInner,
+      "allowCombinationsExact contradicts consecutive on the same stage")
     s.quantifier match {
       case AtLeast(min, _, _) =>
         s.copy(quantifier = AtLeast(min, combinations = true, exactCap = cap))

@@ -547,7 +547,11 @@ object DedupOps {
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100]: $tauPct")
-    val seeds = embs.filter(col(idCol) < cells)
+    // the `cells` smallest-id vectors, whatever the id range — a plain
+    // `id < cells` filter would silently yield ZERO seeds (and an empty
+    // result) on any corpus whose ids don't start at 0. TakeOrdered: no
+    // full sort at scale.
+    val seeds = embs.orderBy(col(idCol)).limit(cells)
     val assigned = SimilarityOps.ivfAssign(embs, seeds, vecCol, idCol)
     val q = assigned.select(col("nid"), col("cell"),
         quantize(col("v")).as("qv"))
@@ -599,22 +603,13 @@ object DedupOps {
                      idCol: String = "doc_id", k: Int = 6,
                      minCount: Int = 2): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: $k")
-    // relational k-gram build (posexplode + lead, the shingleHashes
-    // formulation): the regex split runs ONCE per document — the
-    // higher-order `shingles` lambda would re-split the full text at every
-    // position (measured 8× slower at sf1 on this exact op). Docs shorter
-    // than k yield no grams (all-leads-present guard), matching the old
-    // size(toks) >= k filter.
-    val toksExpl = docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = col("tok") +:
-      (1 until k).map(i => lead(col("tok"), i).over(wLead))
-    val grams = toksExpl
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("gram"))
-      .filter(col("gram").isNotNull)
+    // shared relational k-gram build (TextOps.tokenGrams: one regex split
+    // per document; the higher-order `shingles` lambda measured 8× slower
+    // at sf1 on this op). Both the dup-count and the hits semi-join read
+    // it; deliberately NOT checkpointed — materializing one row per token
+    // measured slower at sf1 than replaying the map-shaped build, and the
+    // dup side reduces to a tiny broadcast set under AQE anyway.
+    val grams = TextOps.tokenGrams(docs, textCol, idCol, k)
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

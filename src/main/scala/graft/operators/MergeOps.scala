@@ -65,10 +65,13 @@ object MergeOps {
     // fail-fast on contract-violating changes: a NULL op would silently
     // drop its key (`op =!= 'D'` evaluates NULL → filtered), and a NULL
     // seq makes the max_by ordering undefined — malformed changelogs must
-    // error, not vanish. The guard wraps the op VALUE, so column pruning
-    // cannot optimize it away.
+    // error, not vanish. The seq guard checks the CAST value (the one the
+    // ordering uses): a non-numeric seq casts to NULL under non-ANSI mode
+    // and would otherwise slip past a pre-cast null check. The guard wraps
+    // the op VALUE, so column pruning cannot optimize it away.
     val opChecked = when(
-      col(opCol).isin("I", "U", "D") && col(seqCol).isNotNull, col(opCol))
+      col(opCol).isin("I", "U", "D") &&
+        col(seqCol).cast("long").isNotNull, col(opCol))
       .otherwise(raise_error(concat(
         lit(s"applyChangelog: malformed change row ($opCol="),
         coalesce(col(opCol).cast("string"), lit("NULL")),

@@ -66,11 +66,6 @@ object SimilarityOps {
     * md5-derived constants baked in as array literals. */
   def lshBucket(vec: Column): Column = lshBucketBand(vec, 0)
 
-  /** Band `band`'s bucket id — sign pattern of the `bits` hyperplanes
-    * [band·bits, (band+1)·bits) from the same md5-derived family. Band 0
-    * with the default width is exactly [[lshBucket]]; multiple bands give
-    * the OR-amplified collision probability 1−(1−p^bits)^bands that blocked
-    * near-duplicate joins need for high recall. */
   /** ALL `bands` band buckets at once as `array<bigint>` — element b equals
     * `lshBucketBand(vec, b, bits)`, computed by the native
     * [[graft.functions.LshBandBuckets]] expression (one quantize pass + a
@@ -81,6 +76,11 @@ object SimilarityOps {
     call_function("graft_lsh_bands", vec.cast("array<double>"),
       lit(bands), lit(bits), lit(Dim))
 
+  /** Band `band`'s bucket id — sign pattern of the `bits` hyperplanes
+    * [band·bits, (band+1)·bits) from the same md5-derived family. Band 0
+    * with the default width is exactly [[lshBucket]]; multiple bands give
+    * the OR-amplified collision probability 1−(1−p^bits)^bands that blocked
+    * near-duplicate joins need for high recall. */
   def lshBucketBand(vec: Column, band: Int, bits: Int = LshBits): Column = {
     val ad = vec.cast("array<double>")
     (0 until bits).map { j =>

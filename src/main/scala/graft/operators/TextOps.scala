@@ -205,34 +205,55 @@ object TextOps {
     * all-pairs anywhere; hot bigrams are bounded by the count pre-agg.
     * Docs with < 2 tokens have no transitions and are absent (callers
     * treat missing as "no evidence", like the repetition signal). */
-  def lmFluency(docs: DataFrame, textCol: String = "text",
-                idCol: String = "doc_id", scale: Long = 1000000L): DataFrame = {
-    // relational bigram build (posexplode + lead): one regex split per
-    // document — the higher-order `shingles` lambda re-splits the text at
-    // every position (measured 10× slower at sf1). Bonus: the prefix IS
-    // the current token, so no split-of-the-bigram recovers it. Docs with
-    // < 2 tokens yield no bigram rows (lead-null guard), as before.
+  /** Relational k-gram positions (posexplode + lead): rows
+    * (doc_id, pos, tok, gram) for every position whose k tokens fit;
+    * docs shorter than k contribute no rows (all-leads-present guard —
+    * lead past the doc end is null, tokens themselves never are). The one
+    * formulation that runs the regex split ONCE per document: the
+    * higher-order `shingles` lambda inlines its argument and re-splits the
+    * full text at every position (measured 10× slower at sf1 — DESIGN.md
+    * round-8 notes; `DedupOps.shingleHashes` is the same shape with a
+    * whole-doc fallback shingle for sub-k docs, which dedup needs and
+    * positional ops must not emit). */
+  def tokenGrams(docs: DataFrame, textCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: $k")
+    // repartition before tokenizing: the lead window exchanges on doc_id
+    // anyway — hoisting it ships compact text rows, not exploded tokens
     val toksExpl = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val nxt = lead(col("tok"), 1).over(
-      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
-    val bi = toksExpl
-      .select(col("doc_id"), col("tok").as("prefix"),
-        when(nxt.isNotNull, concat_ws(" ", col("tok"), nxt)).as("bigram"))
-      .filter(col("bigram").isNotNull)
-    // tokens contain no whitespace, so bigram → prefix is functional: the
-    // two-key groupBy has exactly the per-bigram groups of the one-key one
-    val c2 = bi.groupBy(col("bigram"), col("prefix"))
-      .agg(count(lit(1)).as("c2"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
+    toksExpl
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("gram"))
+      .filter(col("gram").isNotNull)
+  }
+
+  def lmFluency(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", scale: Long = 1000000L): DataFrame = {
+    // the bigram's prefix IS the position's token — no split recovers it;
+    // tokens contain no whitespace, so bigram → prefix is functional and
+    // the two-key groupBy has exactly the per-bigram groups
+    val bi = tokenGrams(docs, textCol, idCol, 2)
+      .select(col("doc_id"), col("tok").as("prefix"), col("gram").as("bigram"))
+    // per-(doc,bigram) multiplicities: ONE pass over instances, staged so
+    // the model build and the per-doc probe both read it without replaying
+    // the explode + lead window (the embeddingCosinePairs precedent)
+    val dk = bi.groupBy(col("doc_id"), col("bigram"), col("prefix"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val c2 = dk.groupBy(col("bigram"), col("prefix")).agg(sum(col("k")).as("c2"))
     val c1 = c2.groupBy(col("prefix")).agg(sum(col("c2")).as("c1"))
     val probs = c2.join(c1, "prefix")
       .select(col("bigram"),
         expr(s"CAST(c2 * ${scale}L DIV c1 AS BIGINT)").as("p_micro"))
-    bi.join(probs, "bigram")
+    // SUM(k·p) DIV SUM(k) ≡ the per-instance SUM(p) DIV COUNT(1)
+    dk.join(probs, "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("CAST(SUM(p_micro) DIV COUNT(1) AS BIGINT)").as("fluency_micro"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        expr("CAST(SUM(k * p_micro) DIV SUM(k) AS BIGINT)").as("fluency_micro"))
   }
 
   /** Canonicalizing normalizer for "fuzzy-exact" dedup: lowercase, fold

@@ -175,6 +175,14 @@ class CepSpec extends SparkSpecBase {
     assert(prefixes.subsetOf(got) && got.size == 1 << 2)
   }
 
+  test("combinations and consecutive reject each other (contradictory contiguity)") {
+    val base = Pattern.begin[EventRow]("v")(_.event_type == "v").oneOrMore
+    intercept[IllegalArgumentException](base.consecutive.allowCombinations)
+    intercept[IllegalArgumentException](base.consecutive.allowCombinationsExact())
+    intercept[IllegalArgumentException](base.allowCombinations.consecutive)
+    intercept[IllegalArgumentException](base.allowCombinationsExact().consecutive)
+  }
+
   test("allowCombinationsExact: subsets feed later stages from the last taken event") {
     val evs = Seq(e(1, 1, "v"), e(2, 2, "v"), e(3, 3, "v"), e(4, 4, "b"))
     val p = Pattern.begin[EventRow]("v")(_.event_type == "v")

@@ -273,6 +273,22 @@ class DedupFuzzSpec extends SparkSpecBase {
       "expected most planted near-copies flagged as semantic dups")
   }
 
+  test("semantic dedup seeds from the smallest ids whatever the id range") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    val vrnd = new scala.util.Random(0xCE11)
+    // ids nowhere near 0: a literal `id < cells` seed filter would pick
+    // ZERO seeds and silently return an empty "curated" corpus
+    val embs = (0 until 40).map { i =>
+      (5000L + i, Array.fill(16)((vrnd.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDedup(embs, tauPct = 85, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 40, s"all vectors must survive assignment: ${got.size}")
+    assert(got.values.toSet.subsetOf((5000L until 5004L).toSet),
+      "cells must be the 4 smallest ids")
+  }
+
   test("normalized exact dedup groups re-punctuated copies") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -65,6 +65,22 @@ class MergeSpec extends SparkSpecBase {
     assert(out == Map(1L -> "neg"))
   }
 
+  test("non-numeric seq fails loudly, not as an undefined NULL ordering") {
+    import spark.implicits._
+    // string-typed seq: under ANSI (the Spark 4 default) the long cast
+    // itself throws; under legacy non-ANSI it yields NULL, which the
+    // guard's cast-value check turns into the malformed-row error. Either
+    // way the row must error, never order on NULL.
+    val c = Seq((1L, "abc", "U", "bad")).toDF("k", "seq", "op", "v")
+    val ex = intercept[Exception] {
+      MergeOps.applyChangelog(snap(1L -> "a"), c, "k", Seq("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("malformed change row") ||
+      m.contains("CAST_INVALID_INPUT")), msgs(ex))
+  }
+
   test("randomized changelogs match a sequential per-key fold (seeded)") {
     val rnd = new scala.util.Random(0xC0FFEE)
     (1 to 3).foreach { round =>
