@@ -175,21 +175,21 @@ final case class Pattern[T](stages: Vector[Stage[T]],
     * `consecutive` `Pattern.java:474`; relaxed is the default, as there). */
   def consecutive: Pattern[T] = modLast { s =>
     require(s.isLoop, "consecutive requires a looping quantifier")
-    // mutually exclusive internal-contiguity modes, as in the reference:
-    // a combinations binding skips events inside the run, which contradicts
-    // strict contiguity
+    // the EXACT combinations enumeration emits bindings that skip events
+    // inside the run, which contradicts strict contiguity (the reference
+    // treats them as mutually exclusive consumption modes). The pinned
+    // prefix approximation is contiguous, so plain allowCombinations +
+    // consecutive stays coherent (oracle row cep_combinations).
     require(s.quantifier match {
-      case AtLeast(_, c, _) => !c
-      case _                => true
-    }, "consecutive contradicts allowCombinations on the same stage")
+      case AtLeast(_, _, cap) => cap == 0
+      case _                  => true
+    }, "consecutive contradicts allowCombinationsExact on the same stage")
     s.copy(strictInner = true)
   }
 
   /** Additionally emit every prefix of the maximal run (bounded pinned
     * subset of reference `allowCombinations` `Pattern.java:435`). */
   def allowCombinations: Pattern[T] = modLast { s =>
-    require(!s.strictInner,
-      "allowCombinations contradicts consecutive on the same stage")
     s.quantifier match {
       case AtLeast(min, _, cap) =>
         s.copy(quantifier = AtLeast(min, combinations = true, cap))

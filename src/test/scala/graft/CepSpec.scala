@@ -175,12 +175,15 @@ class CepSpec extends SparkSpecBase {
     assert(prefixes.subsetOf(got) && got.size == 1 << 2)
   }
 
-  test("combinations and consecutive reject each other (contradictory contiguity)") {
+  test("EXACT combinations and consecutive reject each other; prefix mode composes") {
     val base = Pattern.begin[EventRow]("v")(_.event_type == "v").oneOrMore
-    intercept[IllegalArgumentException](base.consecutive.allowCombinations)
+    // exact enumeration skips events inside the run — contradictory
     intercept[IllegalArgumentException](base.consecutive.allowCombinationsExact())
-    intercept[IllegalArgumentException](base.allowCombinations.consecutive)
     intercept[IllegalArgumentException](base.allowCombinationsExact().consecutive)
+    // the pinned prefix approximation is contiguous — composes both ways
+    // (the cep_combinations oracle row runs consecutive.allowCombinations)
+    base.consecutive.allowCombinations
+    base.allowCombinations.consecutive
   }
 
   test("allowCombinationsExact: subsets feed later stages from the last taken event") {

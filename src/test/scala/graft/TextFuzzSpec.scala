@@ -136,6 +136,21 @@ class TextFuzzSpec extends SparkSpecBase {
     assert(got(101L)._1 == 3L)
   }
 
+  test("fluency and substring spans are partition-count independent") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val df = docsLocal.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val f1 = TextOps.lmFluency(df.repartition(1)).collect().map(key).toSet
+    val f7 = TextOps.lmFluency(df.repartition(7)).collect().map(key).toSet
+    assert(f1 == f7 && f1.nonEmpty)
+    val s1 = DedupOps.duplicateSpans(df.repartition(1), k = 2)
+      .collect().map(key).toSet
+    val s7 = DedupOps.duplicateSpans(df.repartition(7), k = 2)
+      .collect().map(key).toSet
+    assert(s1 == s7 && s1.nonEmpty)
+  }
+
   test("normalized text equals the local canonicalizer") {
     val got = docsDf
       .select(col("doc_id"), TextOps.normalizedText(col("text")).as("n"))
