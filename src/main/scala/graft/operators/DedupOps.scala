@@ -631,4 +631,60 @@ object DedupOps {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** The APPLY step of substring dedup: cut every duplicated span whose
+    * exact token content recurs elsewhere, keeping ONE canonical copy —
+    * the (doc_id, span_start)-smallest occurrence, the keep-first policy
+    * the doc-level `dedupCorpus` uses. Spans whose content appears only
+    * once as a maximal span (e.g. boilerplate merged with unique
+    * neighbours into a longer island) are kept — span-content grouping
+    * trades the suffix-array's sub-span exactness for a pure relational
+    * shape; [[duplicateSpans]] still reports those regions for audit.
+    *
+    * Returns one row per document: (doc_id, n_tokens_kept, clean_fp)
+    * where clean_fp fingerprints the kept tokens in order (narrow output;
+    * a materializing pipeline swaps the fp for the array_join itself).
+    * A document whose every token is cut — an exact duplicate of an
+    * earlier doc — is ABSENT: fully deduplicated away.
+    *
+    * Scale shape on top of [[duplicateSpans]]: spans are rare relative to
+    * tokens, so the span-content hash join and the keep-first window run
+    * on the small span set; the only token-sized steps are one
+    * posexplode + a doc-partitioned range-containment join against each
+    * doc's own (few) cut spans + one ordered per-doc fold. */
+  def cutDuplicateSpans(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 6,
+                        minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, textCol, idCol, k, minCount)
+    // span content fingerprint: re-slice the doc's tokens (one split per
+    // SPAN row — spans are few; cheaper than threading arrays through the
+    // island merge)
+    val withFp = spans
+      .join(docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks")), "doc_id")
+      .withColumn("span_fp", md5(array_join(
+        slice(col("toks"), col("span_start") + 1,
+          (col("span_end") - col("span_start") + 1).cast("int")), " ")))
+    val keepFirst = Window.partitionBy(col("span_fp"))
+      .orderBy(col("doc_id"), col("span_start"))
+    val cuts = withFp
+      .withColumn("rk", row_number().over(keepFirst))
+      // recurring content only: rank 2+ of a multi-occurrence group
+      .withColumn("grp", count(lit(1)).over(Window.partitionBy(col("span_fp"))))
+      .filter(col("grp") >= 2 && col("rk") >= 2)
+      .select(col("doc_id"), col("span_start").as("cs"),
+        col("span_end").as("ce"))
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(cuts,
+        toks("doc_id") === cuts("doc_id") &&
+          col("pos").between(col("cs"), col("ce")), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          st => st.getField("tok")), " ")).as("clean_fp"))
+  }
 }

@@ -187,7 +187,12 @@ object Dedup extends QuerySet {
     // boilerplate embedded inside otherwise-unique documents, which every
     // doc-level family above misses
     "dedup_substring_spans" -> ((s, dir) =>
-      DedupOps.duplicateSpans(docs(s, dir)))
+      DedupOps.duplicateSpans(docs(s, dir))),
+
+    // the apply step: cut recurring spans keep-first; fully-cut docs
+    // (exact duplicates) disappear from the cleaned corpus
+    "dedup_substring_apply" -> ((s, dir) =>
+      DedupOps.cutDuplicateSpans(docs(s, dir)))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -231,6 +236,52 @@ object Dedup extends QuerySet {
          |  CAST(MAX(e) AS BIGINT) AS span_end,
          |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
          |FROM sp GROUP BY doc_id, isl""".stripMargin,
+
+    // spans CTEs as in dedup_substring_spans, then: fingerprint span
+    // content, keep-first per recurring fingerprint, anti-join the cut
+    // ranges, ordered string_agg ≡ Spark's sorted collect_list fold
+    "dedup_substring_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(t[i+1:i+6], ' ')) AS gh
+         |  FROM toks, unnest(range(len(t) - 5)) AS u(i)
+         |  WHERE len(t) >= 6),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 5 AS e
+         |         FROM g JOIN dup USING (gh)),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -2) + 1 THEN 1 ELSE 0 END AS new_isl
+         |  FROM hits),
+         |sp AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM isl),
+         |spans AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+         |          FROM sp GROUP BY doc_id, isl),
+         |fp AS (
+         |  SELECT s.doc_id, s.ss, s.se,
+         |    md5(array_to_string(t[s.ss+1:s.se+1], ' ')) AS span_fp
+         |  FROM spans s JOIN toks USING (doc_id)),
+         |cuts AS (
+         |  SELECT doc_id, ss, se FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY span_fp
+         |        ORDER BY doc_id, ss) AS rk,
+         |      COUNT(*) OVER (PARTITION BY span_fp) AS grp
+         |    FROM fp) WHERE grp >= 2 AND rk >= 2),
+         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS tok
+         |        FROM toks, unnest(range(len(t))) AS u(i)),
+         |kept AS (
+         |  SELECT p.* FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = p.doc_id AND p.pos BETWEEN c.ss AND c.se))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+         |FROM kept GROUP BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id,

@@ -363,4 +363,65 @@ class DedupFuzzSpec extends SparkSpecBase {
         s"doc $i: planted boilerplate not spanned")
     }
   }
+
+  test("substring-span apply cuts recurring content keep-first (local mirror)") {
+    val k = 6
+    val rnd3 = new scala.util.Random(0xCA7)
+    val boiler = Vector("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    val base: Vector[(Long, Vector[String])] = (0 until 24).map { i =>
+      val body = Vector.fill(25 + rnd3.nextInt(20))(
+        vocab(rnd3.nextInt(vocab.size)))
+      val ts = if (i % 4 == 0) {
+        val cut = rnd3.nextInt(body.size)
+        body.take(cut) ++ boiler ++ body.drop(cut)
+      } else body
+      (i.toLong, ts)
+    }.toVector
+    // an exact duplicate of doc 1: must vanish entirely from the output
+    val all = base :+ (50L, base(1)._2)
+    import spark.implicits._
+    val got = DedupOps.cutDuplicateSpans(
+        all.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+
+    // local mirror: spans → span fp → keep-first → cut → fp of kept tokens
+    val grams = all.flatMap { case (id, ts) =>
+      if (ts.size >= k)
+        ts.sliding(k).zipWithIndex.map { case (g, i) =>
+          (id, i.toLong, g.mkString(" ")) }
+      else Iterator.empty
+    }
+    val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val spans = grams.filter(x => counts(x._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, xs) =>
+        val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        xs.map(x => (x._2, x._2 + k - 1)).sortBy(_._1).foreach {
+          case (s, e) =>
+            if (merged.nonEmpty && s <= merged.last._2 + 1)
+              merged(merged.size - 1) =
+                (merged.last._1, math.max(merged.last._2, e))
+            else merged += ((s, e))
+        }
+        merged.map { case (s, e) => (id, s, e) }
+      }.toVector
+    val toksOf = all.toMap
+    val withFp = spans.map { case (id, s, e) =>
+      (id, s, e, toksOf(id).slice(s.toInt, e.toInt + 1).mkString(" ")) }
+    val cuts = withFp.groupBy(_._4).filter(_._2.size >= 2).values.flatMap {
+      g => g.sortBy(x => (x._1, x._2)).tail }.map(x => (x._1, x._2, x._3))
+      .toVector
+    val expect = all.flatMap { case (id, ts) =>
+      val cutRanges = cuts.filter(_._1 == id)
+      val keptToks = ts.zipWithIndex.collect {
+        case (t, p) if !cutRanges.exists(c => p >= c._2 && p <= c._3) => t }
+      if (keptToks.isEmpty) None
+      else Some(id -> ((keptToks.size.toLong, md5hex(keptToks.mkString(" ")))))
+    }.toMap
+    assert(got == expect)
+    assert(!got.contains(50L), "the exact duplicate must be fully cut")
+    assert(got.contains(1L), "the canonical first copy stays")
+  }
 }
