@@ -28,8 +28,8 @@ object BenchScale {
     "corpus_prep_pipeline", "text_stats", "merge_cdc_apply",
     "join_asof_backward", "window_tumble", "over_ranking",
     // round-8 additions: the new curation ops are all data-driven
-    "dedup_semantic", "dedup_substring_spans", "text_lm_fluency",
-    "corpus_chunk_windows")
+    "dedup_semantic", "dedup_substring_spans", "dedup_substring_apply",
+    "text_lm_fluency", "corpus_chunk_windows")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

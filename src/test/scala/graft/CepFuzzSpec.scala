@@ -102,7 +102,13 @@ class CepFuzzSpec extends AnyFunSuite {
       .within(10 * 1000L).afterMatchSkip(SkipPastLastEvent), "z", 12),
     FuzzCase(Pattern.begin[EventRow]("r")(_.event_type == "a")
       .times(2, 3).greedy.within(8 * 1000L)
-      .afterMatchSkip(SkipToFirst("r")), "z", 10))
+      .afterMatchSkip(SkipToFirst("r")), "z", 10),
+    // combinations modes: chunked replay must reproduce the prefix set and
+    // the full anchored-subset enumeration regardless of batch splits
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.until(_.event_type == "c").allowCombinations, "c", 1),
+    FuzzCase(Pattern.begin[EventRow]("v")(_.event_type == "b")
+      .oneOrMore.until(_.event_type == "c").allowCombinationsExact(), "c", 1))
 
   test("chunked streaming emission equals the batch matcher (600 random runs)") {
     val rnd = new scala.util.Random(0xC0FFEE)
