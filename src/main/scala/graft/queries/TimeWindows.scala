@@ -53,7 +53,13 @@ object TimeWindows extends QuerySet {
       val byDay = org.apache.spark.sql.expressions.Window
         .partitionBy(col("w_start")).orderBy(col("n").desc, col("user_id"))
       perUser.withColumn("rk", row_number().over(byDay)).filter(col("rk") <= 3)
-    })
+    }),
+
+    // SAX motif discovery over per-user value series (integer PAA + fixed
+    // breakpoints — see TimeSeriesOps; sensor-series analytics was the
+    // PROTEUS project's own application domain)
+    "ts_sax_motifs" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.saxMotifs(t(s, dir, "events")))
   )
 
   // DuckDB mirrors of Spark's epoch-aligned window arithmetic.
@@ -63,6 +69,41 @@ object TimeWindows extends QuerySet {
     "to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))::TIMESTAMP"
 
   override def oracle: Map[String, String] = Map(
+    // 8-reading windows, PAA segments of 2, symbols on fixed centi-unit
+    // breakpoints 1500/3500/7000; // is integer floor division like the
+    // Spark side's exact floor (all sums non-negative)
+    "ts_sax_motifs" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, CAST(round(value * 100) AS BIGINT) AS vq,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |win AS (
+        |  SELECT k, pos, vq AS v0,
+        |    lead(vq, 1) OVER w AS v1, lead(vq, 2) OVER w AS v2,
+        |    lead(vq, 3) OVER w AS v3, lead(vq, 4) OVER w AS v4,
+        |    lead(vq, 5) OVER w AS v5, lead(vq, 6) OVER w AS v6,
+        |    lead(vq, 7) OVER w AS v7
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY pos)),
+        |sym AS (
+        |  SELECT k, (v0+v1)//2 AS m0, (v2+v3)//2 AS m1,
+        |    (v4+v5)//2 AS m2, (v6+v7)//2 AS m3
+        |  FROM win WHERE v7 IS NOT NULL),
+        |words AS (
+        |  SELECT k,
+        |    CAST(CASE WHEN m0<1500 THEN 0 WHEN m0<3500 THEN 1
+        |      WHEN m0<7000 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |    CAST(CASE WHEN m1<1500 THEN 0 WHEN m1<3500 THEN 1
+        |      WHEN m1<7000 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |    CAST(CASE WHEN m2<1500 THEN 0 WHEN m2<3500 THEN 1
+        |      WHEN m2<7000 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |    CAST(CASE WHEN m3<1500 THEN 0 WHEN m3<3500 THEN 1
+        |      WHEN m3<7000 THEN 2 ELSE 3 END AS VARCHAR) AS word
+        |  FROM sym)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM words GROUP BY word HAVING COUNT(*) >= 2""".stripMargin,
+
     "window_tumble" ->
       s"""SELECT $tumble1h AS w_start,
          |  $tumble1h + INTERVAL 1 HOUR AS w_end,
