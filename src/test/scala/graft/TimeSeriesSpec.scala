@@ -65,5 +65,14 @@ class TimeSeriesSpec extends SparkSpecBase {
     }.mkString("")
     assert(got.contains(plantedWord) && got(plantedWord)._2 >= 2L,
       s"planted word $plantedWord not found as a cross-key motif: $got")
+
+    // words (and hence motifs) must not depend on the physical layout:
+    // the per-key row_number sort order is (ts, event_id), total per key
+    val w1 = TimeSeriesOps.saxWords(df.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val w7 = TimeSeriesOps.saxWords(df.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(w1 == w7 && w1.nonEmpty,
+      "SAX words changed under a different partition count")
   }
 }
