@@ -72,42 +72,70 @@ object Bench {
       if (idx % 25 == 0) System.gc()
       name -> dt
     }
-    // Full per-query timings go to stderr (human/debug record). The stdout
-    // JSON line is the driver contract, and the driver retains only the LAST
-    // 2000 chars of stdout — a map of all queries (~8 KB) pushes the line's
-    // opening brace out of that window and the driver records parsed=null
-    // (observed in BENCH_r01/r02). So stdout carries the total plus a fixed
-    // headline subset, compact-rounded, sized well under the window.
-    val allQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // The stdout JSON line is the driver contract, and the driver retains
+    // only the LAST 2000 chars of stdout — a full name→sec map (~8 KB)
+    // pushes the line's opening brace out of that window and the driver
+    // records parsed=null (observed in BENCH_r01/r02). Round 9 makes the
+    // parsed line SELF-SUFFICIENT anyway (the r8 verdict's top item):
+    //  - "queries": a small named headline subset (human-readable anchors);
+    //  - "qcs": EVERY per-query time as centi-second ints, positionally
+    //    keyed by the ascii-sorted query-name list ("qcs_order") — ~4 chars
+    //    per query instead of ~28, so all 270+ rows fit the window;
+    //  - "phases": the socket/retract phase splits that previously lived
+    //    only in truncated stderr attribution lines.
+    // The full name→sec map additionally lands in BENCH_DETAIL.json next to
+    // the repo sources (and on stderr) for offline reads.
+    val allQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-all] $allQs")
+    try {
+      val detail = f"""{"sf":"$sfDir","queries":$allQs}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_DETAIL", "/root/repo/BENCH_DETAIL.json")),
+        detail.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench-detail] write failed: $e")
+    }
     val headline = Seq(
-      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
-      "q06_forecast_revenue", "q09_product_type_profit", "q10_returned_items",
-      "q13_customer_distribution", "q18_large_volume_customer",
-      "q21_late_majority_suppliers", "agg_basic", "join_inner", "window_tumble",
-      "over_ranking", "setop_union_all", "typed_map_filter", "io_csv_roundtrip",
-      "stream_tumble_agg", "stream_interval_join", "stream_over_rows",
-      "cep_strict_next", "graph_cc_chain", "graph_pagerank", "dedup_exact",
-      "dedup_minhash_lsh", "sim_topk_lsh", "text_stats", "corpus_prep_pipeline",
-      "media_features", "ml_knn_classify", "stream_retract_changelog",
-      "join_asof_backward", "dedup_clusters", "cep_one_or_more_relaxed",
-      "dedup_embedding_lsh", "stream_socket_counts", "dedup_incremental",
-      "sim_tfidf_topk", "merge_cdc_apply", "stream_punctuated_watermark",
-      "stream_custom_source_counts")
+      "q01_pricing_summary", "q05_local_supplier_volume",
+      "q09_product_type_profit", "graph_pagerank", "dedup_minhash_lsh",
+      "stream_retract_changelog", "stream_socket_counts",
+      "stream_socket_counts_25k", "stream_custom_source_counts")
     // fail fast on drift: a renamed/misspelled headline entry would
     // otherwise vanish silently from the driver contract
     require(headline.forall(results.contains),
       s"headline names missing from query map: ${headline.filterNot(results.contains)}")
     val qs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
+    // every query, fixed-point ints, ascii-sorted by name
+    val sortedNames = results.keys.toSeq.sorted
+    def qArr(perSec: Long): String = sortedNames
+      .map(k => math.round(results(k) * perSec).toString)
+      .mkString("[", ",", "]")
+    // phase attribution recorded by the operators themselves
+    // (EventStream.socketCounts, RetractStream): socket_{ids,feed,drain},
+    // socket_mod4_*, socket_dsv2_*, retract_{changelog,snapshot,batches}
+    val phases = graft.sources.PhaseStats.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // one-time cross-query stage builds (dedup shingle/signature/pair chain,
     // replay quarters): excluded from per-query best-of-2 timings above,
     // reported here so the total work is fully accounted for
     val stageTotal = graft.sources.StagingFs.buildCosts.values.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"stage_sec":$stageTotal%.2f,"queries":$qs,"sf":"$sfDir"}"""
-    require(line.length < 1800, s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char stdout tail")
+    def mkLine(qcsPart: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"stage_sec":$stageTotal%.2f,"phases":$phases,"queries":$qs$qcsPart,"sf":"$sfDir"}"""
+    // stay safely inside the driver's 2000-char stdout tail: centi-second
+    // array first (~1.1 KB at current scale), decisecond array if a slow
+    // box fattens the digits, no array as the last resort
+    val line = Seq(
+      mkLine(s""","qcs_order":"name-asc","qcs":${qArr(100L)}"""),
+      mkLine(s""","qds_order":"name-asc","qds":${qArr(10L)}"""),
+      mkLine("")).find(_.length < 1950).get
+    require(line.length < 1950,
+      s"bench JSON line ${line.length} chars — would overflow the driver's 2000-char stdout tail")
     println(line)
     spark.stop()
   }

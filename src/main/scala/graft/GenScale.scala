@@ -53,7 +53,13 @@ object GenScale {
     val keys = keyCols.getOrElse(table, Seq.empty)
     require(keys.nonEmpty, s"no key columns mapped for table $table")
     keys.foreach { k =>
-      val mx = df.agg(max(col(k))).collect()(0).getLong(0)
+      // cast + null-check first: an empty table (or int-typed key) must
+      // report itself as such, not surface as an NPE/ClassCastException
+      // dressed up as a stride failure
+      val row = df.agg(max(col(k).cast("long"))).collect()(0)
+      require(!row.isNullAt(0),
+        s"$table.$k has no non-null values — cannot validate replication stride")
+      val mx = row.getLong(0)
       require(mx < Stride, s"$table.$k max $mx >= stride $Stride")
     }
     val exploded = df.withColumn("graft_copy",

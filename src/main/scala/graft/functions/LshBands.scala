@@ -29,6 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class LshBandBuckets(child: Expression, bands: Int, bits: Int, dim: Int)
     extends UnaryExpression {
 
+  // bits is the documented scale-up knob — validate it here (the single
+  // construction choke point for SQL, Column and programmatic callers):
+  // bits > 64 would silently wrap the Java shift (1L << k uses k mod 64)
+  // and emit COLLIDING bucket ids; non-positive shapes allocate invalid
+  // weight tables
+  require(bands >= 1, s"graft_lsh_bands: bands must be >= 1, got $bands")
+  require(bits >= 1 && bits <= 64,
+    s"graft_lsh_bands: bits must be in [1, 64] (bucket id is one long), got $bits")
+  require(dim >= 1, s"graft_lsh_bands: dim must be >= 1, got $dim")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -547,6 +547,10 @@ object DedupOps {
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100]: $tauPct")
+    // cells = 0 would silently yield zero seeds, ivfAssign's rank-1 filter
+    // would then drop every row, and the "curated corpus" would come back
+    // empty instead of erroring
+    require(cells >= 1, s"cells must be >= 1: $cells")
     // the `cells` smallest-id vectors, whatever the id range — a plain
     // `id < cells` filter would silently yield ZERO seeds (and an empty
     // result) on any corpus whose ids don't start at 0. TakeOrdered: no

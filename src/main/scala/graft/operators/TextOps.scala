@@ -297,6 +297,76 @@ object TextOps {
         md5(col("c.w")).as("chunk_fp"))
   }
 
+  /** Full BPE-trainer loop (tokenizer induction — the core of a
+    * training-data pipeline; `corpus_bpe_pairs` is merge-round 1's
+    * candidate scan, this drives N complete merge rounds). Each round:
+    * count every ADJACENT symbol pair corpus-wide (one map-side-combined
+    * shuffle), pick the best pair with an integer-exact total order
+    * (count desc, then (left, right) lexicographic — no float score, no
+    * engine-dependent tie), then rewrite every sequence by merging the
+    * LEFTMOST-NONOVERLAPPING occurrences of that pair into one symbol.
+    *
+    * The merge rewrite is fully relational — no per-doc recursion: two
+    * occurrences of the same pair can only overlap inside an equal-symbol
+    * run (t[i]=a, t[i+1]=b=a), so "leftmost non-overlapping" ≡ "every odd
+    * occurrence within each consecutive-position island of matches" — a
+    * gaps-and-islands selection (`pos − row_number()` grouping), the same
+    * shape as the substring-dedup span merge. Merged symbols concatenate
+    * (byte-level-BPE style), so round r+1 sees them as single symbols.
+    *
+    * Scale shape per round: one lead() window over (doc, pos) — the same
+    * keyed sort every sequence op pays — one bounded group-count, a
+    * 1-row collect (the argmax), and two hash joins against the (small)
+    * kept-position set; the driver loop holds only `rounds` vocab rows.
+    *
+    * Returns one row per merge round: (merge_round, lhs, rhs, n). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var state = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val paired = state.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc, col("nxt").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted before merge round $r")
+      val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
+      merges += ((r, a, b, n))
+      // leftmost-nonoverlapping occurrence selection (islands over the
+      // match positions; only equal-symbol runs produce adjacent matches)
+      val kept = paired.filter(col("tok") === a && col("nxt") === b)
+        .withColumn("grp", col("pos") - row_number().over(byDoc))
+        .withColumn("off", row_number().over(
+          Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))))
+        .filter(col("off") % 2 === 1)
+        .select(col("doc_id"), col("pos"))
+        .localCheckpoint() // both joins below read it; keep them consistent
+      val merged = state
+        .join(kept.withColumn("isk", lit(1)), Seq("doc_id", "pos"), "left")
+        .join(kept.select(col("doc_id"), (col("pos") + 1L).as("pos"),
+          lit(1).as("isc")), Seq("doc_id", "pos"), "left")
+        .filter(col("isc").isNull)
+        .select(col("doc_id"), col("pos").as("opos"),
+          when(col("isk") === 1, lit(a + b)).otherwise(col("tok")).as("tok"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("opos"))).cast("long"))
+        .select(col("doc_id"), col("pos"), col("tok"))
+      state = merged.localCheckpoint()
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -29,14 +29,13 @@ import org.apache.spark.sql.functions._
   * families. */
 object TimeSeriesOps {
 
-  /** One row per complete sliding window: (k, pos, word). */
-  def saxWords(events: DataFrame, valueCol: String = "value",
-               keyCol: String = "user_id", tsCol: String = "ts",
-               idCol: String = "event_id", w: Int = 8, segments: Int = 4,
-               breaks: Seq[Long] = Seq(1500L, 3500L, 7000L)): DataFrame = {
-    require(w % segments == 0, s"w must divide into segments: $w/$segments")
-    require(breaks == breaks.sorted, "breakpoints must be ascending")
-    val segLen = w / segments
+  /** Shared sliding-window build: centi-unit quantized values, per-key
+    * position, and the `w` lead columns every SAX variant consumes. One
+    * keyed window (the per-key sort Spark needs for ANY per-key sequence
+    * op) — the variants differ only in the per-row word expression. */
+  private def windowed(events: DataFrame, valueCol: String, keyCol: String,
+                       tsCol: String, idCol: String,
+                       w: Int): (DataFrame, Seq[Column]) = {
     val byKey = Window.partitionBy(col("k")).orderBy(col("pos"))
     val base = events.repartition(col(keyCol))
       .select(col(keyCol).as("k"),
@@ -45,6 +44,26 @@ object TimeSeriesOps {
           .orderBy(col(tsCol), col(idCol))).cast("long").as("pos"))
     val leads: Seq[Column] =
       col("vq") +: (1 until w).map(i => lead(col("vq"), i).over(byKey))
+    (base, leads)
+  }
+
+  private def completeWords(base: DataFrame, leads: Seq[Column],
+                            word: Column): DataFrame =
+    base
+      .select(col("k"), col("pos"), word.as("word"),
+        leads.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("k"), col("pos"), col("word"))
+
+  /** One row per complete sliding window: (k, pos, word). */
+  def saxWords(events: DataFrame, valueCol: String = "value",
+               keyCol: String = "user_id", tsCol: String = "ts",
+               idCol: String = "event_id", w: Int = 8, segments: Int = 4,
+               breaks: Seq[Long] = Seq(1500L, 3500L, 7000L)): DataFrame = {
+    require(w % segments == 0, s"w must divide into segments: $w/$segments")
+    require(breaks == breaks.sorted, "breakpoints must be ascending")
+    val segLen = w / segments
+    val (base, leads) = windowed(events, valueCol, keyCol, tsCol, idCol, w)
     def symbol(m: Column): Column =
       breaks.zipWithIndex.foldRight(lit(breaks.size): Column) {
         case ((b, i), rest) => when(m < b, i).otherwise(rest)
@@ -56,12 +75,71 @@ object TimeSeriesOps {
         .reduce(_ + _) / lit(segLen)).cast("long")
       symbol(m)
     }: _*)
-    base
-      .select(col("k"), col("pos"), word.as("word"),
-        leads.last.isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("k"), col("pos"), col("word"))
+    completeWords(base, leads, word)
   }
+
+  /** Classic per-window z-normalized SAX (Lin et al. 2003 §3.1 — the
+    * variant the paper defines; the quantized-absolute [[saxWords]] is the
+    * oracle-default, this is the opt-in the round-8 review asked for),
+    * alphabet 4, N(0,1) breakpoints (−β, 0, β) with β = 0.6745 (the
+    * standard-normal quartile: each symbol is equiprobable for Gaussian
+    * windows).
+    *
+    * EXACT despite the z-score: no mean, stddev, sqrt or division is ever
+    * materialized. With integer window sums S = Σvq, SS = Σvq² and segment
+    * sums T_s over segLen values, the segment z-score
+    * zₛ = (T_s/segLen − S/w) / √(V/w²), V = w·SS − S², compares to a
+    * breakpoint b = ±β as
+    *   zₛ < b  ⟺  D_s < b·segLen·√V,  D_s = w·T_s − segLen·S,
+    * and squaring both sides (sign-split first) turns every comparison into
+    * integer cross-multiplication: β² is the exact rational (6745/10⁴)², so
+    *   zₛ < −β ⟺ D_s < 0 ∧ D_s²·10⁸ > 6745²·segLen²·V
+    *   zₛ <  0 ⟺ D_s < 0
+    *   zₛ < +β ⟺ D_s < 0 ∨ D_s²·10⁸ < 6745²·segLen²·V
+    * computed in decimal(38,0) (HUGEINT on the oracle side) — no float ulp
+    * can flip a symbol on any engine or partitioning. A constant window
+    * (V = 0) has no z-score; it maps to the mid symbol 2 by convention.
+    *
+    * Same scale shape as [[saxWords]]: the word stays a pure per-row
+    * expression over the shared keyed-window leads. */
+  def saxWordsZNorm(events: DataFrame, valueCol: String = "value",
+                    keyCol: String = "user_id", tsCol: String = "ts",
+                    idCol: String = "event_id", w: Int = 8,
+                    segments: Int = 4): DataFrame = {
+    require(w % segments == 0, s"w must divide into segments: $w/$segments")
+    val segLen = w / segments
+    val (base, leads) = windowed(events, valueCol, keyCol, tsCol, idCol, w)
+    val dec = "decimal(38,0)"
+    val s = leads.reduce(_ + _)
+    val ss = leads.map(c => c * c).reduce(_ + _)
+    // w²·variance as an integer ≥ 0; long-exact for |vq| ≲ 10⁹ (w·Σvq²
+    // within long) — far above any centi-quantized sensor fixture
+    val v = lit(w.toLong) * ss - s * s
+    def segSymbol(seg: Int): Column = {
+      val t = leads.slice(seg * segLen, (seg + 1) * segLen).reduce(_ + _)
+      val d = lit(w.toLong) * t - lit(segLen.toLong) * s
+      val d2e8 = d.cast(dec) * d.cast(dec) * lit(100000000L).cast(dec)
+      val rhs = lit(45495025L * segLen * segLen).cast(dec) * v.cast(dec)
+      when(v === 0L, lit(2))
+        .when(d < 0L && d2e8 > rhs, lit(0)) // zₛ < −β
+        .when(d < 0L, lit(1))               // −β ≤ zₛ < 0
+        .when(d2e8 < rhs, lit(2))           //  0 ≤ zₛ < β  (d ≥ 0 here)
+        .otherwise(lit(3))
+    }
+    val word = concat_ws("", (0 until segments).map(segSymbol): _*)
+    completeWords(base, leads, word)
+  }
+
+  /** Motif roll-up over the z-normalized words ([[saxWordsZNorm]]). */
+  def saxMotifsZNorm(events: DataFrame, valueCol: String = "value",
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id", w: Int = 8,
+                     segments: Int = 4, minCount: Long = 2L): DataFrame =
+    saxWordsZNorm(events, valueCol, keyCol, tsCol, idCol, w, segments)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("k")).as("n_keys"))
+      .filter(col("n_windows") >= minCount)
 
   /** Motif roll-up: SAX words occurring in ≥ `minCount` windows, with the
     * number of windows and of distinct keys exhibiting them. */

@@ -201,6 +201,23 @@ object BatchCore extends QuerySet {
       graft.operators.PartitionOps.customPartitionSorted(
         t(s, dir, "orders"), "o_orderkey", 8)),
 
+    // rebalance (round-robin redistribution) as a VALUE oracle: the
+    // round-robin start offset is engine-internal, but from a single
+    // upstream partition the multiset of partition SIZES is exact —
+    // ⌈n/32⌉ × (n mod 32) partitions and ⌊n/32⌋ × the rest — so the
+    // (cnt, n_parts) histogram is oracle-stateable. The repartition(1)
+    // staging exists only to pin that single-upstream shape (checkpointed
+    // so CollapseRepartition cannot fuse it away); production rebalance
+    // runs PartitionOps.rebalance directly on any input.
+    "partition_rebalance" -> ((s, dir) => {
+      val one = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .repartition(1).localCheckpoint()
+      graft.operators.PartitionOps.rebalance(one, 32)
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("n_parts"))
+    }),
+
     // SQL entry surface: HAVING + IN over grouped subquery (TPC-H Q18 shape)
     "sql_having_in" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -257,6 +274,19 @@ object BatchCore extends QuerySet {
   )
 
   override def oracle: Map[String, String] = Map(
+    // exact size histogram of a 32-way round-robin spread of n rows fed
+    // from one upstream partition: (⌈n/32⌉, n mod 32) ∪ (⌊n/32⌋, rest) —
+    // zero-size partitions produce no groupBy row, hence the c//32 > 0 guard
+    "partition_rebalance" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem)
+        |SELECT CAST(c // 32 + 1 AS BIGINT) AS cnt,
+        |  CAST(c % 32 AS BIGINT) AS n_parts
+        |FROM n WHERE c % 32 <> 0
+        |UNION ALL
+        |SELECT CAST(c // 32 AS BIGINT) AS cnt,
+        |  CAST(32 - (c % 32) AS BIGINT) AS n_parts
+        |FROM n WHERE c // 32 > 0""".stripMargin,
+
     "partition_custom_sorted" ->
       """SELECT CAST(o_orderkey % 8 AS INT) AS partition_id,
         |  row_number() OVER (PARTITION BY o_orderkey % 8

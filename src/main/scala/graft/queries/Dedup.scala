@@ -578,7 +578,8 @@ object Dedup extends QuerySet {
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
         |  FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+        |seeds AS (SELECT vec_id AS cid, q AS cq FROM v
+        |          ORDER BY vec_id LIMIT 16),
         |assign AS (
         |  SELECT v.vec_id, v.q, s.cid,
         |    CAST(list_aggregate(list_transform(range(64), i ->

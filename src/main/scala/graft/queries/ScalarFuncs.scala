@@ -142,7 +142,15 @@ object ScalarFuncs extends QuerySet {
           array_join(array(col("user_id"), col("event_id"))
             .cast("array<string>"), ",").as("arr"),
           size(array(col("user_id"), col("event_id"), lit(7L))).as("card"),
-          element_at(array(col("user_id"), col("event_id")), 2).as("at2"),
+          // ITEM on an inline array. getItem (GetArrayItem, 0-based), not
+          // element_at: Spark 4.1.2's ElementAt doGenCode on an inline
+          // non-null array emits a null-check referencing a variable that
+          // Janino rejects ("isNull_N is not an rvalue"), which silently
+          // drops the WHOLE projection — all 9 columns — out of codegen
+          // into interpreted mode. Identical value for in-bounds literal
+          // indices; the other element_at call sites (real array columns)
+          // codegen fine.
+          array(col("user_id"), col("event_id")).getItem(1).as("at2"),
           array_contains(array(lit("click"), lit("view")), col("event_type"))
             .as("is_cv"),
           array_join(

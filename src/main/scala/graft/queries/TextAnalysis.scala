@@ -167,10 +167,67 @@ object TextAnalysis extends QuerySet {
     // context-window prep: 32-token windows every 24 tokens (overlap 8),
     // partial tail kept; windows fingerprinted instead of materialized
     "corpus_chunk_windows" -> ((s, dir) =>
-      TextOps.chunkWindows(docs(s, dir)))
+      TextOps.chunkWindows(docs(s, dir))),
+
+    // full BPE-trainer loop (3 complete merge rounds over the corpus):
+    // the iterate-over-text counterpart of corpus_bpe_pairs — count pairs,
+    // take the integer-exact argmax, rewrite sequences by merging leftmost
+    // non-overlapping occurrences, repeat. See TextOps.bpeTrain.
+    "corpus_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), rounds = 3))
   )
 
+  // one BPE merge round r (mirrors TextOps.bpeTrain): adjacent-pair counts
+  // + integer-exact argmax over s{r-1}, then the islands-selected leftmost
+  // non-overlapping merge into s{r}. `off % 2 = 1` keeps every odd match
+  // inside a consecutive-position run — overlaps only arise in
+  // equal-symbol runs, so this IS greedy left-to-right.
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS (
+       |  SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |b$r AS (
+       |  SELECT tok AS lhs, nxt AS rhs, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p$r WHERE nxt IS NOT NULL
+       |  GROUP BY tok, nxt ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+       |k$r AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, row_number()
+       |        OVER (PARTITION BY doc_id, grp ORDER BY pos) AS off
+       |    FROM (
+       |      SELECT p.doc_id, p.pos, p.pos - row_number()
+       |          OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS grp
+       |      FROM p$r p, b$r b WHERE p.tok = b.lhs AND p.nxt = b.rhs))
+       |  WHERE off % 2 = 1),
+       |s$r AS (
+       |  SELECT doc_id, CAST(row_number()
+       |      OVER (PARTITION BY doc_id ORDER BY opos) AS BIGINT) AS pos, tok
+       |  FROM (
+       |    SELECT s.doc_id, s.pos AS opos,
+       |      CASE WHEN k.pos IS NOT NULL
+       |        THEN (SELECT lhs || rhs FROM b$r) ELSE s.tok END AS tok
+       |    FROM $prev s
+       |    LEFT JOIN k$r k ON s.doc_id = k.doc_id AND s.pos = k.pos
+       |    LEFT JOIN k$r c ON s.doc_id = c.doc_id AND s.pos = c.pos + 1
+       |    WHERE c.pos IS NULL))""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    // 3 chained merge rounds; block structure generated by bpeRoundSql
+    "corpus_bpe_train" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT 1 AS merge_round, lhs, rhs, n FROM b1
+         |UNION ALL SELECT 2, lhs, rhs, n FROM b2
+         |UNION ALL SELECT 3, lhs, rhs, n FROM b3""".stripMargin,
+
     // list slicing t[i+1:i+32] clamps at len like Spark's slice(toks,i+1,32)
     "corpus_chunk_windows" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents)

@@ -59,7 +59,14 @@ object TimeWindows extends QuerySet {
     // breakpoints — see TimeSeriesOps; sensor-series analytics was the
     // PROTEUS project's own application domain)
     "ts_sax_motifs" -> ((s, dir) =>
-      graft.operators.TimeSeriesOps.saxMotifs(t(s, dir, "events")))
+      graft.operators.TimeSeriesOps.saxMotifs(t(s, dir, "events"))),
+
+    // classic per-window z-normalized SAX (Lin et al. 2003 §3.1) — the
+    // opt-in variant closing the round-8 pinned deviation; the z-score
+    // symbol compare is integer cross-multiplication (decimal(38,0) /
+    // HUGEINT), so the word is value-oracle-exact despite normalizing
+    "ts_sax_motifs_znorm" -> ((s, dir) =>
+      graft.operators.TimeSeriesOps.saxMotifsZNorm(t(s, dir, "events")))
   )
 
   // DuckDB mirrors of Spark's epoch-aligned window arithmetic.
@@ -68,7 +75,52 @@ object TimeWindows extends QuerySet {
   private val tumble1d =
     "to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT))::TIMESTAMP"
 
+  // z-normalized SAX symbol for segment difference `d` (= w·T_s − segLen·S)
+  // against w²·variance `v`: the sign-split + squared compare from
+  // TimeSeriesOps.saxWordsZNorm, in HUGEINT (181980100 = 6745² · segLen²,
+  // segLen = 2; 10⁸ clears the (6745/10⁴)² denominator)
+  private def znSym(d: String): String =
+    s"""CAST(CASE WHEN v = 0 THEN 2
+       |  WHEN $d < 0 AND CAST($d AS HUGEINT)*$d*100000000
+       |    > CAST(181980100 AS HUGEINT)*v THEN 0
+       |  WHEN $d < 0 THEN 1
+       |  WHEN CAST($d AS HUGEINT)*$d*100000000
+       |    < CAST(181980100 AS HUGEINT)*v THEN 2
+       |  ELSE 3 END AS VARCHAR)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    // classic z-normalized SAX: same 8-lead window build as ts_sax_motifs,
+    // then exact integer z-score symbols (see znSym above)
+    "ts_sax_motifs_znorm" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS k, CAST(round(value * 100) AS BIGINT) AS vq,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |win AS (
+         |  SELECT k, pos, vq AS v0,
+         |    lead(vq, 1) OVER w AS v1, lead(vq, 2) OVER w AS v2,
+         |    lead(vq, 3) OVER w AS v3, lead(vq, 4) OVER w AS v4,
+         |    lead(vq, 5) OVER w AS v5, lead(vq, 6) OVER w AS v6,
+         |    lead(vq, 7) OVER w AS v7
+         |  FROM e WINDOW w AS (PARTITION BY k ORDER BY pos)),
+         |agg AS (
+         |  SELECT k, v0+v1+v2+v3+v4+v5+v6+v7 AS s,
+         |    v0*v0+v1*v1+v2*v2+v3*v3+v4*v4+v5*v5+v6*v6+v7*v7 AS ss,
+         |    v0+v1 AS t0, v2+v3 AS t1, v4+v5 AS t2, v6+v7 AS t3
+         |  FROM win WHERE v7 IS NOT NULL),
+         |d AS (
+         |  SELECT k, 8*ss - s*s AS v, 8*t0 - 2*s AS d0, 8*t1 - 2*s AS d1,
+         |    8*t2 - 2*s AS d2, 8*t3 - 2*s AS d3
+         |  FROM agg),
+         |words AS (
+         |  SELECT k, ${znSym("d0")} || ${znSym("d1")} ||
+         |    ${znSym("d2")} || ${znSym("d3")} AS word
+         |  FROM d)
+         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+         |FROM words GROUP BY word HAVING COUNT(*) >= 2""".stripMargin,
+
     // 8-reading windows, PAA segments of 2, symbols on fixed centi-unit
     // breakpoints 1500/3500/7000; // is integer floor division like the
     // Spark side's exact floor (all sums non-negative)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import org.apache.hadoop.fs.Path
-import graft.sources.StagingFs
+import graft.sources.{PhaseStats, StagingFs}
 
 import java.sql.Timestamp
 
@@ -286,14 +286,28 @@ object EventStream {
   def socketCounts(spark: SparkSession, dir: String,
                    format: String = "socket",
                    statePartitions: Int = 1,
-                   sourcePartitions: Int = 1): DataFrame = {
+                   sourcePartitions: Int = 1,
+                   sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
     val t0 = System.nanoTime()
     def sinceS: Double = (System.nanoTime() - t0) / 1e9
-    val srcStamp = dir + "|" +
+    // phase tag for the bench JSON: the builtin-source 100k replay is
+    // "socket"; the subsampled feed and the DSv2 source get their own keys
+    val phaseTag =
+      if (format != "socket") "socket_dsv2"
+      else if (sampleMod == 1L) "socket"
+      else s"socket_mod$sampleMod"
+    val srcStamp = dir + "|mod" + sampleMod + "|" +
       StagingFs.fileStamp(spark, new Path(dir, "events.parquet"))
-    val userIds = feedIdsCache.computeIfAbsent(srcStamp, _ =>
-      graft.Tables.load(spark, dir, "events")
-        .select(col("user_id")).collect().map(_.getLong(0)))
+    val userIds = feedIdsCache.computeIfAbsent(srcStamp, _ => {
+      val ev = graft.Tables.load(spark, dir, "events")
+      // sampleMod > 1: a deterministic key-subset feed (event_id stride) —
+      // the volume-slope companion row that separates per-row drain cost
+      // from the fixed micro-batch/harness overhead
+      val sub = if (sampleMod == 1L) ev
+                else ev.filter(col("event_id") % sampleMod === 0L)
+      sub.select(col("user_id")).collect().map(_.getLong(0))
+    })
     val tIds = sinceS
     val server = new java.net.ServerSocket(0, 8,
       java.net.InetAddress.getByName("127.0.0.1"))
@@ -372,10 +386,17 @@ object EventStream {
         // addBatch inside Spark's socket micro-batch machinery is the
         // floor (~2.3 s warm for 100k rows at sf0.1); ids/feed/empty-batch
         // are the variable parts this harness can and does minimize
+        val tDone = sinceS
         System.err.println(f"[socket-cost] ids=$tIds%.2fs feed=$tFeed%.2fs " +
-          f"done=$sinceS%.2fs batches=${q.recentProgress.map(p =>
+          f"done=$tDone%.2fs batches=${q.recentProgress.map(p =>
             s"${p.batchId}:${p.numInputRows}:${p.durationMs.get("addBatch")}ms")
             .mkString(",")}")
+        // same split, driver-visible: Bench folds these into its final
+        // stdout JSON line (the stderr line above never survives the
+        // driver's output truncation)
+        PhaseStats.recordMin(s"${phaseTag}_ids", tIds)
+        PhaseStats.recordMin(s"${phaseTag}_feed", tFeed - tIds)
+        PhaseStats.recordMin(s"${phaseTag}_drain", tDone - tFeed)
       } finally {
         q.stop()
         server.close() // idempotent; unblocks a feeder still in accept()

@@ -424,4 +424,29 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(!got.contains(50L), "the exact duplicate must be fully cut")
     assert(got.contains(1L), "the canonical first copy stays")
   }
+
+  test("shape-parameter guards reject invalid LSH/semantic knobs") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // bits > 64 would silently wrap the Java shift (1L << k is mod 64) and
+    // emit COLLIDING bucket ids; these must error at construction instead
+    for (badBits <- Seq(0, 65, -3))
+      assertThrows[IllegalArgumentException] {
+        graft.functions.LshBandBuckets(Literal(1), 8, badBits, 4)
+      }
+    assertThrows[IllegalArgumentException] {
+      graft.functions.LshBandBuckets(Literal(1), 0, 8, 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.functions.LshBandBuckets(Literal(1), 8, 8, 0)
+    }
+    // cells = 0 would yield zero seeds and an empty "curated" corpus
+    val df = Seq((1L, Array.fill(4)(0.1))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      DedupOps.semanticDedup(df, tauPct = 85, cells = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      DedupOps.semanticDedup(df, tauPct = 0)
+    }
+  }
 }

@@ -94,6 +94,27 @@ class PartitionOpsSpec extends SparkSpecBase {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("rebalance from one upstream partition: exact floor/ceil histogram") {
+    // the partition_rebalance oracle's invariant: n rows round-robined from
+    // a single upstream partition land as ⌈n/p⌉ × (n mod p) + ⌊n/p⌋ × rest,
+    // whatever start offset the engine picks — and content is preserved
+    val n = orders.count()
+    val one = orders.select(col("o_orderkey")).repartition(1).localCheckpoint()
+    assert(one.rdd.getNumPartitions == 1,
+      "checkpoint must pin the single-upstream shape (CollapseRepartition)")
+    val parted = PartitionOps.rebalance(one, 32)
+    val sizes = parted.withColumn("pid", spark_partition_id())
+      .groupBy(col("pid")).count().collect().map(_.getLong(1)).toVector
+    val r = (n % 32).toInt
+    val expect = Vector.fill(r)(n / 32 + 1) ++
+      Vector.fill(if (n / 32 > 0) 32 - r else 0)(n / 32)
+    assert(sizes.sorted == expect.sorted.filter(_ > 0))
+    assert(parted.agg(org.apache.spark.sql.functions.sum(col("o_orderkey")))
+      .collect()(0).getLong(0) ==
+      orders.agg(org.apache.spark.sql.functions.sum(col("o_orderkey")))
+        .collect()(0).getLong(0))
+  }
+
   test("salted aggregate equals direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = orders.groupBy(col("o_custkey"))

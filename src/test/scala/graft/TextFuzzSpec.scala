@@ -184,4 +184,54 @@ class TextFuzzSpec extends SparkSpecBase {
     // overlap invariant: consecutive full windows share width - stride toks
     assert(got.exists(_._1 == 200L) && got.count(_._1 == 201L) == 1)
   }
+
+  test("bpeTrain equals the sequential greedy-merge mirror") {
+    import spark.implicits._
+    // tiny alphabet to force equal-symbol runs (the overlap case), count
+    // ties (the lexicographic tie-break), and a literal "aa" token that
+    // collides with the merged a+a symbol (concat identity — both sides
+    // must treat them as the same symbol)
+    val brnd = new scala.util.Random(0xB9E)
+    val alpha = Vector("a", "b", "c", "aa")
+    val corpus: Vector[(Long, String)] = (0 until 24).map { i =>
+      (i.toLong, Vector.fill(5 + brnd.nextInt(28))(
+        alpha(brnd.nextInt(alpha.size))).mkString(" "))
+    }.toVector
+
+    // sequential reference: count all adjacent pairs, argmax by
+    // (n desc, lhs, rhs), then one greedy left-to-right merge pass
+    var seqs: Map[Long, Vector[String]] =
+      corpus.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val expect = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.values.foreach(_.sliding(2).filter(_.size == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1L })
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      seqs = seqs.map { case (id, s) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        id -> out.result()
+      }
+      (r, a, b, n)
+    }
+
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, rounds = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    assert(got == expect.toVector)
+
+    // layout independence: the merges are a pure function of the corpus
+    val got7 = TextOps.bpeTrain(df.repartition(7), rounds = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    assert(got7 == expect.toVector)
+  }
 }

@@ -75,4 +75,84 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(w1 == w7 && w1.nonEmpty,
       "SAX words changed under a different partition count")
   }
+
+  // exact-rational mirror of TimeSeriesOps.saxWordsZNorm's integer z-score
+  private def znWord(w: Seq[Long]): String = {
+    val s = w.sum; val ss = w.map(x => x * x).sum
+    val v = BigInt(8) * ss - BigInt(s) * s
+    (0 until 4).map { seg =>
+      val t = w(2 * seg) + w(2 * seg + 1)
+      val d = BigInt(8) * t - BigInt(2) * s
+      val d2e8 = d * d * BigInt(100000000L)
+      val rhs = BigInt(181980100L) * v
+      if (v == 0) 2
+      else if (d < 0 && d2e8 > rhs) 0
+      else if (d < 0) 1
+      else if (d2e8 < rhs) 2
+      else 3
+    }.mkString("")
+  }
+
+  test("z-normalized sax words: exact mirror, affine invariance, V=0 convention") {
+    val rnd = new scala.util.Random(0x21A7)
+    // 5 users x ~28 readings (2-dp values), plus: users 60/61 carry the
+    // SAME shape under an affine transform (y = 2x + 3.00) — z-normalized
+    // words MUST collide where the quantized-absolute words must differ —
+    // and user 70 carries a constant run (V = 0 windows → all-'2' word)
+    val shape = Vector(12.34, 13.57, 48.2, 47.9, 71.11, 69.4, 5.0, 6.25)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    var id = 0L
+    (0 until 5).foreach { u =>
+      var t = 0L
+      (0 until 25 + rnd.nextInt(8)).foreach { _ =>
+        t += 1 + rnd.nextInt(5)
+        rows += ((id, t, u.toLong, (rnd.nextInt(10000) / 100.0)))
+        id += 1
+      }
+    }
+    Seq[(Long, Double => Double)](
+      (60L, x => x), (61L, x => 2 * x + 3.00)).foreach { case (u, f) =>
+      var t = 2000L
+      shape.foreach { v => rows += ((id, t, u, f(v))); id += 1; t += 2 }
+    }
+    locally {
+      var t = 3000L
+      (0 until 10).foreach { _ => rows += ((id, t, 70L, 42.42)); id += 1; t += 2 }
+    }
+    import spark.implicits._
+    val df = rows.toVector
+      .map { case (i, t, u, v) => (i, new Timestamp(t * 1000L), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+
+    val got = TimeSeriesOps.saxWordsZNorm(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val expect = rows.toVector.groupBy(_._3).toVector.flatMap { case (u, es) =>
+      val vq = es.sortBy(e => (e._2, e._1)).map(e => math.round(e._4 * 100))
+      vq.sliding(8).filter(_.size == 8).zipWithIndex.map { case (w, i) =>
+        (u, i.toLong + 1L, znWord(w)) }
+    }.toSet
+    assert(got == expect)
+
+    // affine invariance: the transformed copy z-normalizes to the SAME word
+    def wordOf(u: Long) = got.collect { case (k, 1L, wd) if k == u => wd }.head
+    assert(wordOf(60L) == wordOf(61L),
+      "z-normalized words must be affine-invariant")
+    // ... where the quantized-absolute variant distinguishes the two
+    val absW = TimeSeriesOps.saxWords(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def absWordOf(u: Long) = absW.collect { case (k, 1L, wd) if k == u => wd }.head
+    assert(absWordOf(60L) != absWordOf(61L),
+      "the absolute variant should see the affine copy as a different word")
+    // constant windows: no z-score exists — mid-symbol convention
+    assert(got.collect { case (70L, _, wd) => wd }.forall(_ == "2222"))
+
+    // layout independence, same as the absolute variant
+    val z1 = TimeSeriesOps.saxWordsZNorm(df.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val z7 = TimeSeriesOps.saxWordsZNorm(df.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(z1 == z7 && z1 == got,
+      "z-normalized SAX words changed under a different partition count")
+  }
 }
