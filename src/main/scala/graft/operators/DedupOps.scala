@@ -529,9 +529,17 @@ object DedupOps {
     * (cosine ≥ tauPct/100) with a smaller id; the min-id member of each
     * ε-neighborhood survives as the representative. Cross-cluster pairs are
     * never examined — that is the SemDeDup trade: candidate volume is
-    * Σ m_c² over cluster sizes instead of n², and at real scale `cells` is
-    * sized ≈ √n so each cluster's self-join fits a task (the cluster id is
-    * the shuffle key; one hash exchange per side).
+    * Σ m_c² over cluster sizes instead of n² (the cluster id is the
+    * shuffle key; one hash exchange per side).
+    *
+    * Sizing `cells` (measured at sf1, DESIGN.md "SemDeDup `cells`
+    * sizing"): candidate volume follows Σ m_c² as published, but with THIS
+    * deterministic assigner wall-clock is assign O(n·cells·d) + join
+    * O(Σ m_c²·d), so the optimum sits well BELOW the classic √n rule
+    * (measured: cells 16/45/141 → 45.8/20.0/38.4 s at n = 20k). √n sizes
+    * the join term only; push cells toward √n at real scale only after
+    * swapping in a pruned centroid assigner (trained k-means short-list,
+    * as the paper uses) whose assign cost is sublinear in `cells`.
     *
     * Clustering here is the deterministic IVF assignment
     * ([[SimilarityOps.ivfAssign]], seeds = the `cells` smallest-id vectors);

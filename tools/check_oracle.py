@@ -38,7 +38,11 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (e.g. the GenScale sf1 fixture): a
+            # directory of part files rather than the driver's single file
+            con.sql(f"create view {t} as select * from '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"create view {t} as select * from '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)])
