@@ -29,12 +29,18 @@ object BenchScale {
     "join_asof_backward", "window_tumble", "over_ranking",
     // round-8 additions: the new curation ops are all data-driven
     "dedup_semantic", "dedup_substring_spans", "dedup_substring_apply",
-    "text_lm_fluency", "corpus_chunk_windows")
+    "text_lm_fluency", "corpus_chunk_windows",
+    // round-9 additions
+    "corpus_bpe_train", "ts_sax_motifs", "ts_sax_motifs_znorm")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val dirSmall = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dirBig = if (args.length > 1) args(1) else "bench-data/sf1"
+    // optional 3rd arg: comma-separated query filter (focused re-measures)
+    val scaleSet =
+      if (args.length > 2) ScaleSet.filter(args(2).split(",").toSet)
+      else ScaleSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,7 +60,7 @@ object BenchScale {
       // the steady-state (plan-scaling) number is what this table is for.
       Tables.names.foreach(n =>
         Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save())
-      ScaleSet.map { name =>
+      scaleSet.map { name =>
         val fn = SparkEntry.queries(name)
         def onePass(): Double = {
           val t0 = System.nanoTime()
@@ -86,7 +92,7 @@ object BenchScale {
     val big = run(dirBig)
     println(f"| query | ${dirSmall.split('/').last} s | ${dirBig.split('/').last} s | ratio | stage s (big) |")
     println("|---|---|---|---|---|")
-    ScaleSet.foreach { q =>
+    scaleSet.foreach { q =>
       val (s, _) = small(q); val (b, bs) = big(q)
       val ratio = if (s > 0.005) f"${b / s}%.1fx" else "n/a"
       println(f"| $q | $s%.2f | $b%.2f | $ratio | $bs%.1f |")
