@@ -323,9 +323,36 @@ object TextOps {
   def bpeTrain(docs: DataFrame, rounds: Int = 3,
                textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeLoop(docs, rounds, textCol, idCol)._2
+      .toDF("merge_round", "lhs", "rhs", "n")
+  }
+
+  /** The ENCODE half of the tokenizer story: run the same `rounds` merge
+    * loop as [[bpeTrain]] and return the encoded corpus rolled up as its
+    * symbol histogram — (tok, n, n_docs) over the post-merge sequences.
+    * This is "apply the learned tokenizer to the training corpus", the
+    * pass a data pipeline runs after vocabulary induction; the histogram
+    * is the contract a pipeline actually consumes (vocab coverage /
+    * frequency table), and — unlike raw (doc, pos, tok) dumps — it is
+    * stable under any partitioning.
+    *
+    * Scale shape: the loop cost is [[bpeTrain]]'s; the roll-up is one
+    * map-side-combined shuffle on the symbol. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    bpeMergeLoop(docs, rounds, textCol, idCol)._1
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Shared BPE merge loop: returns (final tokenized state, merge list).
+    * See [[bpeTrain]] for the algorithm and scale-shape discussion. */
+  private def bpeMergeLoop(docs: DataFrame, rounds: Int, textCol: String,
+                           idCol: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var state = docs
       .select(col(idCol).as("doc_id"),
@@ -364,7 +391,7 @@ object TextOps {
         .select(col("doc_id"), col("pos"), col("tok"))
       state = merged.localCheckpoint()
     }
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
+    (state, merges.toSeq)
   }
 
   /** Convenience: annotate a documents frame with the full signal set. */

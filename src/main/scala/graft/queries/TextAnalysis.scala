@@ -174,7 +174,13 @@ object TextAnalysis extends QuerySet {
     // take the integer-exact argmax, rewrite sequences by merging leftmost
     // non-overlapping occurrences, repeat. See TextOps.bpeTrain.
     "corpus_bpe_train" -> ((s, dir) =>
-      TextOps.bpeTrain(docs(s, dir), rounds = 3))
+      TextOps.bpeTrain(docs(s, dir), rounds = 3)),
+
+    // the ENCODE half: apply the 3 learned merges and roll the encoded
+    // corpus up as its symbol histogram (vocab frequency table) — the
+    // artifact a data pipeline consumes after vocabulary induction
+    "corpus_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(docs(s, dir), rounds = 3))
   )
 
   // one BPE merge round r (mirrors TextOps.bpeTrain): adjacent-pair counts
@@ -227,6 +233,19 @@ object TextAnalysis extends QuerySet {
          |SELECT 1 AS merge_round, lhs, rhs, n FROM b1
          |UNION ALL SELECT 2, lhs, rhs, n FROM b2
          |UNION ALL SELECT 3, lhs, rhs, n FROM b3""".stripMargin,
+
+    // same 3 chained merge rounds, then the final state's symbol histogram
+    "corpus_bpe_encode" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM s3 GROUP BY tok""".stripMargin,
 
     // list slicing t[i+1:i+32] clamps at len like Spark's slice(toks,i+1,32)
     "corpus_chunk_windows" ->

@@ -233,5 +233,17 @@ class TextFuzzSpec extends SparkSpecBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toVector
     assert(got7 == expect.toVector)
+
+    // the encode half: the post-merge symbol histogram equals the mirror's
+    // final state (seqs has been advanced through all 4 rounds above)
+    val histExpect: Map[String, (Long, Long)] =
+      seqs.toVector.flatMap { case (id, s) => s.map(t => (t, id)) }
+        .groupBy(_._1)
+        .map { case (t, xs) =>
+          t -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+    val histGot = TextOps.bpeEncode(df, rounds = 4)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(histGot == histExpect)
   }
 }
