@@ -347,10 +347,13 @@ object TextOps {
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
 
-  /** Shared BPE merge loop: returns (final tokenized state, merge list).
-    * See [[bpeTrain]] for the algorithm and scale-shape discussion. */
-  private def bpeMergeLoop(docs: DataFrame, rounds: Int, textCol: String,
-                           idCol: String)
+  /** Shared BPE merge loop: returns (final tokenized state as
+    * (doc_id, pos, tok), merge list). Public so callers that need BOTH
+    * halves (e.g. the query layer, which stages state+merges once per
+    * fixture) run the loop exactly once. See [[bpeTrain]] for the
+    * algorithm and scale-shape discussion. */
+  def bpeMergeLoop(docs: DataFrame, rounds: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id")
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32]: $rounds")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
