@@ -443,6 +443,40 @@ object DedupOps {
         col("cluster_size"))
   }
 
+  /** Leakage-safe train/valid/test split assignment: the split is a pure
+    * function of the NEAR-DUP CLUSTER id, never of the document id, so
+    * transitively-linked near-duplicates can never straddle splits — the
+    * eval-contamination guarantee a per-doc hash split silently violates
+    * (a test doc's paraphrase lands in train and the benchmark leaks).
+    * Singleton docs are their own cluster and hash independently.
+    *
+    * The hash is the same stable md5 recipe as the shard assigner
+    * ([[graft.functions.GraftFunctions.stableHashMod]], first 15 md5 hex
+    * chars as a long — engine-portable, reprocessing-stable): bucket =
+    * h(cluster_id) % 100, < trainPct → train, < trainPct+validPct → valid,
+    * else test.
+    *
+    * Scale shape: everything beyond [[dedupClusters]] (the staged LSH
+    * chain + pointer-jumping CC) is a codegen'd per-row map — no extra
+    * shuffle, no collect. Returns (doc_id, cluster_id, split). */
+  def leakageSafeSplits(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        minJaccard: Double = 0.5,
+                        trainPct: Int = 80, validPct: Int = 10,
+                        precomputedPairs: Option[DataFrame] = None)
+      : DataFrame = {
+    require(trainPct >= 1 && validPct >= 1 && trainPct + validPct <= 99,
+      s"split percentages must leave room for test: $trainPct/$validPct")
+    val bucket = graft.functions.GraftFunctions
+      .stableHashMod(col("cluster_id").cast("string"), 100L)
+    dedupClusters(docs, textCol, idCol, minJaccard,
+        includeSingletons = true, precomputedPairs)
+      .select(col(idCol), col("cluster_id"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+  }
+
   /** Embedding cosine near-duplicates above `minCos`.
     *
     * DEFAULT path (the 100 TB one): multi-band random-hyperplane LSH

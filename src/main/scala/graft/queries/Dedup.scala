@@ -175,6 +175,14 @@ object Dedup extends QuerySet {
       DedupOps.dedupClusters(docs(s, dir), includeSingletons = false,
         precomputedPairs = Some(minhashPairs(s, dir)))),
 
+    // leakage-safe splits: train/valid/test assigned per near-dup CLUSTER
+    // (reusing the staged pair set), so a test doc's paraphrase can never
+    // land in train — the eval-contamination guarantee a per-doc hash
+    // split silently violates
+    "corpus_split_leakage_safe" -> ((s, dir) =>
+      DedupOps.leakageSafeSplits(docs(s, dir),
+        precomputedPairs = Some(minhashPairs(s, dir)))),
+
     // SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
     // drop every vector with a smaller-id cosine>=0.85 neighbor in its
     // cluster — the published semantic-level curation pass that textual
@@ -206,6 +214,42 @@ object Dedup extends QuerySet {
        | THEN list_distinct(list_transform(range(len($T) - 2),
        |   i -> $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3]))
        | ELSE [array_to_string($T, ' ')] END""".stripMargin
+
+  /** MinHash-LSH pair graph → min-id cluster label per edge-connected doc
+    * (`labeled`), shared by the clusters and split-assignment oracles. */
+  private lazy val ClusterLabelSql =
+    s"""WITH RECURSIVE sig AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    list_transform(range(1, 17), i ->
+       |      list_aggregate(list_transform($Sh, s ->
+       |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+       |          % 1000000007), 'min')) AS sig
+       |  FROM documents),
+       |bands AS (
+       |  SELECT id,
+       |    CAST(unnest(range(4)) AS INT) AS band,
+       |    unnest(list_transform(range(4), b ->
+       |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+       |  FROM sig),
+       |pairs AS MATERIALIZED (
+       |  SELECT id1, id2 FROM (
+       |    SELECT DISTINCT a.id AS id1, b.id AS id2
+       |    FROM bands a JOIN bands b
+       |      ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id) cand
+       |  JOIN sig s1 ON s1.id = id1
+       |  JOIN sig s2 ON s2.id = id2
+       |  WHERE CAST(list_aggregate(list_transform(range(16), i ->
+       |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
+       |    AS DOUBLE) / 16 >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labeled AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     // k=6 windows; the island merge is the classic gaps-and-islands
@@ -506,45 +550,33 @@ object Dedup extends QuerySet {
          |WHERE doc_id NOT IN (SELECT id2 FROM drops)""".stripMargin,
 
     // transitive closure via recursive CTE (clusters are tiny after the
-    // est-jaccard gate, so enumeration is safe oracle-side). MATERIALIZED
-    // keeps DuckDB from re-deriving the md5 signature pipeline inside the
-    // recursion (measured 150 s → 14 s at sf0.01).
+    // est-jaccard gate, so enumeration is safe oracle-side; shared chain
+    // in ClusterLabelSql). MATERIALIZED keeps DuckDB from re-deriving the
+    // md5 signature pipeline inside the recursion (measured 150 s → 14 s
+    // at sf0.01).
     "dedup_clusters" ->
-      s"""WITH RECURSIVE sig AS MATERIALIZED (
-         |  SELECT doc_id AS id,
-         |    list_transform(range(1, 17), i ->
-         |      list_aggregate(list_transform($Sh, s ->
-         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
-         |          % 1000000007), 'min')) AS sig
-         |  FROM documents),
-         |bands AS (
-         |  SELECT id,
-         |    CAST(unnest(range(4)) AS INT) AS band,
-         |    unnest(list_transform(range(4), b ->
-         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
-         |  FROM sig),
-         |pairs AS MATERIALIZED (
-         |  SELECT id1, id2 FROM (
-         |    SELECT DISTINCT a.id AS id1, b.id AS id2
-         |    FROM bands a JOIN bands b
-         |      ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id) cand
-         |  JOIN sig s1 ON s1.id = id1
-         |  JOIN sig s2 ON s2.id = id2
-         |  WHERE CAST(list_aggregate(list_transform(range(16), i ->
-         |    CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END), 'sum')
-         |    AS DOUBLE) / 16 >= 0.5),
-         |edges AS (
-         |  SELECT id1 AS a, id2 AS b FROM pairs
-         |  UNION SELECT id2, id1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |labeled AS (
-         |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+      s"""$ClusterLabelSql
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM labeled""".stripMargin,
+
+    // cluster labeling (ClusterLabelSql) + singleton self-clusters, then
+    // the split is the shard assigner's md5 recipe over the CLUSTER id
+    "corpus_split_leakage_safe" ->
+      s"""$ClusterLabelSql,
+         |alldocs AS (
+         |  SELECT doc_id, cluster_id FROM labeled
+         |  UNION ALL
+         |  SELECT doc_id, doc_id AS cluster_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM labeled))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 100 AS BIGINT) AS b
+         |  FROM alldocs)""".stripMargin,
 
     // brute-force enumeration over the SAME derived corpus the blocked
     // Spark path runs on — equality proves blocked recall == brute force

@@ -425,6 +425,32 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(got.contains(1L), "the canonical first copy stays")
   }
 
+  test("leakage-safe splits: cluster-atomic, total, and hash-exact") {
+    val got = DedupOps.leakageSafeSplits(docsDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total: every doc assigned exactly once
+    assert(got.map(_._1).sorted.toVector == docsLocal.map(_._1).sorted)
+    // the leakage guarantee itself: one split per cluster
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${rows.toVector}")
+    }
+    // planted exact dups (40≈3, 41≈7) must share their original's cluster
+    val byDoc = got.map(r => r._1 -> r._2).toMap
+    assert(byDoc(40L) == byDoc(3L) && byDoc(41L) == byDoc(7L))
+    // the split is the stable md5 recipe over the CLUSTER id — mirror it
+    val expectSplit = got.map { case (_, cid, _) =>
+      val b = stableHashLocal(cid.toString) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    assert(got.map(_._3).toVector == expectSplit.toVector)
+    // invalid percentage shapes error instead of silently missing a split
+    assertThrows[IllegalArgumentException] {
+      DedupOps.leakageSafeSplits(docsDf, trainPct = 95, validPct = 10)
+    }
+  }
+
   test("shape-parameter guards reject invalid LSH/semantic knobs") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
