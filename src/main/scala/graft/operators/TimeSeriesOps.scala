@@ -96,34 +96,60 @@ object TimeSeriesOps {
     *   zₛ < −β ⟺ D_s < 0 ∧ D_s²·10⁸ > 6745²·segLen²·V
     *   zₛ <  0 ⟺ D_s < 0
     *   zₛ < +β ⟺ D_s < 0 ∨ D_s²·10⁸ < 6745²·segLen²·V
-    * computed in decimal(38,0) (HUGEINT on the oracle side) — no float ulp
-    * can flip a symbol on any engine or partitioning. A constant window
-    * (V = 0) has no z-score; it maps to the mid symbol 2 by convention.
+    * — no float ulp can flip a symbol on any engine or partitioning. A
+    * constant window (V = 0) has no z-score; it maps to the mid symbol 2
+    * by convention.
+    *
+    * Arithmetic path: the compare is first REDUCED — D_s is always
+    * divisible by g = gcd(w, segLen) (both terms are), and 6745² = 25 ×
+    * 1,819,801 cancels 25 out of the 10⁸ — so with E = D_s/g the exact
+    * test is E²·(4·10⁶·g²) vs 1,819,801·segLen²·V, ~625× smaller
+    * magnitudes. The arithmetic WIDTH is a static knob, not a per-row
+    * branch (a per-row guarded long/decimal CaseWhen was measured 2.3×
+    * SLOWER than decimal alone — the doubled expression pushes the
+    * generated projection past HotSpot's JIT-able method size, the same
+    * failure mode as the round-8 LSH banding):
+    *   - default (`wideValues = false`): plain long arithmetic — exact
+    *     while |E| ≤ √(Lmax/(4·10⁶·g²)), i.e. |value| ≲ 950.00 at the
+    *     8/2 default shape (|E| ≤ 8·vq_max; the events fixture tops out
+    *     at 560.21); ANSI mode faults louder inputs with an overflow
+    *     error instead of silently wrapping.
+    *   - `wideValues = true`: the same compare in decimal(38,0) (HUGEINT
+    *     oracle-side), exact to the window-sum domain (|vq| ≤ 3.8×10⁸).
     *
     * Same scale shape as [[saxWords]]: the word stays a pure per-row
     * expression over the shared keyed-window leads. */
   def saxWordsZNorm(events: DataFrame, valueCol: String = "value",
                     keyCol: String = "user_id", tsCol: String = "ts",
                     idCol: String = "event_id", w: Int = 8,
-                    segments: Int = 4): DataFrame = {
+                    segments: Int = 4,
+                    wideValues: Boolean = false): DataFrame = {
     require(w % segments == 0, s"w must divide into segments: $w/$segments")
     val segLen = w / segments
     val (base, leads) = windowed(events, valueCol, keyCol, tsCol, idCol, w)
     val dec = "decimal(38,0)"
     val s = leads.reduce(_ + _)
     val ss = leads.map(c => c * c).reduce(_ + _)
-    // w²·variance as an integer ≥ 0; long-exact for |vq| ≲ 10⁹ (w·Σvq²
-    // within long) — far above any centi-quantized sensor fixture
+    // w²·variance as an integer ≥ 0; the window sums are long-exact for
+    // |vq| ≤ 3.8×10⁸ (the binding term is s² ≤ Long.MaxValue at w = 8,
+    // i.e. values to ±3.8 million at centi-quantization) — far above any
+    // sensor fixture; ANSI mode faults louder inputs instead of wrapping
     val v = lit(w.toLong) * ss - s * s
+    val g = BigInt(w).gcd(BigInt(segLen)).toLong
+    val cL = 4000000L * g * g            // (10⁸/25)·g²
+    val cR = 1819801L * segLen * segLen  // (6745²/25)·segLen²
     def segSymbol(seg: Int): Column = {
       val t = leads.slice(seg * segLen, (seg + 1) * segLen).reduce(_ + _)
-      val d = lit(w.toLong) * t - lit(segLen.toLong) * s
-      val d2e8 = d.cast(dec) * d.cast(dec) * lit(100000000L).cast(dec)
-      val rhs = lit(45495025L * segLen * segLen).cast(dec) * v.cast(dec)
+      val e = lit(w / g) * t - lit(segLen / g) * s // D_s / g, exact in long
+      val (lhs, rhs) =
+        if (wideValues)
+          (e.cast(dec) * e.cast(dec) * lit(cL).cast(dec),
+            lit(cR).cast(dec) * v.cast(dec))
+        else (e * e * lit(cL), lit(cR) * v)
       when(v === 0L, lit(2))
-        .when(d < 0L && d2e8 > rhs, lit(0)) // zₛ < −β
-        .when(d < 0L, lit(1))               // −β ≤ zₛ < 0
-        .when(d2e8 < rhs, lit(2))           //  0 ≤ zₛ < β  (d ≥ 0 here)
+        .when(e < 0L && lhs > rhs, lit(0)) // zₛ < −β
+        .when(e < 0L, lit(1))              // −β ≤ zₛ < 0
+        .when(lhs < rhs, lit(2))           //  0 ≤ zₛ < β  (E ≥ 0 here)
         .otherwise(lit(3))
     }
     val word = concat_ws("", (0 until segments).map(segSymbol): _*)
@@ -134,8 +160,10 @@ object TimeSeriesOps {
   def saxMotifsZNorm(events: DataFrame, valueCol: String = "value",
                      keyCol: String = "user_id", tsCol: String = "ts",
                      idCol: String = "event_id", w: Int = 8,
-                     segments: Int = 4, minCount: Long = 2L): DataFrame =
-    saxWordsZNorm(events, valueCol, keyCol, tsCol, idCol, w, segments)
+                     segments: Int = 4, minCount: Long = 2L,
+                     wideValues: Boolean = false): DataFrame =
+    saxWordsZNorm(events, valueCol, keyCol, tsCol, idCol, w, segments,
+        wideValues)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col("k")).as("n_keys"))

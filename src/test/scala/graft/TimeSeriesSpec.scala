@@ -155,4 +155,32 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(z1 == z7 && z1 == got,
       "z-normalized SAX words changed under a different partition count")
   }
+
+  test("z-norm sax wideValues: decimal path exact past the long domain") {
+    // values to 200,000.00 put |E| far past the long-path bound (~950.00
+    // at the default shape) yet inside the window-sum domain (|vq| ≤
+    // 3.8e8): wideValues = true must agree with the BigInt mirror
+    // exactly, and the default long path must FAULT (ANSI overflow)
+    // rather than silently wrap
+    val rnd = new scala.util.Random(0xB16)
+    val rows = (0 until 24).map { i =>
+      (i.toLong, new Timestamp((1000L + 2 * i) * 1000L), 90L,
+        rnd.nextInt(20000000) / 100.0)
+    }
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeriesOps.saxWordsZNorm(df, wideValues = true)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toMap
+    val vq = rows.sortBy(e => (e._2.getTime, e._1))
+      .map(e => math.round(e._4 * 100)).toVector
+    val expect = vq.sliding(8).filter(_.size == 8).zipWithIndex
+      .map { case (w8, i) => (i.toLong + 1L, znWord(w8)) }.toMap
+    assert(got == expect)
+    val thrown = intercept[Throwable] {
+      TimeSeriesOps.saxWordsZNorm(df).collect()
+    }
+    assert(Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ANSI overflow fault, got $thrown")
+  }
 }
