@@ -31,7 +31,8 @@ object BenchScale {
     "dedup_semantic", "dedup_substring_spans", "dedup_substring_apply",
     "text_lm_fluency", "corpus_chunk_windows",
     // round-9 additions
-    "corpus_bpe_train", "ts_sax_motifs", "ts_sax_motifs_znorm")
+    "corpus_bpe_train", "corpus_bpe_encode", "ts_sax_motifs",
+    "ts_sax_motifs_znorm", "corpus_split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -201,6 +201,19 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 1)
   }
 
+  test("leakage-safe splits: split is a pure projection over the CC labels") {
+    val p = plan("corpus_split_leakage_safe")
+    // the split must be computed in-plan from the cluster id (stable md5
+    // recipe) — not joined against a materialized split table — and add
+    // no shuffle beyond the CC output itself (column pruning drops the
+    // unused cluster_size window)
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(p.contains("md5"), "split must be the in-plan stable md5 recipe")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"split adds at most the cluster-size window exchange, got $hashEx:\n${p.take(1500)}")
+  }
+
   test("localCheckpoint preserves hash partitioning (static loop side joins without re-shuffle)") {
     // the Pregel loops pre-partition the edge set on the join key once; the
     // superstep join must then shuffle ONLY the state side. If Spark ever
