@@ -625,6 +625,56 @@ object DedupOps {
         coalesce(col("dup"), lit(false)).as("dup"))
   }
 
+  /** Incremental SemDeDup — the continuous-ingest shape of
+    * [[semanticDedup]], mirroring [[incrementalMinhashPairs]]: the stored
+    * corpus is already curated (its IVF cells ARE the stored index — seeds
+    * are its `cells` smallest-id vectors), and only the incoming batch is
+    * judged. An incoming vector is a duplicate when a τ-neighbor exists in
+    * its cell among (a) ANY stored member — the stored corpus always wins,
+    * whatever the id order — or (b) a smaller-id member of the same
+    * incoming batch (the within-batch keep-first rule of the full pass).
+    *
+    * Scale shape: O(new·cells·d) assignment + per-cell joins of
+    * new×(stored_cell + new_cell); stored×stored is never re-examined —
+    * the property that makes continuous curation affordable at 100 TB.
+    * Same exact decimal(38,0) cross-multiplied cosine threshold as the
+    * full pass. Returns (vec_id, cell, dup) for the INCOMING batch. */
+  def semanticDedupIncremental(stored: DataFrame, incoming: DataFrame,
+                               tauPct: Int = 85, cells: Int = 16,
+                               vecCol: String = "embedding",
+                               idCol: String = "vec_id"): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100]: $tauPct")
+    require(cells >= 1, s"cells must be >= 1: $cells")
+    val seeds = stored.orderBy(col(idCol)).limit(cells)
+    def prep(side: DataFrame): DataFrame =
+      SimilarityOps.ivfAssign(side, seeds, vecCol, idCol)
+        .select(col("nid"), col("cell"), quantize(col("v")).as("qv"))
+        .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+        .localCheckpoint()
+    val newQ = prep(incoming)
+    val storedQ = prep(stored)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val a = newQ.select(col("nid").as("aid"), col("cell"),
+      col("qv").as("aq"), col("n2").as("an2"))
+    val partners = storedQ.select(col("nid").as("bid"), col("cell"),
+        col("qv").as("bq"), col("n2").as("bn2"), lit(true).as("is_stored"))
+      .unionByName(newQ.select(col("nid").as("bid"), col("cell"),
+        col("qv").as("bq"), col("n2").as("bn2"), lit(false).as("is_stored")))
+    val dotq = aggregate(zip_with(col("aq"), col("bq"), (x, y) => x * y),
+      lit(0L), (acc, t) => acc + t)
+    val tau2 = lit(tauPct.toLong * tauPct).cast(dec)
+    val dups = a.join(partners, Seq("cell"))
+      .filter(col("is_stored") || col("bid") < col("aid"))
+      .withColumn("dot", dotq)
+      .filter(col("dot") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(10000L).cast(dec) >=
+          tau2 * col("an2").cast(dec) * col("bn2").cast(dec))
+      .select(col("aid").as("nid")).distinct()
+    newQ.join(dups.withColumn("dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   /** Substring-level dedup (the Lee et al. 2021 "Deduplicating Training
     * Data Makes Language Models Better" mode): every token k-gram that
     * occurs `minCount`+ times ANYWHERE in the corpus marks its k-token

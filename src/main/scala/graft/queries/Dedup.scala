@@ -190,6 +190,16 @@ object Dedup extends QuerySet {
     "dedup_semantic" -> ((s, dir) =>
       DedupOps.semanticDedup(embs(s, dir))),
 
+    // continuous-ingest SemDeDup: the vec_id % 5 == 0 slice arrives as the
+    // incoming batch and is judged against the stored corpus's cells (and
+    // its own smaller ids); stored×stored is never re-examined
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = embs(s, dir)
+      DedupOps.semanticDedupIncremental(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0))
+    }),
+
     // substring-level dedup (Lee et al. 2021): corpus-wide duplicated
     // 6-gram windows merged into maximal per-doc spans — catches
     // boilerplate embedded inside otherwise-unique documents, which every
@@ -638,6 +648,49 @@ object Dedup extends QuerySet {
         |        >= CAST(7225 AS HUGEINT) * an2 * bn2)
         |SELECT c.vec_id, c.cell, (d.bid IS NOT NULL) AS dup
         |FROM cells c LEFT JOIN dups d ON c.vec_id = d.bid""".stripMargin,
+
+    // incremental mirror: seeds come from the STORED slice (vec_id % 5 <>
+    // 0); incoming (vec_id % 5 = 0) is dup against any stored cell-mate or
+    // a smaller-id incoming cell-mate
+    "dedup_semantic_incremental" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, q AS cq FROM v
+        |          WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT v.vec_id, v.q, s.cid,
+        |    CAST(list_aggregate(list_transform(range(64), i ->
+        |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+        |      AS BIGINT) AS d2
+        |  FROM v CROSS JOIN seeds s),
+        |cells AS (
+        |  SELECT vec_id, q, cid AS cell,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> q[i+1] * q[i+1]), 'sum') AS BIGINT) AS n2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cid) AS rk FROM assign) WHERE rk = 1),
+        |newc AS (SELECT * FROM cells WHERE vec_id % 5 = 0),
+        |oldc AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS aid,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> a.q[i+1] * b.q[i+1]), 'sum') AS BIGINT) AS dot,
+        |    a.n2 AS an2, b.n2 AS bn2
+        |  FROM newc a JOIN (
+        |    SELECT vec_id, q, cell, n2, TRUE AS is_stored FROM oldc
+        |    UNION ALL
+        |    SELECT vec_id, q, cell, n2, FALSE FROM newc) b
+        |    ON a.cell = b.cell
+        |   AND (b.is_stored OR b.vec_id < a.vec_id)),
+        |dups AS (
+        |  SELECT DISTINCT aid FROM pairs
+        |  WHERE dot > 0
+        |    AND CAST(dot AS HUGEINT) * dot * 10000
+        |        >= CAST(7225 AS HUGEINT) * an2 * bn2)
+        |SELECT c.vec_id, c.cell, (d.aid IS NOT NULL) AS dup
+        |FROM newc c LEFT JOIN dups d ON c.vec_id = d.aid""".stripMargin,
 
     "dedup_embedding_cosine_baseline" ->
       """WITH v AS (

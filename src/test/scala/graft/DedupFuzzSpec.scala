@@ -425,6 +425,30 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(got.contains(1L), "the canonical first copy stays")
   }
 
+  test("incremental SemDeDup: stored wins, keep-first within batch, novel kept") {
+    import spark.implicits._
+    val vrnd = new scala.util.Random(0x5E11)
+    def randVec() = Array.fill(64)(vrnd.nextDouble() - 0.5)
+    val storedVecs = (0L until 40L).map(i => (i, randVec()))
+    val incoming = Seq(
+      // exact copy of stored 7 → dup (stored wins even though 100 > 7)
+      (100L, storedVecs(7)._2.clone()),
+      // within-batch copy pair: 101 novel (kept), 102 its copy (dup)
+      (101L, randVec()),
+      (103L, randVec())) // plain novel → kept
+    val incomingAll = incoming ++ Seq((102L, incoming(1)._2.clone()))
+    val stored = storedVecs.toDF("vec_id", "embedding")
+    val inc = incomingAll.toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDedupIncremental(stored, inc)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.keySet == Set(100L, 101L, 102L, 103L),
+      "only the incoming batch is judged")
+    assert(got(100L), "copy of a stored vector must be a duplicate")
+    assert(got(102L), "the larger-id in-batch copy must be a duplicate")
+    assert(!got(101L), "the smaller-id in-batch original survives")
+    assert(!got(103L), "a novel vector survives")
+  }
+
   test("leakage-safe splits: cluster-atomic, total, and hash-exact") {
     val got = DedupOps.leakageSafeSplits(docsDf)
       .collect()
