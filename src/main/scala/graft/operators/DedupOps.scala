@@ -713,8 +713,15 @@ object DedupOps {
     val hits = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (k - 1)).as("e"))
+    mergeSpanIslands(hits)
+  }
+
+  /** Per-doc gaps-and-islands merge of (doc_id, s, e) marked windows into
+    * maximal spans — shared by the full and incremental substring passes.
+    * One gram per position makes starts unique per doc: the order is
+    * total. */
+  private def mergeSpanIslands(hits: DataFrame): DataFrame = {
     val byStart = Window.partitionBy("doc_id").orderBy("s")
-    // one gram per position, so starts are unique per doc — the order is total
     val prevMax = max(col("e"))
       .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
     hits
@@ -726,6 +733,46 @@ object DedupOps {
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Incremental substring dedup — the continuous-ingest shape of
+    * [[duplicateSpans]], completing the incremental family
+    * ([[incrementalMinhashPairs]], [[semanticDedupIncremental]]): the
+    * stored corpus's k-gram inventory is a staged (gram_hash, count)
+    * index, and only the INCOMING batch's spans are computed. A gram in a
+    * new doc marks its window when stored_count + incoming_count ≥
+    * `minCount` — the corpus-wide rule of the full pass applied to
+    * stored ∪ incoming, while stored documents are never re-tokenized
+    * (pass the staged index via `precomputedStoredCounts`; the raw-docs
+    * path here is the bootstrap).
+    *
+    * Scale shape: one gram build over the NEW batch only, one grouped
+    * count of it, one join against the stored index (hash-keyed; only
+    * grams the new batch actually contains are probed), then the same
+    * per-doc islands merge as the full pass. O(new_tokens + probe hits).
+    * Returns (doc_id, span_start, span_end, span_tokens) for NEW docs. */
+  def incrementalDuplicateSpans(stored: DataFrame, incoming: DataFrame,
+                                textCol: String = "text",
+                                idCol: String = "doc_id", k: Int = 6,
+                                minCount: Int = 2,
+                                precomputedStoredCounts: Option[DataFrame] =
+                                  None): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: $k")
+    val storedCounts = precomputedStoredCounts.getOrElse(
+      TextOps.tokenGrams(stored, textCol, idCol, k)
+        .select(md5(col("gram")).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("stored_cnt")))
+    val grams = TextOps.tokenGrams(incoming, textCol, idCol, k)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    val newCounts = grams.groupBy("gh").agg(count(lit(1)).as("new_cnt"))
+    val dup = newCounts.join(storedCounts, Seq("gh"), "left")
+      .filter(col("new_cnt") + coalesce(col("stored_cnt"), lit(0L))
+        >= minCount)
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (k - 1)).as("e"))
+    mergeSpanIslands(hits)
   }
 
   /** The APPLY step of substring dedup: cut every duplicated span whose

@@ -210,7 +210,17 @@ object Dedup extends QuerySet {
     // the apply step: cut recurring spans keep-first; fully-cut docs
     // (exact duplicates) disappear from the cleaned corpus
     "dedup_substring_apply" -> ((s, dir) =>
-      DedupOps.cutDuplicateSpans(docs(s, dir)))
+      DedupOps.cutDuplicateSpans(docs(s, dir))),
+
+    // continuous-ingest substring dedup: only the doc_id % 3 == 0 batch is
+    // tokenized and span-merged; the rest of the corpus participates as a
+    // stored (gram_hash, count) index probed by the batch's grams
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.incrementalDuplicateSpans(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0))
+    })
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -275,6 +285,36 @@ object Dedup extends QuerySet {
          |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
          |hits AS (SELECT doc_id, pos AS s, pos + 5 AS e
          |         FROM g JOIN dup USING (gh)),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -2) + 1 THEN 1 ELSE 0 END AS new_isl
+         |  FROM hits),
+         |sp AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM isl)
+         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+         |  CAST(MAX(e) AS BIGINT) AS span_end,
+         |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+         |FROM sp GROUP BY doc_id, isl""".stripMargin,
+
+    // incremental: grams over ALL docs for the counts, but hits/spans only
+    // for the incoming batch (doc_id % 3 = 0) — gram duplicated when the
+    // stored + incoming total reaches 2
+    "dedup_substring_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(t[i+1:i+6], ' ')) AS gh
+         |  FROM toks, unnest(range(len(t) - 5)) AS u(i)
+         |  WHERE len(t) >= 6),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 5 AS e
+         |         FROM g JOIN dup USING (gh)
+         |         WHERE doc_id % 3 = 0),
          |isl AS (
          |  SELECT doc_id, s, e,
          |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id

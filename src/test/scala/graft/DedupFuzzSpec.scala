@@ -449,6 +449,25 @@ class DedupFuzzSpec extends SparkSpecBase {
     assert(!got(103L), "a novel vector survives")
   }
 
+  test("incremental substring spans equal the full pass restricted to the batch") {
+    import org.apache.spark.sql.functions.col
+    // the defining property: stored_count + incoming_count is exactly the
+    // corpus-wide count, so the incremental result must equal the full
+    // pass filtered to the incoming docs — on a corpus with planted
+    // duplicates spanning both sides of the split
+    val all = docsDf
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = spans(DedupOps.duplicateSpans(all, k = 3)
+      .filter(col("doc_id") % 3 === 0))
+    val got = spans(DedupOps.incrementalDuplicateSpans(
+      all.filter(col("doc_id") % 3 =!= 0),
+      all.filter(col("doc_id") % 3 === 0), k = 3))
+    assert(got == full)
+    assert(got.nonEmpty, "fixture must exercise cross-side duplication")
+  }
+
   test("leakage-safe splits: cluster-atomic, total, and hash-exact") {
     val got = DedupOps.leakageSafeSplits(docsDf)
       .collect()

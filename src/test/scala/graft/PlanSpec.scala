@@ -201,6 +201,18 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 1)
   }
 
+  test("incremental SemDeDup: seeds broadcast, cell join keyed, no cartesian") {
+    val p = plan("dedup_semantic_incremental")
+    // the only nested-loop allowed is the broadcast of the tiny seed set
+    // inside ivfAssign; the candidate join itself must be keyed on cell
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val keyed = p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")
+    assert(bnl <= 1 && keyed,
+      s"expected <=1 broadcast seed loop + a keyed cell join:\n${p.take(1500)}")
+  }
+
   test("leakage-safe splits: split is a pure projection over the CC labels") {
     val p = plan("corpus_split_leakage_safe")
     // the split must be computed in-plan from the cluster id (stable md5
