@@ -477,6 +477,78 @@ object DedupOps {
           .otherwise("test").as("split"))
   }
 
+  /** Quality-aware canonical selection: one KEPT document per near-dup
+    * cluster, chosen by quality rather than arrival order — keep-BEST,
+    * the curation step production corpus pipelines (RefinedWeb/FineWeb
+    * style) run where keep-first silently preserves the truncated or
+    * boilerplate-padded copy of a duplicated page.
+    *
+    * Quality signal here is document length (`n_chars` — the longest copy
+    * of a near-dup cluster is the least-truncated one), tie-broken by
+    * smallest id for determinism; any scalar score column slots into the
+    * same `max(struct(...))` argmax. Singletons keep themselves. Cost past
+    * the (staged, shared) pair graph + CC is ONE aggregation keyed by
+    * cluster id — no window, no second shuffle; the argmax rides the
+    * partial-aggregate path so skewed mega-clusters combine map-side. */
+  def canonicalSelect(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      qualityCol: String = "n_chars",
+                      minJaccard: Double = 0.5,
+                      precomputedPairs: Option[DataFrame] = None)
+      : DataFrame = {
+    val clusters = dedupClusters(docs, textCol, idCol, minJaccard,
+        includeSingletons = true, precomputedPairs)
+      .select(col(idCol), col("cluster_id"))
+    clusters
+      .join(docs.select(col(idCol), col(qualityCol).cast("long").as("q")),
+        idCol)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        // lexicographic struct max = highest quality, then LOWEST id
+        // (negated so the max picks it) — a single associative argmax
+        max(struct(col("q"), (-col(idCol)).as("negid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.negid")).as("kept_doc_id"),
+        col("best.q").as("kept_quality"), col("cluster_size"))
+  }
+
+  /** Winnowing similarity pairs (the MOSS match-detection step over
+    * [[TextOps.winnowFingerprints]] sketches): documents sharing at least
+    * `minShared` selected fingerprints, with the shared count as the
+    * match strength. The winnowing guarantee makes this a LOCAL-match
+    * detector — any shared run of ≥ w + k − 1 tokens is caught even when
+    * whole-document measures (minhash Jaccard, simhash) stay far apart,
+    * the code/boilerplate-plagiarism shape doc-level dedup misses.
+    *
+    * Shape at scale: the join key is the selected fingerprint hash (the
+    * ~2/(w+1)-density sketch, NOT raw grams), and hot boilerplate
+    * fingerprints are cut by a CORPUS-RELATIVE df cap before the
+    * self-join — the same stopword bound as tfidf/bm25, so within-hash
+    * pair fan-out is bounded by (maxDfPct% · n)² per hash at worst and
+    * the candidate volume stays sketch-sized. Never all-pairs. */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                     minShared: Int = 2, maxDfPct: Int = 10,
+                     precomputedFps: Option[DataFrame] = None): DataFrame = {
+    require(minShared >= 1 && maxDfPct >= 1 && maxDfPct <= 100,
+      s"invalid winnow-pair shape: minShared=$minShared maxDfPct=$maxDfPct")
+    // per-doc hash SET: one doc selecting the same gram at two positions
+    // must count once toward a pair
+    val fps = precomputedFps
+      .getOrElse(TextOps.winnowFingerprints(docs, k, w))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val ndocs = docs.agg(count(lit(1)).as("n"))
+    val kept = fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") * 100 <= col("n") * maxDfPct)
+      .select(col("fp_hash"))
+    val p = fps.join(kept, "fp_hash")
+    p.select(col("fp_hash"), col("doc_id").as("id1"))
+      .join(p.select(col("fp_hash"), col("doc_id").as("id2")), "fp_hash")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding cosine near-duplicates above `minCos`.
     *
     * DEFAULT path (the 100 TB one): multi-band random-hyperplane LSH

@@ -372,7 +372,6 @@ object SimilarityOps {
     * instead of re-deriving tokenize→tf→df on every pass. */
   def tfidfWeights(docs: DataFrame, maxDfPct: Int = 18,
                    scale: Long = 10000): DataFrame = {
-    import graft.functions.GraftFunctions.{shingles, tokens}
     // bigram terms, not unigrams: word co-occurrence is what separates
     // documents drawn from a small shared vocabulary (the fixture's
     // unigram df is nearly flat), and n-gram terms are the standard
@@ -381,11 +380,7 @@ object SimilarityOps {
     // term frequencies feed BOTH the document-frequency aggregate and the
     // weighted-postings join — materialize so the tokenize+explode scan
     // runs once
-    val tf = docs
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = termFrequencies(docs).localCheckpoint()
     // df cap RELATIVE to corpus size (tokens in > maxDfPct% of docs are
     // stopwords) — an absolute cap would rot as the corpus grows; the
     // count rides in as a one-row broadcast, no driver round trip
@@ -429,6 +424,224 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(win).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** Raw bigram term-frequency postings (doc_id, tok, tf) — the shared
+    * tokenize→explode→count stage of the lexical retrieval family
+    * ([[tfidfTopK]] derives weights from it, [[bm25TopK]] scores from it).
+    * A pure function of the corpus: stage it once per fixture and reuse. */
+  def termFrequencies(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.GraftFunctions.{shingles, tokens}
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), 2)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Okapi BM25 top-k retrieval (Robertson & Walker; k1 = 1.2, b = 0.75)
+    * over the bigram inverted index — the probabilistic-relevance
+    * counterpart of [[tfidfTopK]]'s vector-space cosine, and the scoring
+    * the reference's Table/SQL users would reach for first when ranking
+    * documents against query documents.
+    *
+    * All arithmetic is integer-exact and — unlike a naive clearing of
+    * denominators — CORPUS-SIZE-INDEPENDENT in magnitude, so the widths
+    * that hold at fixture scale hold at 100 TB:
+    *  - `avg_q`  = (Σ dl · 1000) div n        — avgdl ×1000, a per-corpus
+    *    constant that rides in as a one-row broadcast;
+    *  - `idf_i`  = ((n − df) · 1000) div df   — ×1000 integer idf. The
+    *    same corpus-relative df cap as [[tfidfWeights]] prunes stopword
+    *    posting lists BEFORE the index join (at ≤ `maxDfPct`% the pruned
+    *    terms carry near-zero idf anyway, so the cap costs ranking almost
+    *    nothing and buys the candidate-volume bound that matters at scale);
+    *  - `tfq`    = (22·avg_q·tf·10000) div (10·avg_q·tf + 3·avg_q + 9000·dl)
+    *    — the saturating tf term ×10⁴, obtained by multiplying numerator
+    *    and denominator of tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) by
+    *    10·avg_q. Note n and Σ dl enter ONLY through avg_q (bounded by
+    *    1000× the max document length), never as raw factors — the widest
+    *    intermediate is 22·avg_q·tf·10⁴, safe in a BIGINT for any corpus
+    *    whose longest document is < ~4·10⁹ terms (plan-time width choice,
+    *    per the round-9 z-SAX lesson: precision is a static knob, not a
+    *    per-row branch).
+    *
+    * Per-posting weight w = idf_i · tfq is query-independent (classic BM25
+    * ignores query-side tf), so it is computed once; a query's score is
+    * then ONE semi-additive integer sum over its matched terms — exact,
+    * associative, engine-portable. Queries are the `doc_id % queryMod`
+    * slice, probing the inverted index selectively (never all-pairs).
+    *
+    * Ref semantics context: ranking UDFs over grouped tables
+    * (flink-libraries/flink-table/src/main/scala/org/apache/flink/table/
+    * functions/utils/UserDefinedFunctionUtils.scala pattern); BM25 itself
+    * per Robertson et al., TREC-3. */
+  def bm25TopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
+               queryMod: Long = 97,
+               precomputedTf: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && maxDfPct >= 1 && maxDfPct <= 100 && queryMod >= 2,
+      s"invalid bm25 shape: k=$k maxDfPct=$maxDfPct queryMod=$queryMod")
+    // tf feeds doc-lengths, document frequencies AND the postings join —
+    // materialize (or accept the caller's staged copy) so the
+    // tokenize+explode scan runs once
+    val tf = precomputedTf.getOrElse(termFrequencies(docs).localCheckpoint())
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // one-row corpus stats: n docs + quantized avgdl; broadcast, no
+    // driver round trip
+    val stats = dl.agg(count(lit(1)).as("n"),
+      expr("(sum(dl) * 1000) div count(1)").as("avg_q"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * 100 <= col("n") * maxDfPct)
+      .select(col("tok"),
+        expr("((n - df) * 1000) div df").as("idf_i"))
+    val post = tf.join(dfreq, "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avg_q"))))
+      .select(col("doc_id"), col("tok"),
+        (col("idf_i") *
+          expr("(22 * avg_q * tf * 10000) div " +
+               "(10 * avg_q * tf + 3 * avg_q + 9000 * dl)")).as("w"))
+    val q = post.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val scores = q
+      .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("w")).as("score_i"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("score_i").desc, col("nid").asc)
+    scores.withColumn("rank", row_number().over(win).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Contrastive pair mining over the embedding corpus: for each query
+    * vector, the k most-similar SAME-label rows (positives) and the k
+    * most-similar DIFFERENT-label rows (hard negatives) — the pair
+    * harvest a contrastive/embedding-training pipeline runs after
+    * labeling, where "hard" negatives (high-cosine, wrong label) carry
+    * most of the gradient signal.
+    *
+    * Same plan shape as [[topKBruteForce]] (broadcast query set × one
+    * corpus scan, per-query top-k; linear in the corpus, never
+    * all-pairs); the label comparison rides inside the broadcast join.
+    * At index scale the identical composition applies over
+    * [[topKLsh]]/[[topKIvfProbe]] candidates — the label filter commutes
+    * with any candidate generator because it only prunes the rerank. */
+  def contrastivePairs(embs: DataFrame, k: Int = 5,
+                       queryMod: Long = 100,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id",
+                       labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && queryMod >= 2,
+      s"invalid contrastive shape: k=$k queryMod=$queryMod")
+    val c = embs.select(col(idCol).as("nid"),
+        col(labelCol).as("n_label"),
+        col(vecCol).cast("array<double>").as("cv"),
+        l2norm(col(vecCol)).as("cn"))
+      .repartition(col("nid"))
+    val q = embs.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("qid"), col(labelCol).as("q_label"),
+        col(vecCol).cast("array<double>").as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("q_label"), col("n_label"),
+        when(col("q_label") === col("n_label"), "pos").otherwise("neg")
+          .as("pair_type"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"), col("pair_type"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("pair_type"), col("nid"), col("n_label"),
+        col("rank"), col("cos"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): per
+    * query, greedily select `k` of the top-`m` candidates maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the diversity selection a
+    * retrieval/curation pipeline runs so the chosen set is not k copies
+    * of the same near-duplicate.
+    *
+    * Exactness: relevance and pairwise similarities are quantized ONCE to
+    * micro-cosine BIGINTs (round(1e6·cos) — the same double on both
+    * engines, rounded away from zero on both), and every greedy score is
+    * then pure integer arithmetic (`lambdaPct·rel − (100−lambdaPct)·
+    * maxsim`), ties broken by smallest id — so the whole greedy trajectory
+    * is engine-exact, no float drift can flip a pick. First pick (empty
+    * S) scores λ·rel, the standard convention (maxsim term 0).
+    *
+    * Shape at scale: candidate generation is the broadcast-query scan
+    * (linear, never all-pairs); the pairwise-sim table is m² per query —
+    * m is a constant knob, so it's O(queries·m²) TOTAL, the small thing;
+    * the k greedy rounds are driver-orchestrated joins over that small
+    * candidate set (bounded data, `localCheckpoint` per round — the BPE
+    * trainer precedent), NOT over the corpus. At index scale the same
+    * greedy runs over LSH/IVF candidates — MMR only consumes (rel, sim)
+    * pairs, not vectors. */
+  def mmrRerank(embs: DataFrame, k: Int = 5, m: Int = 10,
+                lambdaPct: Int = 70, queryMod: Long = 100,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && m >= k && lambdaPct >= 0 && lambdaPct <= 100 &&
+        queryMod >= 2,
+      s"invalid mmr shape: k=$k m=$m lambdaPct=$lambdaPct queryMod=$queryMod")
+    val mu = 100 - lambdaPct
+    val c = embs.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("cv"),
+        l2norm(col(vecCol)).as("cn"))
+      .repartition(col("nid"))
+    val q = embs.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+    val relWin = Window.partitionBy(col("qid"))
+      .orderBy(col("relq").desc, col("nid").asc)
+    // top-m candidates, micro-cosine relevance; vectors ride along for the
+    // pairwise stage then drop
+    val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cv"), col("cn"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 1e6)
+          .cast("long").as("relq"))
+      .withColumn("rn", row_number().over(relWin))
+      .filter(col("rn") <= m)
+      .localCheckpoint()
+    // within-query candidate pairwise sims: m² rows per query, constant
+    val a = cand.select(col("qid"), col("nid").as("aid"),
+      col("cv").as("av"), col("cn").as("an"))
+    val b = cand.select(col("qid"), col("nid").as("bid"),
+      col("cv").as("bv"), col("cn").as("bn"))
+    val pw = a.join(b, Seq("qid")).filter(col("aid") =!= col("bid"))
+      .select(col("qid"), col("aid"), col("bid"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("sim"))
+      .localCheckpoint()
+    val slim = cand.select(col("qid"), col("nid"), col("relq"))
+    // greedy: k rounds of (remaining ⟕ maxsim-to-selected) → per-query argmax
+    val pickWin = Window.partitionBy(col("qid"))
+      .orderBy(col("sc").desc, col("nid").asc)
+    var selected = cand.filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), lit(1).as("mmr_rank"),
+        (lit(lambdaPct.toLong) * col("relq")).as("score_i"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("qid"), col("nid"))
+      val remaining = slim.join(selIds, Seq("qid", "nid"), "left_anti")
+      val simToSel = pw.join(selIds.withColumnRenamed("nid", "bid"),
+          Seq("qid", "bid"))
+        .groupBy(col("qid"), col("aid")).agg(max(col("sim")).as("maxsim"))
+      val pick = remaining
+        .join(simToSel.withColumnRenamed("aid", "nid"), Seq("qid", "nid"),
+          "left")
+        .select(col("qid"), col("nid"),
+          (lit(lambdaPct.toLong) * col("relq") -
+            lit(mu.toLong) * coalesce(col("maxsim"), lit(0L))).as("sc"))
+        .withColumn("rn", row_number().over(pickWin))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(r).as("mmr_rank"),
+          col("sc").as("score_i"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.withColumn("mmr_rank", col("mmr_rank").cast("int"))
   }
 
   /** Per-label centroids in exact integer arithmetic: dims are quantized

@@ -297,6 +297,54 @@ object TextOps {
         md5(col("c.w")).as("chunk_fp"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): hash every token k-gram, slide a window of `w`
+    * consecutive gram positions, and in each window select the MINIMUM
+    * hash — tie-broken RIGHTMOST, the paper's rule that makes selections
+    * agree across overlapping windows. The selected (position, hash) set
+    * is the fingerprint sketch, with the paper's guarantee: any match of
+    * at least w + k − 1 tokens between two documents shares at least one
+    * fingerprint, and expected density is 2/(w+1) per position.
+    *
+    * Cross-engine exactness: the (min hash, max pos) argmin is folded into
+    * ONE lexicographic string key — the 15-hex-char md5 prefix (the same
+    * stableHash domain every dedup oracle uses) concatenated with the
+    * zero-padded position complement (10^8−1 − pos), so a plain `min()`
+    * over the window frame IS "smallest hash, rightmost position" in any
+    * engine with bytewise string order. No struct ordering, no argmin
+    * builtin, no float.
+    *
+    * Shape at scale: one explode + ONE keyed window pass (the tokenGrams
+    * exchange on doc_id is the only shuffle; the frame min and the
+    * full-window count ride the same sort) + a per-doc distinct that
+    * reuses the partitioning. No joins, no all-pairs; output is the
+    * ~2/(w+1)-density sketch, the small thing downstream pair-finding
+    * joins on. Docs shorter than w + k − 1 tokens emit no fingerprints
+    * (no full window exists — the guarantee is vacuous below match
+    * length anyway). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2 && w >= 1, s"invalid winnow shape: k=$k w=$w")
+    val grams = tokenGrams(docs, textCol, idCol, k)
+    // 23-char sortable key: lexicographic min = (min hash, MAX pos)
+    val hk = concat(substring(md5(col("gram")), 1, 15),
+      lpad((lit(99999999L) - col("pos")).cast("string"), 8, "0"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.select(col("doc_id"), col("pos"), hk.as("hk"))
+      .select(col("doc_id"),
+        count(lit(1)).over(frame).as("n_in"),
+        min(col("hk")).over(frame).as("sel"))
+      .filter(col("n_in") === w) // full windows only (positions are dense)
+      .select(col("doc_id"),
+        (lit(99999999L) - substring(col("sel"), 16, 8).cast("long"))
+          .as("sel_pos"),
+        conv(substring(col("sel"), 1, 15), 16, 10).cast("long")
+          .as("fp_hash"))
+      .distinct()
+  }
+
   /** Full BPE-trainer loop (tokenizer induction — the core of a
     * training-data pipeline; `corpus_bpe_pairs` is merge-round 1's
     * candidate scan, this drives N complete merge rounds). Each round:

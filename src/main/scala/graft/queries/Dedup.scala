@@ -64,6 +64,16 @@ object Dedup extends QuerySet {
           .write.mode("overwrite").parquet(p)
       }
     }
+  /** Winnowing fingerprint sketch staged once per (app, fixture): the
+    * sketch row (`text_winnowing`) and the pair detector
+    * (`dedup_winnowing_pairs`) both consume it, so the tokenize + window
+    * pass runs once and its cost lands in the bench's stage_sec. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-winnow-fps") { p =>
+      graft.operators.TextOps.winnowFingerprints(docs(s, dir))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-minhash-pairs") { p =>
       // the candidate graph is orders smaller than the corpus: its band
@@ -182,6 +192,28 @@ object Dedup extends QuerySet {
     "corpus_split_leakage_safe" -> ((s, dir) =>
       DedupOps.leakageSafeSplits(docs(s, dir),
         precomputedPairs = Some(minhashPairs(s, dir)))),
+
+    // quality-aware canonical selection: one kept doc per near-dup
+    // cluster, chosen keep-BEST (longest copy, tie min id) rather than
+    // keep-first — reuses the same staged pair set; past the shared CC
+    // the cost is ONE cluster-keyed argmax aggregation
+    "dedup_canonical_select" -> ((s, dir) =>
+      DedupOps.canonicalSelect(docs(s, dir),
+        precomputedPairs = Some(minhashPairs(s, dir)))),
+
+    // MOSS winnowing sketch: per-window rightmost-min k-gram hash — the
+    // fingerprint family's LOCAL-match member (guarantee: any shared run
+    // of >= w+k-1 tokens shares a fingerprint); one keyed window pass
+    "text_winnowing" -> ((s, dir) => winnowFps(s, dir)),
+
+    // documents sharing >= 2 winnowing fingerprints (after the corpus-
+    // relative df cap cuts boilerplate hashes) — local plagiarism-style
+    // match detection over the staged sketch, join keyed on the hash
+    "dedup_winnowing_pairs" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.winnowingPairs(docs(s, dir),
+          precomputedFps = Some(winnowFps(s, dir)))
+      }),
 
     // SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
     // drop every vector with a smaller-id cosine>=0.85 neighbor in its
@@ -627,6 +659,73 @@ object Dedup extends QuerySet {
          |    CAST(CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)),
          |      1, 15)) AS BIGINT) % 100 AS BIGINT) AS b
          |  FROM alldocs)""".stripMargin,
+
+    // cluster labeling + singleton self-clusters, then per-cluster argmax
+    // (longest copy, tie min doc_id) via row_number
+    "dedup_canonical_select" ->
+      s"""$ClusterLabelSql,
+         |alldocs AS (
+         |  SELECT doc_id, cluster_id FROM labeled
+         |  UNION ALL
+         |  SELECT doc_id, doc_id AS cluster_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM labeled)),
+         |j AS (
+         |  SELECT a.cluster_id, a.doc_id, d.n_chars
+         |  FROM alldocs a JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS kept_doc_id,
+         |  n_chars AS kept_quality, cluster_size
+         |FROM (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j) WHERE rn = 1""".stripMargin,
+
+    // same k=4 grams, same 15-hex-md5 + zero-padded position-complement
+    // key: lexicographic MIN over the 4-gram window IS (min hash,
+    // rightmost pos) on both engines; full windows only
+    "text_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 15) ||
+         |      lpad(CAST(99999999 - i AS VARCHAR), 8, '0') AS hk
+         |  FROM toks, unnest(range(len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |wsel AS (
+         |  SELECT doc_id, COUNT(*) OVER fr AS n_in, MIN(hk) OVER fr AS sel
+         |  FROM g WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         |SELECT DISTINCT doc_id,
+         |  99999999 - CAST(substr(sel, 16, 8) AS BIGINT) AS sel_pos,
+         |  CAST(concat('0x', substr(sel, 1, 15)) AS BIGINT) AS fp_hash
+         |FROM wsel WHERE n_in = 4""".stripMargin,
+
+    "dedup_winnowing_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 15) ||
+         |      lpad(CAST(99999999 - i AS VARCHAR), 8, '0') AS hk
+         |  FROM toks, unnest(range(len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |wsel AS (
+         |  SELECT doc_id, COUNT(*) OVER fr AS n_in, MIN(hk) OVER fr AS sel
+         |  FROM g WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(concat('0x', substr(sel, 1, 15)) AS BIGINT) AS fp
+         |  FROM wsel WHERE n_in = 4),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |kept AS (
+         |  SELECT fp FROM fps, n GROUP BY fp, n.n
+         |  HAVING COUNT(*) * 100 <= n.n * 10),
+         |p AS (SELECT doc_id, fp FROM fps JOIN kept USING (fp))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // brute-force enumeration over the SAME derived corpus the blocked
     // Spark path runs on — equality proves blocked recall == brute force

@@ -196,4 +196,203 @@ class PipelineOpsSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("fp"))
     assert(fps(0) != fps(1))
   }
+
+  /** Local BigInt mirror of the BM25 integer pipeline (same tokenize →
+    * bigram → tf/df/dl → quantized avgdl → idf_i/tfq/w formulas), for the
+    * exact-differential test below. */
+  private def bm25Mirror(rows: Seq[(Long, String)], maxDfPct: Int,
+                         queryMod: Long, k: Int): Set[(Long, Long, Long, Int)] = {
+    def grams(text: String): Seq[String] = {
+      val t = text.toLowerCase.split("\\s+").toSeq
+      if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq
+      else Seq(t.mkString(" "))
+    }
+    val tf = rows.flatMap { case (id, tx) => grams(tx).map((id, _)) }
+      .groupBy(identity).map { case ((id, g), xs) => (id, g, xs.size.toLong) }
+      .toSeq
+    val dl = tf.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._3).sum }
+    val n = dl.size.toLong
+    val avgQ = dl.values.sum * 1000L / n
+    val idf = tf.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+      .filter { case (_, df) => df * 100 <= n * maxDfPct }
+      .map { case (g, df) => g -> (n - df) * 1000L / df }
+    val w = tf.collect { case (id, g, t) if idf.contains(g) =>
+      val d = dl(id)
+      ((id, g), idf(g) * ((22L * avgQ * t * 10000L) /
+        (10L * avgQ * t + 3L * avgQ + 9000L * d)))
+    }.toMap
+    val qTerms = w.keys.toSeq.filter(_._1 % queryMod == 0)
+    val scores = for {
+      (qid, g) <- qTerms
+      ((nid, g2), wv) <- w if g2 == g && nid != qid
+    } yield ((qid, nid), wv)
+    scores.groupBy(_._1).toSeq
+      .map { case ((qid, nid), xs) => (qid, nid, xs.map(_._2).sum) }
+      .groupBy(_._1).flatMap { case (_, perQ) =>
+        perQ.sortBy { case (_, nid, s) => (-s, nid) }.zipWithIndex
+          .take(k).map { case ((qid, nid, s), i) => (qid, nid, s, i + 1) }
+      }.toSet
+  }
+
+  test("bm25: exact differential vs the local integer mirror; rare term outranks common") {
+    import spark.implicits._
+    // even ids are queries (queryMod = 2); "rare term" is shared only by
+    // docs 0+1, "common term" by docs 0,3,5,7 — equal tf and dl, so the
+    // idf spread alone must rank doc 1 first
+    val rows = Seq(
+      (0L, "rare term common term"),
+      (1L, "rare term filler one two"),
+      (3L, "common term filler three four"),
+      (5L, "common term filler five six"),
+      (7L, "common term filler seven eight"),
+      (9L, "unrelated junk text nine ten"))
+    val got = SimilarityOps.bm25TopK(rows.toDF("doc_id", "text"),
+        k = 5, maxDfPct = 80, queryMod = 2)
+      .select("qid", "nid", "score_i", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val want = bm25Mirror(rows, maxDfPct = 80, queryMod = 2, k = 5)
+    assert(got == want, s"got=$got\nwant=$want")
+    val q0 = got.filter(_._1 == 0L).toSeq.sortBy(_._4)
+    assert(q0.head._2 == 1L, s"rare-term doc must rank first for q0: $q0")
+    // saturation: tf'd-up common term still cannot overtake the rare term
+    // (BM25's bounded tf gain vs idf spread)
+    // repeat "common term" through a spacer so no NEW query bigram
+    // ("term common") appears — only tf("common term") rises
+    val rows2 = rows.map { case (3L, _) =>
+        (3L, "common term filler common term filler common term filler")
+      case r => r }
+    val got2 = SimilarityOps.bm25TopK(rows2.toDF("doc_id", "text"),
+        k = 5, maxDfPct = 80, queryMod = 2)
+      .select("qid", "nid", "score_i", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got2 == bm25Mirror(rows2, maxDfPct = 80, queryMod = 2, k = 5))
+    val q0b = got2.filter(_._1 == 0L).toSeq.sortBy(_._4)
+    assert(q0b.head._2 == 1L, s"saturated tf must not beat idf: $q0b")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bm25TopK(rows.toDF("doc_id", "text"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bm25TopK(rows.toDF("doc_id", "text"), queryMod = 1)
+    }
+  }
+
+  test("contrastive pairs: label partition is exact, ranks contiguous, cos ordered") {
+    val out = SimilarityOps.contrastivePairs(embs, k = 4).collect()
+    assert(out.nonEmpty)
+    val qLabel = embs.filter(col("vec_id") % 100 === 0)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val pt = r.getAs[String]("pair_type")
+      val nl = r.getAs[Int]("n_label")
+      assert(if (pt == "pos") nl == qLabel(qid) else nl != qLabel(qid),
+        s"pair_type $pt mislabeled: q=$qid n_label=$nl q_label=${qLabel(qid)}")
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("nid"))
+    }
+    // per (qid, type): ranks are 1..n and cos is non-increasing in rank
+    out.groupBy(r => (r.getAs[Long]("qid"), r.getAs[String]("pair_type")))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Int]("rank"))
+        assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+        val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+          s"cos must be non-increasing: $cs")
+      }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.contrastivePairs(embs, k = 0)
+    }
+  }
+
+  /** Local mirror of the MMR greedy trajectory: same ascending-order dot,
+    * same micro-cosine HALF_UP quantization, same integer scores and
+    * (score desc, nid asc) tie-break. */
+  private def mmrLocal(vecs: Seq[(Long, Array[Double])], k: Int, m: Int,
+                       lam: Int, qmod: Long): Set[(Long, Long, Int, Long)] = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def cosQ(a: Array[Double], b: Array[Double]): Long =
+      BigDecimal(1e6 * dotA(a, b) /
+          (math.sqrt(dotA(a, a)) * math.sqrt(dotA(b, b))))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val mu = 100 - lam
+    vecs.filter(_._1 % qmod == 0).flatMap { case (qid, qv) =>
+      val cands = vecs.filter(_._1 != qid)
+        .map { case (nid, cv) => (nid, cosQ(qv, cv), cv) }
+        .sortBy { case (nid, relq, _) => (-relq, nid) }.take(m)
+      val sims = (for {
+        (a, _, av) <- cands; (b, _, bv) <- cands if a != b
+      } yield ((a, b), cosQ(av, bv))).toMap
+      var selected = Vector((cands.head._1, 1, lam.toLong * cands.head._2))
+      for (r <- 2 to math.min(k, cands.length)) {
+        val selIds = selected.map(_._1).toSet
+        val pick = cands.filterNot(c => selIds.contains(c._1))
+          .map { case (nid, relq, _) =>
+            val maxsim = selIds.map(s => sims((nid, s))).max
+            (nid, lam.toLong * relq - mu.toLong * maxsim)
+          }
+        val best = pick.minBy { case (nid, sc) => (-sc, nid) }
+        selected :+= ((best._1, r, best._2))
+      }
+      selected.map { case (nid, r, sc) => (qid, nid, r, sc) }
+    }.toSet
+  }
+
+  test("mmr rerank: exact differential vs the local greedy mirror; λ=100 is pure relevance") {
+    import spark.implicits._
+    val vecs = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    val got = SimilarityOps.mmrRerank(embs, k = 5, m = 10, lambdaPct = 70,
+        queryMod = 10)
+      .select("qid", "nid", "mmr_rank", "score_i")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val want = mmrLocal(vecs, k = 5, m = 10, lam = 70, qmod = 10)
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    // λ = 100: greedy degenerates to pure relevance order — picks must be
+    // the top-k candidates in (relq desc, nid) order
+    val got100 = SimilarityOps.mmrRerank(embs, k = 3, m = 10,
+        lambdaPct = 100, queryMod = 10)
+      .select("qid", "nid", "mmr_rank", "score_i")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got100 == mmrLocal(vecs, k = 3, m = 10, lam = 100, qmod = 10))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(embs, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(embs, k = 6, m = 5)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(embs, lambdaPct = 101)
+    }
+  }
+
+  test("canonical select: keep-best by quality, keep-min-id on ties, singletons kept") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "shared text alpha", 40L),
+      (2L, "shared text alpha plus extra", 55L),
+      (7L, "unique text here", 30L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id1", "id2", "est_jaccard")
+    val got = DedupOps.canonicalSelect(fixture, precomputedPairs = Some(pairs))
+      .select("cluster_id", "kept_doc_id", "kept_quality", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 55L, 2L), (7L, 7L, 30L, 1L)),
+      s"keep-best must pick the longer copy and keep the singleton: $got")
+    // tie on quality → smallest id wins
+    val tied = Seq(
+      (1L, "shared text alpha", 40L),
+      (2L, "shared text alpha", 40L),
+      (7L, "unique text here", 30L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got2 = DedupOps.canonicalSelect(tied, precomputedPairs = Some(pairs))
+      .select("cluster_id", "kept_doc_id", "kept_quality", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 1L, 40L, 2L), (7L, 7L, 30L, 1L)),
+      s"quality tie must break to the smaller id: $got2")
+  }
 }

@@ -246,4 +246,90 @@ class TextFuzzSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(histGot == histExpect)
   }
+
+  /** Sequential winnowing mirror (Schleimer et al. 2003): k-gram hashes,
+    * per-window minimum tie-broken rightmost, distinct selections. */
+  private def winnowLocal(id: Long, text: String, k: Int, w: Int)
+      : Set[(Long, Long, Long)] = {
+    val t = toks(text)
+    val grams = (0 to t.length - k)
+      .map(p => (p.toLong, md5hex(t.slice(p, p + k).mkString(" ")).take(15)))
+    (0 to grams.length - w).flatMap { s =>
+      val win = grams.slice(s, s + w)
+      val sel = win.minBy { case (p, h) => (h, -p) }
+      Some((id, sel._1, java.lang.Long.parseLong(sel._2, 16)))
+    }.toSet
+  }
+
+  private def winnowPairsLocal(fps: Set[(Long, Long, Long)], n: Long,
+                               maxDfPct: Int, minShared: Int)
+      : Set[(Long, Long, Long)] = {
+    val byDoc = fps.map(f => (f._1, f._3))
+    val df = byDoc.groupBy(_._2).map { case (h, s) => h -> s.size }
+    val kept = byDoc.filter { case (_, h) => df(h) * 100 <= n * maxDfPct }
+    kept.groupBy(_._2).values.flatMap { s =>
+      val ids = s.map(_._1).toSeq.sorted
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .filter(_._3 >= minShared).toSet
+  }
+
+  test("winnowing equals the sequential mirror; the w+k-1 match guarantee holds") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(0xBEEF)
+    val base = (0 until 30).map { i =>
+      val len = 2 + rnd2.nextInt(30)
+      (i.toLong, Vector.fill(len)(words(rnd2.nextInt(words.size))).mkString(" "))
+    }
+    // a shared run of exactly w + k − 1 = 7 tokens — the guarantee's edge
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val planted = Seq(
+      (100L, "x1 x2 " + run + " y1 y2 y3"),
+      (101L, "z1 " + run + " z2 z3 z4 z5"))
+    val all = base ++ planted
+    val got = TextOps.winnowFingerprints(all.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = all.flatMap { case (id, tx) => winnowLocal(id, tx, 4, 4) }.toSet
+    assert(got == want)
+    // guarantee: a shared run of w+k-1 tokens shares >= 1 fingerprint HASH
+    val f100 = got.filter(_._1 == 100L).map(_._3)
+    val f101 = got.filter(_._1 == 101L).map(_._3)
+    assert((f100 & f101).nonEmpty, "planted 7-token run must share a fingerprint")
+    // partition independence: pure function of the corpus
+    val got5 = TextOps.winnowFingerprints(
+      all.toDF("doc_id", "text").repartition(5))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got5 == got)
+    intercept[IllegalArgumentException] {
+      TextOps.winnowFingerprints(all.toDF("doc_id", "text"), k = 1)
+    }
+  }
+
+  test("winnowing pairs: differential vs mirror; boilerplate df cap cuts hot hashes") {
+    import spark.implicits._
+    // 20 docs share the same 20-token boilerplate run (df > 10% of 22 →
+    // its fingerprints are cut); docs 100/101 share a 20-token unique run
+    val boil = (1 to 20).map(i => "b" + i).mkString(" ")
+    val run2 = (1 to 20).map(i => "r" + i).mkString(" ")
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, s"u${i}a u${i}b " + boil + s" u${i}c u${i}d")
+    } ++ Seq((100L, "q1 q2 q3 " + run2 + " q4"),
+             (101L, "p1 " + run2 + " p2 p3"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = operators.DedupOps.winnowingPairs(df)
+      .as[(Long, Long, Long)].collect().toSet
+    val fps = corpus.flatMap { case (id, tx) => winnowLocal(id, tx, 4, 4) }.toSet
+    val want = winnowPairsLocal(fps, corpus.size.toLong, 10, 2)
+    assert(got == want)
+    assert(got.exists(p => p._1 == 100L && p._2 == 101L),
+      "planted unique-run pair must be detected")
+    assert(got.forall(p => p._1 == 100L && p._2 == 101L),
+      s"boilerplate-only doc pairs must be cut by the df cap: $got")
+    intercept[IllegalArgumentException] {
+      operators.DedupOps.winnowingPairs(df, minShared = 0)
+    }
+    intercept[IllegalArgumentException] {
+      operators.DedupOps.winnowingPairs(df, maxDfPct = 101)
+    }
+  }
 }
