@@ -511,6 +511,39 @@ object DedupOps {
         col("best.q").as("kept_quality"), col("cluster_size"))
   }
 
+  /** Pairwise shingle-overlap matrix between corpus GROUPS (sources,
+    * crawls, snapshots): for every group pair, how many distinct k-gram
+    * shingle hashes they share, plus each side's vocabulary size and the
+    * containment ratio n_shared / min(|A|, |B|) — the corpus diagnostic
+    * that surfaces mirrored/syndicated sources (near-1 containment) and
+    * quantifies cross-crawl redundancy before any doc-level dedup runs.
+    *
+    * Shape at scale: ONE tokenize scan → distinct (group, hash) — the
+    * per-group shingle vocabulary, the only corpus-sized shuffle — then a
+    * self-join on the hash whose fan-out per shingle is (#groups carrying
+    * it)² ≤ groups², bounded because groups are enumerable by definition
+    * (20 sources, not 20M docs). Sizes ride in as a broadcast. */
+  def sourceOverlap(docs: DataFrame, k: Int = 3, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"shingle width must be >= 1: $k")
+    val sh = docs.select(col(groupCol).as("src"),
+        explode(shingles(tokens(col(textCol)), k)).as("g"))
+      .select(col("src"), stableHash(col("g")).as("h")).distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    sh.select(col("src").as("src1"), col("h"))
+      .join(sh.select(col("src").as("src2"), col("h")), "h")
+      .filter(col("src1") < col("src2"))
+      .groupBy(col("src1"), col("src2")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("src").as("src1"),
+        col("n").as("n_src1"))), "src1")
+      .join(broadcast(sizes.select(col("src").as("src2"),
+        col("n").as("n_src2"))), "src2")
+      .select(col("src1"), col("src2"), col("n_shared"),
+        col("n_src1"), col("n_src2"),
+        expr("n_shared * 1000000 DIV least(n_src1, n_src2)")
+          .as("containment_micro"))
+  }
+
   /** Winnowing similarity pairs (the MOSS match-detection step over
     * [[TextOps.winnowFingerprints]] sketches): documents sharing at least
     * `minShared` selected fingerprints, with the shared count as the

@@ -556,6 +556,25 @@ object SimilarityOps {
         col("rank"), col("cos"))
   }
 
+  /** Recall@k of an approximate neighbor list against the exact one — the
+    * operational metric an ANN deployment monitors (is the LSH/IVF index
+    * still finding what brute force would?). Per query: how many of the
+    * exact top-k the approximate index returned, as an exact integer
+    * micro-ratio. Pure composition: one equi-join on (qid, nid) + one
+    * grouped count — runs over ANY (approx, exact) result pair, so the
+    * same probe measures LSH, IVF at each nprobe, or PQ-ADC. Queries the
+    * approximate index missed entirely still appear (n_hit = 0). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("nid"), lit(1L).as("hit"))
+    exact.select(col("qid"), col("nid"))
+      .join(a, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_exact").as("recall_micro"))
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): per
     * query, greedily select `k` of the top-`m` candidates maximizing
     * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the diversity selection a

@@ -345,6 +345,90 @@ object TextOps {
       .distinct()
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv 2302.03169):
+    * score every raw-corpus document by how much its hashed n-gram feature
+    * distribution looks like a TARGET domain, then accept documents with
+    * probability proportional to that importance weight — the
+    * data-selection step that tilts a 100 TB crawl toward a quality/domain
+    * target without training a classifier.
+    *
+    * Exact-arithmetic variant (the repo's lm-fluency convention): instead
+    * of the paper's log-likelihood ratio (libm `ln` is a cross-engine ulp
+    * hazard), each feature bucket carries the QUANTIZED PROBABILITY RATIO
+    * ratio_micro = ((tm+1)·10⁶) div (rm+1) where tm/rm are the ×10⁶
+    * target/raw bucket probabilities (+1 micro-smoothing keeps unseen
+    * buckets positive), and a document's weight is the count-weighted
+    * integer SUM of its buckets' ratios — monotone in the same direction
+    * as the log form, associative, engine-exact. Widths are
+    * corpus-size-INDEPENDENT (the BM25 lesson): raw counts are normalized
+    * to micro-probabilities ≤ 10⁶ before any product — the one wide step
+    * (count·10⁶ before the div) runs in decimal(38,0)/HUGEINT, a
+    * plan-time width choice.
+    *
+    * Resampling is DERANDOMIZED the way the shard/split family is: the
+    * uniform draw is the stable md5 of the doc id (u ∈ [0, 10⁶)), and a
+    * doc is accepted iff u·w_max < w·10⁶ — i.e. with probability
+    * w / w_max, reproducible on any engine and any partitioning. The one
+    * cross-multiplied compare runs in decimal(38,0) (the SemDeDup
+    * precedent; u·w_max can reach ~10²², past BIGINT).
+    *
+    * Shape at scale: one tokenize scan (shared with the BM25/tfidf staged
+    * postings), two bucket-keyed aggregations (≤ `buckets` rows — a
+    * broadcast), one per-doc weighted sum. No joins wider than the
+    * 4096-row ratio table; an empty target corpus raises rather than
+    * silently weighting everything by the smoothing floor. */
+  def dsirSample(docs: DataFrame, targetFilter: Column, buckets: Int = 4096,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 precomputedTf: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000000,
+      s"dsir buckets must be in [2, 1e6]: $buckets")
+    val tf = precomputedTf
+      .getOrElse(SimilarityOps.termFrequencies(docs, textCol, idCol))
+    val cnt = tf
+      .select(col("doc_id"), (stableHash(col("tok")) % buckets).as("b"),
+        col("tf"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("c"))
+    val tgtIds = docs.filter(targetFilter).select(col(idCol).as("doc_id"))
+    val tb = cnt.join(tgtIds, "doc_id").groupBy(col("b"))
+      .agg(sum(col("c")).as("t"))
+    val rb = cnt.groupBy(col("b")).agg(sum(col("c")).as("r"))
+    val tot = tb.agg(sum(col("t")).as("tt"))
+      .crossJoin(rb.agg(sum(col("r")).as("rr")))
+      .select(
+        when(col("tt") > 0, col("tt"))
+          .otherwise(raise_error(lit("dsir: empty target corpus"))).as("tt"),
+        col("rr"))
+    // exact floor division in decimal: (q − q mod d) / d is an exact
+    // integer quotient (Spark's plain decimal division ROUNDS at result
+    // scale — at tt > 10⁶ that rounding can cross the floor boundary and
+    // diverge from the oracle's `//`)
+    val ratio = rb.join(tb, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("CAST(coalesce(t, 0) AS DECIMAL(38,0)) * 1000000").as("tq"),
+        expr("CAST(r AS DECIMAL(38,0)) * 1000000").as("rq"),
+        col("tt"), col("rr"))
+      .select(col("b"),
+        expr("""(CAST((tq - pmod(tq, tt)) / tt AS BIGINT) + 1) * 1000000
+               | DIV (CAST((rq - pmod(rq, rr)) / rr AS BIGINT) + 1)"""
+          .stripMargin.replace("\n", " "))
+          .as("ratio_micro"))
+    val w = cnt.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("ratio_micro")).as("weight"))
+    val wm = w.agg(max(col("weight")).as("wmax"))
+    w.crossJoin(broadcast(wm))
+      .select(col("doc_id"), col("n_feats"), col("weight"), col("wmax"),
+        (stableHash(concat(lit("dsir#"), col("doc_id").cast("string")))
+          % 1000000L).as("u"))
+      .withColumn("accepted",
+        col("u").cast("decimal(38,0)") * col("wmax") <
+          col("weight").cast("decimal(38,0)") * lit(1000000L))
+      .select(col("doc_id"), col("n_feats"), col("weight"), col("u"),
+        col("accepted"))
+  }
+
   /** Full BPE-trainer loop (tokenizer induction — the core of a
     * training-data pipeline; `corpus_bpe_pairs` is merge-round 1's
     * candidate scan, this drives N complete merge rounds). Each round:

@@ -201,6 +201,14 @@ object Dedup extends QuerySet {
       DedupOps.canonicalSelect(docs(s, dir),
         precomputedPairs = Some(minhashPairs(s, dir)))),
 
+    // pairwise shingle-overlap matrix between the 20 sources: shared
+    // distinct 3-gram hashes + containment ratio — the corpus diagnostic
+    // that surfaces mirrored/syndicated sources before doc-level dedup
+    "corpus_source_overlap" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.sourceOverlap(docs(s, dir))
+      }),
+
     // MOSS winnowing sketch: per-window rightmost-min k-gram hash — the
     // fingerprint family's LOCAL-match member (guarantee: any shared run
     // of >= w+k-1 tokens shares a fingerprint); one keyed window pass
@@ -680,6 +688,25 @@ object Dedup extends QuerySet {
          |    row_number() OVER (PARTITION BY cluster_id
          |      ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM j) WHERE rn = 1""".stripMargin,
+
+    // per-source distinct 3-gram hash vocabularies, self-joined on the
+    // hash; containment = shared / min(|A|,|B|) as an exact micro-ratio
+    "corpus_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT src, CAST(concat('0x', substr(md5(g), 1, 15))
+         |    AS BIGINT) AS h
+         |  FROM (SELECT source AS src, unnest($Sh) AS g FROM documents)),
+         |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM sh GROUP BY src),
+         |p AS (
+         |  SELECT a.src AS src1, b.src AS src2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT src1, src2, n_shared, s1.n AS n_src1, s2.n AS n_src2,
+         |  n_shared * 1000000 // least(s1.n, s2.n) AS containment_micro
+         |FROM p JOIN sizes s1 ON s1.src = p.src1
+         |       JOIN sizes s2 ON s2.src = p.src2""".stripMargin,
 
     // same k=4 grams, same 15-hex-md5 + zero-padded position-complement
     // key: lexicographic MIN over the 4-gram window IS (min hash,

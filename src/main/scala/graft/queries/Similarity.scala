@@ -16,6 +16,18 @@ object Similarity extends QuerySet {
 
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Raw bigram tf postings staged once per (app, fixture) — the shared
+    * tokenize→explode→count stage the whole lexical family (bm25, dsir;
+    * tfidf derives its own weighted copy) probes instead of re-scanning. */
+  private def bigramTf(s: SparkSession, dir: String) = {
+    val key = s.sparkContext.applicationId + "#" + dir + "#graft-bm25-tf"
+    s.read.parquet(
+      graft.sources.StagingFs.stageOnce(s, key, "graft-bm25-tf") { p =>
+        SimilarityOps.termFrequencies(Tables.load(s, dir, "documents"))
+          .write.mode("overwrite").parquet(p)
+      })
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, dir) => {
       val all = embs(s, dir)
@@ -27,6 +39,17 @@ object Similarity extends QuerySet {
       val all = embs(s, dir)
       SimilarityOps.topKLsh(all, all.filter(col("vec_id") % 100 === 0), 3)
         .select(col("qid"), col("bucket"), col("nid"), col("rank"), col("cos"))
+    }),
+
+    // recall@3 of the LSH index vs brute force — the index-quality probe
+    // an ANN deployment monitors; per-query exact integer micro-ratio,
+    // pure composition of the two existing top-k plans
+    "sim_recall_lsh" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKLsh(all, q, 3).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
     }),
 
     "sim_lsh_bucket_stats" -> ((s, dir) =>
@@ -96,14 +119,19 @@ object Similarity extends QuerySet {
     // INDEPENDENT (corpus stats enter only through the quantized avgdl)
     "sim_bm25_topk" -> ((s, dir) =>
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
-        val key = s.sparkContext.applicationId + "#" + dir + "#graft-bm25-tf"
-        val staged = s.read.parquet(
-          graft.sources.StagingFs.stageOnce(s, key, "graft-bm25-tf") { p =>
-            SimilarityOps.termFrequencies(Tables.load(s, dir, "documents"))
-              .write.mode("overwrite").parquet(p)
-          })
         SimilarityOps.bm25TopK(Tables.load(s, dir, "documents"),
-          precomputedTf = Some(staged))
+          precomputedTf = Some(bigramTf(s, dir)))
+      }),
+
+    // DSIR-style importance resampling toward the lang='en' target slice:
+    // quantized probability-ratio weights over 4096 hashed-bigram buckets
+    // + derandomized (md5-draw) acceptance with prob weight/w_max; reuses
+    // the SAME staged bigram postings as bm25/tfidf
+    "corpus_dsir_sample" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        graft.operators.TextOps.dsirSample(
+          Tables.load(s, dir, "documents"), col("lang") === "en",
+          precomputedTf = Some(bigramTf(s, dir)))
       }),
 
     // contrastive pair mining: per query, top-k same-label positives AND
@@ -298,6 +326,54 @@ object Similarity extends QuerySet {
 
     "sim_mmr_rerank" -> mmrOracle(k = 5, m = 10, lam = 70, queryMod = 100),
 
+    // same bigram tf → hashed buckets → micro-prob ratio table → per-doc
+    // weighted sum → md5-draw acceptance; the two wide steps (count·1e6
+    // and the u·wmax compare) run in HUGEINT, mirroring decimal(38,0)
+    "corpus_dsir_sample" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, unnest(
+           |      CASE WHEN len(t) >= 2
+           |        THEN list_transform(range(len(t) - 1),
+           |          i -> t[i+1] || ' ' || t[i+2])
+           |        ELSE [array_to_string(t, ' ')] END) AS tok
+           |    FROM toks) GROUP BY 1, 2),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096
+           |      AS b,
+           |    CAST(SUM(tf) AS BIGINT) AS c
+           |  FROM tf GROUP BY 1, 2),
+           |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+           |tb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS t
+           |       FROM c JOIN tgt USING (doc_id) GROUP BY b),
+           |rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM c GROUP BY b),
+           |tot AS (SELECT (SELECT CAST(SUM(t) AS BIGINT) FROM tb) AS tt,
+           |               (SELECT CAST(SUM(r) AS BIGINT) FROM rb) AS rr),
+           |ratio AS (
+           |  SELECT rb.b,
+           |    ((CAST(CAST(COALESCE(tb.t, 0) AS HUGEINT) * 1000000 // tot.tt
+           |        AS BIGINT) + 1) * 1000000)
+           |      // (CAST(CAST(rb.r AS HUGEINT) * 1000000 // tot.rr
+           |        AS BIGINT) + 1) AS ratio_micro
+           |  FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN tot),
+           |w AS (
+           |  SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_feats,
+           |    CAST(SUM(c.c * ratio.ratio_micro) AS BIGINT) AS weight
+           |  FROM c JOIN ratio ON c.b = ratio.b GROUP BY 1),
+           |wm AS (SELECT MAX(weight) AS wmax FROM w)
+           |SELECT doc_id, n_feats, weight, u,
+           |  CAST(u AS HUGEINT) * wmax < CAST(weight AS HUGEINT) * 1000000
+           |    AS accepted
+           |FROM (
+           |  SELECT w.*,
+           |    CAST(concat('0x', substr(md5('dsir#' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+           |  FROM w) CROSS JOIN wm""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id, $E AS e, $VNorm AS nrm FROM embeddings),
@@ -310,6 +386,39 @@ object Similarity extends QuerySet {
          |  SELECT qid, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // LSH top-3 and brute-force top-3 recomputed side by side, then the
+    // per-query hit count as an exact micro-ratio (`//` = Spark's DIV)
+    "sim_recall_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $E AS e, $VNorm AS nrm, $Bucket AS bucket
+         |  FROM embeddings),
+         |lsh AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        round(list_aggregate(list_transform(range(64),
+         |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |          DESC, c.id) AS rank
+         |    FROM v q JOIN v c
+         |      ON q.id % 100 = 0 AND q.id <> c.id AND q.bucket = c.bucket)
+         |  WHERE rank <= 3),
+         |bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        round(list_aggregate(list_transform(range(64),
+         |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |          DESC, c.id) AS rank
+         |    FROM v q JOIN v c ON q.id % 100 = 0 AND q.id <> c.id)
+         |  WHERE rank <= 3)
+         |SELECT qid, n_exact, n_hit, n_hit * 1000000 // n_exact AS recall_micro
+         |FROM (
+         |  SELECT bf.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM bf LEFT JOIN lsh l ON bf.qid = l.qid AND bf.nid = l.nid
+         |  GROUP BY bf.qid)""".stripMargin,
 
     "sim_topk_lsh" ->
       s"""WITH v AS (

@@ -370,6 +370,38 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("recall@k: identity is full recall, misses count exactly, missed queries keep rows") {
+    import spark.implicits._
+    val ex = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("qid", "nid")
+    val idr = SimilarityOps.recallAtK(ex, ex)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(idr == Set((1L, 3L, 3L, 1000000L), (2L, 1L, 1L, 1000000L)))
+    // approx finds 1 of 3 for q1, nothing for q2 — q2 must still appear
+    val ap = Seq((1L, 10L), (1L, 99L)).toDF("qid", "nid")
+    val pr = SimilarityOps.recallAtK(ap, ex)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pr == Set((1L, 3L, 1L, 333333L), (2L, 1L, 0L, 0L)))
+  }
+
+  test("source overlap: identical sources fully contained, disjoint absent, partial exact") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c d e", "s2"), // identical vocabulary to s1
+      (3L, "x y z w q", "s3"), // disjoint — must produce NO pair rows
+      (4L, "a b c zz ww", "s4") // shares exactly the "a b c" gram
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceOverlap(fx)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", "s2", 3L, 3L, 3L, 1000000L),
+      ("s1", "s4", 1L, 3L, 3L, 333333L),
+      ("s2", "s4", 1L, 3L, 3L, 333333L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      DedupOps.sourceOverlap(fx, k = 0)
+    }
+  }
+
   test("canonical select: keep-best by quality, keep-min-id on ties, singletons kept") {
     import spark.implicits._
     val fixture = Seq(

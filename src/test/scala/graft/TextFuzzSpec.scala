@@ -247,6 +247,61 @@ class TextFuzzSpec extends SparkSpecBase {
     assert(histGot == histExpect)
   }
 
+  test("dsir: exact differential vs local mirror; on-target content outweighs; empty target raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val target = (0L until 6L).map(i =>
+      (i, "alpha beta gamma delta epsilon " + ("alpha beta " * (i % 3 + 1).toInt).trim, "en"))
+    val off = (10L until 16L).map(i =>
+      (i, "zeta eta theta iota kappa " + ("zeta eta " * (i % 3 + 1).toInt).trim, "de"))
+    // probes carry an off-target LABEL — only their content differs
+    val corpus = target ++ off ++
+      Seq((20L, "alpha beta gamma delta", "xx"),
+          (21L, "zeta eta theta iota", "xx"))
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val got = TextOps.dsirSample(df, col("lang") === "en")
+      .select("doc_id", "n_feats", "weight", "u", "accepted")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    def grams(tx: String): Seq[String] = {
+      val t = toks(tx)
+      if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq
+      else Seq(t.mkString(" "))
+    }
+    val cnt: Map[(Long, Long), Long] = corpus
+      .flatMap { case (id, tx, _) =>
+        grams(tx).map(g => (id, stableHashLocal(g) % 4096)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val tgtIds = corpus.filter(_._3 == "en").map(_._1).toSet
+    val tb = cnt.toSeq.filter(x => tgtIds(x._1._1))
+      .groupBy(_._1._2).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val rbm = cnt.toSeq
+      .groupBy(_._1._2).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val tt = tb.values.sum; val rr = rbm.values.sum
+    def ratio(b: Long): Long = {
+      val tm = tb.getOrElse(b, 0L) * 1000000L / tt
+      val rm = rbm(b) * 1000000L / rr
+      (tm + 1) * 1000000L / (rm + 1)
+    }
+    val w: Map[Long, (Long, Long)] = cnt.toSeq.groupBy(_._1._1)
+      .map { case (id, xs) => id -> (
+        xs.map(_._2).sum,
+        xs.map { case ((_, b), c) => c * ratio(b) }.sum) }
+    val wmax = w.values.map(_._2).max
+    val want = w.map { case (id, (nf, wt)) =>
+      val u = stableHashLocal("dsir#" + id) % 1000000L
+      (id, nf, wt, u, BigInt(u) * BigInt(wmax) < BigInt(wt) * 1000000L)
+    }.toSet
+    assert(got == want, s"got=${got.toSeq.sortBy(_._1)}\nwant=${want.toSeq.sortBy(_._1)}")
+    assert(w(20L)._2 > w(21L)._2,
+      s"on-target content must outweigh off-target: ${w(20L)} vs ${w(21L)}")
+    intercept[Exception] {
+      TextOps.dsirSample(df, col("lang") === "nope").collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.dsirSample(df, col("lang") === "en", buckets = 1)
+    }
+  }
+
   /** Sequential winnowing mirror (Schleimer et al. 2003): k-gram hashes,
     * per-window minimum tie-broken rightmost, distinct selections. */
   private def winnowLocal(id: Long, text: String, k: Int, w: Int)
