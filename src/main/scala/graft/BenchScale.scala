@@ -32,7 +32,11 @@ object BenchScale {
     "text_lm_fluency", "corpus_chunk_windows",
     // round-9 additions
     "corpus_bpe_train", "corpus_bpe_encode", "ts_sax_motifs",
-    "ts_sax_motifs_znorm", "corpus_split_leakage_safe")
+    "ts_sax_motifs_znorm", "corpus_split_leakage_safe",
+    // round-9 continuation: retrieval + curation family
+    "sim_bm25_topk", "sim_mmr_rerank", "sim_contrastive_pairs",
+    "dedup_canonical_select", "text_winnowing", "dedup_winnowing_pairs",
+    "corpus_dsir_sample", "corpus_source_overlap", "sim_recall_lsh")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
