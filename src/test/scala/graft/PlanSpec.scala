@@ -242,6 +242,38 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"static side re-shuffled ($exchanges exchanges): ${p.take(2000)}")
   }
 
+  test("bm25: no cartesian; scores aggregate partial+final; stats ride as one-row broadcasts") {
+    val p = plan("sim_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "score sum must be partial+final")
+    // the only nested-loop joins are the one-row corpus-stats broadcasts
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("winnowing pairs: self-join keyed on the fingerprint hash, no cartesian") {
+    val p = plan("dedup_winnowing_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"hash-keyed join expected:\n${p.take(2000)}")
+  }
+
+  test("dsir: ratio table broadcasts to the postings, no cartesian") {
+    val p = plan("corpus_dsir_sample")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      s"<=4096-row ratio table must broadcast:\n${p.take(2000)}")
+  }
+
+  test("source overlap: no cartesian; pair expansion is row-local (no self-join)") {
+    val p = plan("corpus_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the pair fan-out happens in a generate over the collected source
+    // set, not by joining the vocabulary with itself
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
   test("whole-stage codegen spans cover the TPC-H spine") {
     // AQE shows codegen spans only in the FINAL plan of THIS query
     // execution — collect() (count() would plan a different tree)
