@@ -36,7 +36,8 @@ object BenchScale {
     // round-9 continuation: retrieval + curation family
     "sim_bm25_topk", "sim_mmr_rerank", "sim_contrastive_pairs",
     "dedup_canonical_select", "text_winnowing", "dedup_winnowing_pairs",
-    "corpus_dsir_sample", "corpus_source_overlap", "sim_recall_lsh")
+    "corpus_dsir_sample", "corpus_source_overlap", "sim_recall_lsh",
+    "corpus_decontaminate")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

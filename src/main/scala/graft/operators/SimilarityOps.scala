@@ -428,14 +428,30 @@ object SimilarityOps {
 
   /** Raw bigram term-frequency postings (doc_id, tok, tf) — the shared
     * tokenize→explode→count stage of the lexical retrieval family
-    * ([[tfidfTopK]] derives weights from it, [[bm25TopK]] scores from it).
-    * A pure function of the corpus: stage it once per fixture and reuse. */
+    * ([[tfidfTopK]] derives weights from it, [[bm25TopK]] and
+    * [[graft.operators.TextOps.dsirSample]] score from it). A pure
+    * function of the corpus: stage it once per fixture and reuse.
+    *
+    * posexplode + lead, NOT `shingles(tokens(..))`: the higher-order
+    * shingle lambda inlines its tokenizer argument and re-splits the text
+    * once per position (the recurring round-8/9 pathology — this call
+    * site measured 45 s for the sf1 stage build before the rewrite,
+    * 2.3 s after). Docs shorter than 2 tokens keep the whole-token-string
+    * fallback shingle the oracles mirror. */
   def termFrequencies(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    import graft.functions.GraftFunctions.{shingles, tokens}
-    docs
+    import graft.functions.GraftFunctions.tokens
+    val toks = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), 2)).as("tok"))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok0")))
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCnt = Window.partitionBy(col("doc_id"))
+    val nxt = lead(col("tok0"), 1).over(wLead)
+    val gram = when(count(lit(1)).over(wCnt) >= 2,
+        when(nxt.isNotNull, concat_ws(" ", col("tok0"), nxt)))
+      .otherwise(when(col("pos") === 0, col("tok0")))
+    toks.select(col("doc_id"), gram.as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
   }
 

@@ -23,8 +23,14 @@ object Similarity extends QuerySet {
     val key = s.sparkContext.applicationId + "#" + dir + "#graft-bm25-tf"
     s.read.parquet(
       graft.sources.StagingFs.stageOnce(s, key, "graft-bm25-tf") { p =>
-        SimilarityOps.termFrequencies(Tables.load(s, dir, "documents"))
-          .write.mode("overwrite").parquet(p)
+        // the BUILD wants full parallelism (corpus-sized grouped count),
+        // even though the consumers probe it under the pair-set shuffle
+        // sizing — measured 52.6 s at sf1 when the build inherited the
+        // caller's 8 partitions
+        graft.operators.PartitionOps.withShufflePartitions(s, 32) {
+          SimilarityOps.termFrequencies(Tables.load(s, dir, "documents"))
+            .write.mode("overwrite").parquet(p)
+        }
       })
   }
 
