@@ -604,6 +604,43 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental winnowing (continuous-ingest member of the winnowing
+    * family, completing the incremental set next to minhash / semantic /
+    * substring): ONLY the incoming batch is tokenized and sketched; the
+    * stored corpus participates as its (precomputed, stored) fingerprint
+    * index, probed by the batch's hashes — new×old pairs only, so each
+    * ingest batch costs O(|batch| + probe hits) instead of re-sketching
+    * the corpus. Winnowing is doc-local, so the stored sketch never goes
+    * stale as batches arrive — new docs only APPEND rows to the index.
+    *
+    * The boilerplate df cap is computed over the STORED corpus (the
+    * index's own statistics, the dedup_incremental hot-band convention),
+    * so probe fan-out is bounded without rescanning anything. */
+  def winnowingIncremental(stored: DataFrame, batch: DataFrame,
+                           k: Int = 4, w: Int = 4, minShared: Int = 2,
+                           maxDfPct: Int = 10,
+                           precomputedStoredFps: Option[DataFrame] = None)
+      : DataFrame = {
+    require(minShared >= 1 && maxDfPct >= 1 && maxDfPct <= 100,
+      s"invalid winnow-inc shape: minShared=$minShared maxDfPct=$maxDfPct")
+    val oldFps = precomputedStoredFps
+      .getOrElse(TextOps.winnowFingerprints(stored, k, w))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val newFps = TextOps.winnowFingerprints(batch, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val nStored = stored.agg(count(lit(1)).as("n"))
+    val kept = oldFps.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nStored))
+      .filter(col("df") * 100 <= col("n") * maxDfPct)
+      .select(col("fp_hash"))
+    newFps.select(col("fp_hash"), col("doc_id").as("new_id"))
+      .join(oldFps.join(kept, "fp_hash")
+        .select(col("fp_hash"), col("doc_id").as("old_id")), "fp_hash")
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding cosine near-duplicates above `minCos`.
     *
     * DEFAULT path (the 100 TB one): multi-band random-hyperplane LSH

@@ -223,6 +223,20 @@ object Dedup extends QuerySet {
           precomputedFps = Some(winnowFps(s, dir)))
       }),
 
+    // continuous-ingest winnowing: only the doc_id % 3 == 0 batch is
+    // tokenized; the stored corpus is probed as its fingerprint index
+    // (winnowing is doc-local, so the staged sketch filtered to the
+    // stored slice IS the stored index) — new×old pairs only
+    "dedup_winnowing_incremental" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        val d = docs(s, dir)
+        DedupOps.winnowingIncremental(
+          d.filter(col("doc_id") % 3 =!= 0),
+          d.filter(col("doc_id") % 3 === 0),
+          precomputedStoredFps =
+            Some(winnowFps(s, dir).filter(col("doc_id") % 3 =!= 0)))
+      }),
+
     // SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
     // drop every vector with a smaller-id cosine>=0.85 neighbor in its
     // cluster — the published semantic-level curation pass that textual
@@ -752,6 +766,35 @@ object Dedup extends QuerySet {
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |  CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // same winnowing CTEs split by side: new (id%3=0) probes old
+    // (id%3<>0); df cap over the STORED corpus only
+    "dedup_winnowing_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 15) ||
+         |      lpad(CAST(99999999 - i AS VARCHAR), 8, '0') AS hk
+         |  FROM toks, unnest(range(len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |wsel AS (
+         |  SELECT doc_id, COUNT(*) OVER fr AS n_in, MIN(hk) OVER fr AS sel
+         |  FROM g WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(concat('0x', substr(sel, 1, 15)) AS BIGINT) AS fp
+         |  FROM wsel WHERE n_in = 4),
+         |old AS (SELECT * FROM fps WHERE doc_id % 3 <> 0),
+         |new AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+         |ns AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 <> 0),
+         |kept AS (
+         |  SELECT fp FROM old, ns GROUP BY fp, ns.n
+         |  HAVING COUNT(*) * 100 <= ns.n * 10)
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM new n JOIN old o ON n.fp = o.fp JOIN kept k ON k.fp = n.fp
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // brute-force enumeration over the SAME derived corpus the blocked

@@ -360,6 +360,51 @@ class TextFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental winnowing: equals full winnowing restricted to new×old; stored-side cap") {
+    import spark.implicits._
+    // stored: 12 docs, 10 of which share a boilerplate run (df > 10% of
+    // stored → cut); one stored doc carries run R. batch: one doc carries
+    // R (must pair with the stored carrier), two batch docs share R2
+    // between THEMSELVES only (must NOT pair — new×new is out of scope)
+    val boil = (1 to 16).map(i => "b" + i).mkString(" ")
+    val runR = (1 to 16).map(i => "r" + i).mkString(" ")
+    val runR2 = (1 to 16).map(i => "s" + i).mkString(" ")
+    val stored = (1 until 11).map { i => // ids 1..10: % 3 != 0 mostly...
+      (i * 3L + 1, s"u${i}a u${i}b " + boil + s" u${i}c")
+    } ++ Seq((2L, "w1 w2 " + runR + " w3"), (5L, "v1 v2 v3 v4 v5 v6 v7 v8"))
+    val batch = Seq(
+      (3L, "q1 " + runR + " q2 q3"),
+      (6L, "p1 p2 " + runR2 + " p3"),
+      (9L, "z1 " + runR2 + " z2 z3"),
+      (12L, "m1 " + boil + " m2 m3")) // probes ONLY capped hashes
+    val all = stored ++ batch
+    require(stored.forall(_._1 % 3 != 0) && batch.forall(_._1 % 3 == 0))
+    val df = all.toDF("doc_id", "text")
+    val got = operators.DedupOps.winnowingIncremental(
+        df.filter(col("doc_id") % 3 =!= 0), df.filter(col("doc_id") % 3 === 0))
+      .as[(Long, Long, Long)].collect().toSet
+    // mirror: full fingerprints, stored-side df cap, new×old restriction
+    val fps = all.flatMap { case (id, tx) => winnowLocal(id, tx, 4, 4) }.toSet
+    val oldF = fps.filter(_._1 % 3 != 0).map(f => (f._1, f._3))
+    val newF = fps.filter(_._1 % 3 == 0).map(f => (f._1, f._3))
+    val nStored = stored.size.toLong
+    val dfOld = oldF.groupBy(_._2).map { case (h, s) => h -> s.size }
+    val keptH = dfOld.filter { case (_, d) => d * 100 <= nStored * 10 }.keySet
+    val want = (for {
+      (nid, h) <- newF if keptH(h); (oid, h2) <- oldF if h2 == h
+    } yield ((nid, oid), h)).groupBy(_._1)
+      .map { case ((n, o), xs) => (n, o, xs.size.toLong) }
+      .filter(_._3 >= 2).toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.exists(p => p._1 == 3L && p._2 == 2L),
+      "batch doc carrying run R must pair with its stored carrier")
+    assert(!got.exists(p => p._1 % 3 == 0 && p._2 % 3 == 0),
+      "new×new pairs are out of scope")
+    assert(!got.exists(p => p._2 % 3 == 0), "old side must be stored docs")
+    assert(!got.exists(_._1 == 12L),
+      "a batch doc sharing only capped boilerplate must produce no pairs")
+  }
+
   test("winnowing pairs: differential vs mirror; boilerplate df cap cuts hot hashes") {
     import spark.implicits._
     // 20 docs share the same 20-token boilerplate run (df > 10% of 22 →
