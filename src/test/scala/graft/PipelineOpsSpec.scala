@@ -276,6 +276,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25: seeded randomized differential (60 docs, shared small vocabulary)") {
+    import spark.implicits._
+    // adversarial for ranking: a tiny vocabulary forces heavy bigram
+    // collisions, df-cap boundary hits, and score ties (exercising the
+    // (score desc, nid) tie-break) — everything the hand fixture can't
+    val rnd = new scala.util.Random(0x9B25)
+    val vocab = Vector("the", "data", "spark", "row", "scan", "x", "agg")
+    val rows = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(14)
+      (i, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = SimilarityOps.bm25TopK(rows.toDF("doc_id", "text"),
+        k = 4, maxDfPct = 60, queryMod = 7)
+      .select("qid", "nid", "score_i", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == bm25Mirror(rows, maxDfPct = 60, queryMod = 7, k = 4))
+    assert(got.nonEmpty)
+  }
+
   test("contrastive pairs: label partition is exact, ranks contiguous, cos ordered") {
     val out = SimilarityOps.contrastivePairs(embs, k = 4).collect()
     assert(out.nonEmpty)
@@ -400,6 +419,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       DedupOps.sourceOverlap(fx, k = 0)
     }
+  }
+
+  test("mmr rerank: randomized lattice differential (ties forced, tie-break exercised)") {
+    import spark.implicits._
+    // vectors drawn from a tiny integer lattice → repeated cosines →
+    // micro-score ties, so the (score desc, nid) tie-break decides picks
+    val rnd = new scala.util.Random(0x33A1)
+    val lattice = Seq(0.0f, 0.5f, 1.0f)
+    val vecs = (0L until 40L).map { i =>
+      val v = Array.fill(8)(lattice(rnd.nextInt(lattice.size)))
+      v(0) = 1.0f // no all-zero vectors (cosine undefined)
+      (i, v)
+    }
+    val df = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrRerank(df, k = 4, m = 8, lambdaPct = 50,
+        queryMod = 5)
+      .select("qid", "nid", "mmr_rank", "score_i")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val want = mmrLocal(vecs.map { case (id, v) => (id, v.map(_.toDouble)) },
+      k = 4, m = 8, lam = 50, qmod = 5)
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
   }
 
   test("canonical select: keep-best by quality, keep-min-id on ties, singletons kept") {
