@@ -321,7 +321,13 @@ object TextOps {
     * ~2/(w+1)-density sketch, the small thing downstream pair-finding
     * joins on. Docs shorter than w + k − 1 tokens emit no fingerprints
     * (no full window exists — the guarantee is vacuous below match
-    * length anyway). */
+    * length anyway).
+    *
+    * Bound: the position complement is 8 digits, so per-DOC token
+    * positions must stay below 10⁸ (≈ a 0.5 GB single document). Corpora
+    * with larger single documents should chunk first
+    * ([[chunkWindows]]) — the same practical bound every positional
+    * text operator here shares. */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
