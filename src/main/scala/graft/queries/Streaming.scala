@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.streaming.{BroadcastedSideInput, EventStream, KeyedSideInput, SideInput, StatefulOps}
+import graft.streaming.{BroadcastedSideInput, EventStream, ForwardedSideInput, KeyedSideInput, SideInput, StatefulOps}
 import Exact.dec2
 
 /** Structured Streaming inventory (SURVEY §2.2 / M3-M4) — every query runs a
@@ -171,6 +171,21 @@ object Streaming extends QuerySet {
         Seq("user_id"))
       val joined = SideInput.withSideInput(events(s, dir), side)
         .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      EventStream.runToTable(s, joined, "append")
+    }),
+
+    // forwarded side input (PROTEUS): the side arrives pre-distributed
+    // (caller's repartition stands in for the upstream keyBy the
+    // reference forwards from) and must not be moved again — no
+    // broadcast, no fresh keyBy; values identical to the keyed variant
+    "stream_forwarded_side" -> ((s, dir) => {
+      val side = ForwardedSideInput(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+          .repartition(col("user_id")),
+        Seq("user_id"))
+      val joined = SideInput.withSideInput(events(s, dir), side)
+        .select(col("event_id"), col("user_id"), col("c_nationkey"))
       EventStream.runToTable(s, joined, "append")
     }),
 
@@ -739,6 +754,10 @@ object Streaming extends QuerySet {
 
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "stream_forwarded_side" ->
+      """SELECT e.event_id, e.user_id, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "stream_broadcast_side" ->

@@ -30,6 +30,22 @@ final case class BroadcastedSideInput(df: DataFrame) extends SideInput
   * KeyedSideInput). */
 final case class KeyedSideInput(df: DataFrame, keys: Seq[String]) extends SideInput
 
+/** Side table forwarded AS-IS (reference ForwardedSideInput,
+  * `ForwardedSideInput.java:25`, dispatched via `oth.forward()` at
+  * `DataStream.java:907-909`): the caller has already distributed the
+  * side data the way the enrichment needs it, and the engine must not
+  * move it again. In Spark terms the contract is "reuse the side's
+  * existing layout on `keys`": `withSideInput` joins WITHOUT introducing
+  * any redistribution of the side (the shuffle-hash hint forbids the
+  * broadcast replication that would ignore the layout) — when both
+  * sides carry a co-located layout (bucketed tables, the durable form of
+  * the reference's upstream keyBy), the join plan has ZERO hash
+  * exchanges (plan-locked in StreamingSpec, same no-exchange path
+  * PartitionOpsSpec pins for bucketed joins). Join VALUES are identical
+  * to [[KeyedSideInput]] — forward vs keyed is a physical-distribution
+  * choice, exactly as in the reference. */
+final case class ForwardedSideInput(df: DataFrame, keys: Seq[String]) extends SideInput
+
 object SideInput {
 
   /** The reference's `stream.withSideInput(side)`: returns the enriched
@@ -46,5 +62,10 @@ object SideInput {
       }
     case KeyedSideInput(d, keys) =>
       stream.join(d, keys, joinType)
+    case ForwardedSideInput(d, keys) =>
+      // no broadcast, no repartition: the side's existing distribution is
+      // the contract; Catalyst reuses it (no added exchange) when it
+      // already satisfies the join's requirement
+      stream.join(d.hint("shuffle_hash"), keys, joinType)
   }
 }

@@ -779,4 +779,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(msgs.contains("step failed"),
       s"expected the step's error in the failure chain, got:\n$msgs")
   }
+
+  test("forwarded side input: pre-distributed sides are not moved; values equal keyed variant") {
+    import spark.implicits._
+    import graft.streaming.{ForwardedSideInput, KeyedSideInput, SideInput}
+    // "pre-distributed" = a durable co-located layout (bucketed tables —
+    // the same no-exchange path PartitionOpsSpec pins); forward() means
+    // the engine must not move what the caller already laid out
+    (1L to 500L).map(i => (i % 40, i)).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(4, "k").saveAsTable("fwd_main")
+    (0L until 40L).map(i => (i, s"s$i")).toDF("k", "payload")
+      .write.mode("overwrite").bucketBy(4, "k").saveAsTable("fwd_side")
+    val main = spark.table("fwd_main")
+    val side = spark.table("fwd_side")
+    val fwd = SideInput.withSideInput(main, ForwardedSideInput(side, Seq("k")))
+    fwd.collect()
+    val p = fwd.queryExecution.executedPlan.toString
+    // the forward contract: the engine moves NOTHING — both sides'
+    // existing hash distribution satisfies the join, zero new exchanges,
+    // and no broadcast replication either
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"forwarded side input must not redistribute:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"forward must not replicate the side:\n${p.take(1500)}")
+    // physical directive only — values identical to the keyed variant
+    val keyed = SideInput.withSideInput(main, KeyedSideInput(side, Seq("k")))
+    assert(fwd.collect().map(_.toSeq).toSet == keyed.collect().map(_.toSeq).toSet)
+  }
 }
