@@ -43,6 +43,9 @@ object Probe {
       println(f"[probe] $name rep$r rows=$n build=$buildS%.2fs count=${(System.nanoTime() - t0) / 1e9}%.2fs")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    val ph = graft.sources.PhaseStats.snapshot
+    if (ph.nonEmpty) println("[probe-phases] " + ph.toSeq.sorted
+      .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     spark.stop()
   }
 }

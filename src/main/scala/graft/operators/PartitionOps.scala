@@ -136,4 +136,17 @@ object PartitionOps {
     try { spark.conf.set(key, math.min(n, prev.toInt)); body }
     finally spark.conf.set(key, prev)
   }
+
+  /** Scope an arbitrary SQL conf to `body`, restoring the previous value
+    * (or unsetting if it was unset) — the generic form of
+    * [[withShufflePartitions]] for per-query streaming knobs. */
+  def withConf[T](spark: org.apache.spark.sql.SparkSession,
+                  key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    try { spark.conf.set(key, value); body }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

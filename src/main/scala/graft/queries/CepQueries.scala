@@ -194,7 +194,8 @@ object CepQueries extends QuerySet {
         unboundedState = true) {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
       }.toDF("user_id", "a_id", "b_id")
-      graft.streaming.EventStream.runToTable(s, out, "append")
+      graft.streaming.EventStream.runToTable(s, out, "append",
+        phase = Some("cep_mb"))
     }),
 
     // timeout side output (PatternStream.select with timeout handler):
@@ -226,7 +227,8 @@ object CepQueries extends QuerySet {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id, false)
       } { (k, m) => (k, m.first("a").event_id, -1L, true)
       }.toDF("user_id", "a_id", "b_id", "timed_out")
-      graft.streaming.EventStream.runToTable(s, out, "append")
+      graft.streaming.EventStream.runToTable(s, out, "append",
+        phase = Some("cep_to"))
     })
   )
 

@@ -411,7 +411,21 @@ object Streaming extends QuerySet {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
         .select(col("click_id"), col("purchase_id"), col("user_id"))
-      EventStream.runToTable(s, joined, "append")
+      // INNER interval join: matches emit in the micro-batch where both
+      // sides have arrived; the trailing no-data batch exists only to
+      // advance the watermark for state EVICTION (and for outer-side
+      // emission, which this query has none of), so skipping it drops one
+      // of the 5 micro-batches' full state-commit round without touching
+      // values. statePartitions = 4: a stream-stream join commits FOUR
+      // state stores per partition per batch (left/right × keyToNumValues/
+      // keyWithIndexToValue), so partitions enter the fixed-cost product
+      // at 4× weight — the r10 phase split measured commit cost ∝
+      // partitions × batches at ~10.8 s for 8×5 (DESIGN.md).
+      graft.operators.PartitionOps.withConf(s,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+        EventStream.runToTable(s, joined, "append", statePartitions = 4,
+          phase = Some("interval_mb"))
+      }
     }),
 
     // cross-micro-batch dedup state, same oracle as the single-batch form

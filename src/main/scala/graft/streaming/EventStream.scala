@@ -420,14 +420,40 @@ object EventStream {
     * pure overhead: the 10k-event fixture measured 16.1 s at 32 partitions
     * vs 10.4 s at 8 for the full-outer interval join. `statePartitions`
     * right-sizes the fixture runs; a real deployment sizes it to cluster
-    * cores × state volume instead. */
+    * cores × state volume instead.
+    *
+    * `phase`: when set, the per-micro-batch cost split Spark already
+    * collects ([[org.apache.spark.sql.streaming.StreamingQueryProgress]])
+    * is folded into [[PhaseStats]] under `<phase>_*` keys so the bench
+    * artifact attributes multi-batch streaming rows the same way it
+    * attributes the socket/retract/iterate harnesses:
+    *   `_batches`     micro-batch count (incl. no-data watermark batches)
+    *   `_addbatch`    Σ addBatch ms — planning + shuffle + state work
+    *   `_statecommit` Σ state-store commit ms across operators/batches
+    *   `_overhead`    Σ (triggerExecution − addBatch) — offset/commit log,
+    *                  source listing, trigger bookkeeping
+    * recordMin semantics match the bench's best-of-2: the split describes
+    * the best pass. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
-                 statePartitions: Int = 8): DataFrame = {
+                 statePartitions: Int = 8,
+                 phase: Option[String] = None): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     graft.operators.PartitionOps.withShufflePartitions(spark, statePartitions) {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      phase.foreach { p =>
+        val prog = q.recentProgress
+        def dur(key: String): Double = prog.map(b =>
+          Option(b.durationMs.get(key)).map(_.toDouble).getOrElse(0.0)).sum / 1e3
+        val stateCommit = prog.map(
+          _.stateOperators.map(_.commitTimeMs.toDouble).sum).sum / 1e3
+        PhaseStats.recordMin(s"${p}_batches", prog.length.toDouble)
+        PhaseStats.recordMin(s"${p}_addbatch", dur("addBatch"))
+        PhaseStats.recordMin(s"${p}_statecommit", stateCommit)
+        PhaseStats.recordMin(s"${p}_overhead",
+          math.max(0.0, dur("triggerExecution") - dur("addBatch")))
+      }
     }
     spark.table(name)
   }
