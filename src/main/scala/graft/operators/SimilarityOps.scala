@@ -466,11 +466,20 @@ object SimilarityOps {
     * that hold at fixture scale hold at 100 TB:
     *  - `avg_q`  = (Σ dl · 1000) div n        — avgdl ×1000, a per-corpus
     *    constant that rides in as a one-row broadcast;
-    *  - `idf_i`  = ((n − df) · 1000) div df   — ×1000 integer idf. The
-    *    same corpus-relative df cap as [[tfidfWeights]] prunes stopword
-    *    posting lists BEFORE the index join (at ≤ `maxDfPct`% the pruned
-    *    terms carry near-zero idf anyway, so the cap costs ranking almost
-    *    nothing and buys the candidate-volume bound that matters at scale);
+    *  - `idf_i`  = least(((n − df) · 1000) div df, 10⁹) — ×1000 integer
+    *    idf, SATURATED at 10⁹. Without the ceiling the raw doc count n
+    *    rides into idf (df = 1 ⇒ idf_i ≈ 1000·n), so per-posting weights
+    *    would grow linearly with corpus size and silently wrap BIGINT
+    *    around n ≈ 10¹⁰ docs; the ceiling binds only for terms rarer than
+    *    1-in-10⁶ (df < n/10⁶), where BM25's ranking signal is already
+    *    maximal, and restores the corpus-size-independent width claim:
+    *    w = idf_i·tfq ≤ 2.2·10¹³, so a (query, doc) score sum stays inside
+    *    BIGINT for up to ~4·10⁵ matched terms per pair — far past any real
+    *    query. The same corpus-relative df cap as [[tfidfWeights]] prunes
+    *    stopword posting lists BEFORE the index join (at ≤ `maxDfPct`% the
+    *    pruned terms carry near-zero idf anyway, so the cap costs ranking
+    *    almost nothing and buys the candidate-volume bound that matters at
+    *    scale);
     *  - `tfq`    = (22·avg_q·tf·10000) div (10·avg_q·tf + 3·avg_q + 9000·dl)
     *    — the saturating tf term ×10⁴, obtained by multiplying numerator
     *    and denominator of tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) by
@@ -509,7 +518,7 @@ object SimilarityOps {
       .crossJoin(broadcast(stats))
       .filter(col("df") * 100 <= col("n") * maxDfPct)
       .select(col("tok"),
-        expr("((n - df) * 1000) div df").as("idf_i"))
+        expr("least(((n - df) * 1000) div df, 1000000000L)").as("idf_i"))
     val post = tf.join(dfreq, "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats.select(col("avg_q"))))
       .select(col("doc_id"), col("tok"),

@@ -327,15 +327,29 @@ object TextOps {
     * positions must stay below 10⁸ (≈ a 0.5 GB single document). Corpora
     * with larger single documents should chunk first
     * ([[chunkWindows]]) — the same practical bound every positional
-    * text operator here shares. */
+    * text operator here shares. ENFORCED at runtime: a position past the
+    * bound raises (`raise_error` riding the key expression) rather than
+    * silently corrupting the lexicographic tie-break (99999999 − pos goes
+    * negative and the '-'-prefixed complement breaks bytewise order). */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         // test seam only: a tiny bound lets the spec prove
+                         // the guard fires without a 1e8-token fixture
+                         maxPos: Long = 99999999L): DataFrame = {
     require(k >= 2 && w >= 1, s"invalid winnow shape: k=$k w=$w")
+    require(maxPos >= 1 && maxPos <= 99999999L,
+      s"winnow position bound must fit the 8-digit complement: $maxPos")
     val grams = tokenGrams(docs, textCol, idCol, k)
+    val posGuarded = when(col("pos") > lit(maxPos),
+      raise_error(concat(
+        lit("winnowing per-doc position bound (1e8 tokens) exceeded at doc_id="),
+        col("doc_id").cast("string"),
+        lit(" — chunk oversized documents first (chunkWindows)"))))
+      .otherwise(col("pos"))
     // 23-char sortable key: lexicographic min = (min hash, MAX pos)
     val hk = concat(substring(md5(col("gram")), 1, 15),
-      lpad((lit(99999999L) - col("pos")).cast("string"), 8, "0"))
+      lpad((lit(maxPos) - posGuarded).cast("string"), 8, "0"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams.select(col("doc_id"), col("pos"), hk.as("hk"))
@@ -344,7 +358,7 @@ object TextOps {
         min(col("hk")).over(frame).as("sel"))
       .filter(col("n_in") === w) // full windows only (positions are dense)
       .select(col("doc_id"),
-        (lit(99999999L) - substring(col("sel"), 16, 8).cast("long"))
+        (lit(maxPos) - substring(col("sel"), 16, 8).cast("long"))
           .as("sel_pos"),
         conv(substring(col("sel"), 1, 15), 16, 10).cast("long")
           .as("fp_hash"))

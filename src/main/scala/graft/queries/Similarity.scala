@@ -294,7 +294,9 @@ object Similarity extends QuerySet {
            |    CAST((SUM(dl) * 1000) // COUNT(*) AS BIGINT) AS avg_q
            |  FROM dl),
            |dfreq AS (
-           |  SELECT tok, CAST(((n - df) * 1000) // df AS BIGINT) AS idf_i
+           |  SELECT tok,
+           |    CAST(LEAST(((n - df) * 1000) // df, 1000000000) AS BIGINT)
+           |      AS idf_i
            |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
            |        FROM tf GROUP BY tok) CROSS JOIN stats
            |  WHERE df * 100 <= n * 18),

@@ -65,7 +65,40 @@ object SideInput {
     case ForwardedSideInput(d, keys) =>
       // no broadcast, no repartition: the side's existing distribution is
       // the contract; Catalyst reuses it (no added exchange) when it
-      // already satisfies the join's requirement
+      // already satisfies the join's requirement. The reference's
+      // `forward()` FAILS on a layout mismatch (parallelism/partitioning,
+      // ForwardedSideInput.java:25) rather than silently redistributing,
+      // so the side's physical output partitioning is validated up front:
+      // it must hash-cluster on (a subset of) the join keys. Remaining
+      // documented divergence: Spark may still insert an exchange when the
+      // side's PARTITION COUNT differs from the stream side's shuffle
+      // sizing — partition counts are a runtime property Catalyst owns, so
+      // count mismatches re-exchange instead of failing as the reference
+      // does (DESIGN.md "ForwardedSideInput strictness").
+      requireClusteredOn(d, keys)
       stream.join(d.hint("shuffle_hash"), keys, joinType)
+  }
+
+  /** Fail-fast layout check for [[ForwardedSideInput]]: the side's physical
+    * plan must report `HashPartitioning` over a non-empty subset of the
+    * join keys (a `repartition(col)`, a bucketed scan, or an upstream
+    * hash shuffle all qualify). `UnknownPartitioning` — an unprepared side
+    * — is the exact condition the reference rejects at graph build time. */
+  private[graft] def requireClusteredOn(d: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    d.queryExecution.sparkPlan.outputPartitioning match {
+      case h: HashPartitioning =>
+        val exprCols = h.expressions.flatMap(_.references.map(_.name)).toSet
+        require(exprCols.nonEmpty && exprCols.subsetOf(keys.toSet),
+          s"ForwardedSideInput: side is hash-distributed on $exprCols, not " +
+            s"on the join keys $keys — forward() requires the caller's " +
+            "layout to match (reference ForwardedSideInput semantics)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"ForwardedSideInput: side carries no forwardable layout " +
+            s"($other) — distribute it on ${keys.mkString(",")} first " +
+            "(repartition/bucketing), or use KeyedSideInput to let the " +
+            "engine place it")
+    }
   }
 }

@@ -247,10 +247,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "score sum must be partial+final")
-    // the only nested-loop joins are the one-row corpus-stats broadcasts
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p.take(2000))
+    // the only nested-loop joins are the one-row corpus-stats broadcasts:
+    // dfreq × stats and post × stats.avg_q, EACH replayed on both sides of
+    // the q-probes-postings self-join (the postings subtree plans twice) —
+    // an EXACT count, so a regression that introduces a real data-sized
+    // nested loop (or stops broadcasting the stats) fails instead of
+    // hiding behind the old vacuous "BNLJ implies a BroadcastExchange"
+    // check
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl == bm25StatsBnlCount,
+      s"expected $bm25StatsBnlCount one-row stats BNLJs, got $bnl:\n${p.take(2000)}")
   }
+
+  /** The bm25 plan's expected one-row-stats nested-loop count (see the bm25
+    * plan test). Kept as a single named constant so a legitimate plan-shape
+    * change updates one number with a reviewable diff. */
+  private val bm25StatsBnlCount = 4
 
   test("winnowing pairs: self-join keyed on the fingerprint hash, no cartesian") {
     val p = plan("dedup_winnowing_pairs")

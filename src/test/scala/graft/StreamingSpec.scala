@@ -806,4 +806,29 @@ class StreamingSpec extends SparkSpecBase {
     val keyed = SideInput.withSideInput(main, KeyedSideInput(side, Seq("k")))
     assert(fwd.collect().map(_.toSeq).toSet == keyed.collect().map(_.toSeq).toSet)
   }
+
+  test("forwarded side input: an unprepared or wrongly-keyed side fails fast") {
+    import spark.implicits._
+    import graft.streaming.{ForwardedSideInput, SideInput}
+    val main = (1L to 100L).map(i => (i % 10, i)).toDF("k", "v")
+    // no layout at all — the reference's forward() rejects this at graph
+    // build time; Spark would silently exchange, so withSideInput must
+    // raise instead (ForwardedSideInput.java:25 strictness)
+    val bare = (0L until 10L).map(i => (i, s"s$i")).toDF("k", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      SideInput.withSideInput(main, ForwardedSideInput(bare, Seq("k")))
+    }
+    assert(e1.getMessage.contains("no forwardable layout"), e1.getMessage)
+    // distributed, but on the WRONG column — also a reject, not a silent
+    // re-exchange
+    val wrong = bare.repartition(col("payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      SideInput.withSideInput(main, ForwardedSideInput(wrong, Seq("k")))
+    }
+    assert(e2.getMessage.contains("not"), e2.getMessage)
+    // correctly keyed passes and joins
+    val ok = SideInput.withSideInput(main,
+      ForwardedSideInput(bare.repartition(col("k")), Seq("k")))
+    assert(ok.count() == 100L)
+  }
 }

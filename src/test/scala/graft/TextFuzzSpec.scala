@@ -360,6 +360,30 @@ class TextFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing position bound is enforced at runtime, not just documented") {
+    import spark.implicits._
+    // 20 tokens against a bound of 10 (the test seam for the real 1e8):
+    // positions past the bound must RAISE — before the guard they silently
+    // flipped the lexicographic tie-break and produced wrong fingerprints
+    val doc = Seq((7L, (0 until 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.winnowFingerprints(doc, maxPos = 10L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("position bound"), msgs)
+    // within the bound the seam changes nothing
+    val tight = TextOps.winnowFingerprints(doc.limit(1)
+        .select(col("doc_id"), org.apache.spark.sql.functions.lit("a b c d e f g h").as("text")),
+      maxPos = 10L).as[(Long, Long, Long)].collect().toSet
+    val full = TextOps.winnowFingerprints(doc.limit(1)
+        .select(col("doc_id"), org.apache.spark.sql.functions.lit("a b c d e f g h").as("text")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tight == full)
+  }
+
   test("incremental winnowing: equals full winnowing restricted to new×old; stored-side cap") {
     import spark.implicits._
     // stored: 12 docs, 10 of which share a boilerplate run (df > 10% of
