@@ -37,7 +37,9 @@ object BenchScale {
     "sim_bm25_topk", "sim_mmr_rerank", "sim_contrastive_pairs",
     "dedup_canonical_select", "text_winnowing", "dedup_winnowing_pairs",
     "corpus_dsir_sample", "corpus_source_overlap", "sim_recall_lsh",
-    "corpus_decontaminate", "dedup_winnowing_incremental")
+    "corpus_decontaminate", "dedup_winnowing_incremental",
+    // round-10 addition: the pruned-assigner scale path
+    "dedup_semantic_pruned")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -762,7 +762,15 @@ object DedupOps {
     // result) on any corpus whose ids don't start at 0. TakeOrdered: no
     // full sort at scale.
     val seeds = embs.orderBy(col(idCol)).limit(cells)
-    val assigned = SimilarityOps.ivfAssign(embs, seeds, vecCol, idCol)
+    semanticPrunePass(SimilarityOps.ivfAssign(embs, seeds, vecCol, idCol),
+      tauPct)
+  }
+
+  /** The within-cell ε-prune shared by [[semanticDedup]] (exact assigner)
+    * and [[semanticDedupPruned]] (two-level assigner): keep-first over
+    * τ-neighborhoods inside each cell, exact decimal(38,0) cross-multiplied
+    * cosine threshold. `assigned` = (nid, v, nrm, cell). */
+  private def semanticPrunePass(assigned: DataFrame, tauPct: Int): DataFrame = {
     val q = assigned.select(col("nid"), col("cell"),
         quantize(col("v")).as("qv"))
       .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
@@ -787,6 +795,29 @@ object DedupOps {
     q.join(dups.withColumn("dup", lit(true)), Seq("nid"), "left")
       .select(col("nid").as("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
+  /** [[semanticDedup]] with the two-level PRUNED centroid assignment
+    * ([[SimilarityOps.ivfAssignPruned]]) — the named prerequisite from the
+    * r9 cells-sizing study for pushing `cells` toward √n at 100 TB: the
+    * exact assigner's O(n·cells·d) term capped the optimum at
+    * cells ≈ √(join budget); the pruned assigner is sublinear in `cells`,
+    * so larger cell counts now BUY total time instead of costing it
+    * (measured sf1 table in DESIGN.md "SemDeDup cells sizing, round 10").
+    * Cell membership may differ from the exact assigner near super
+    * boundaries (recall knob `sprobe`; sprobe = ⌈√cells⌉ is exactly
+    * [[semanticDedup]]) — for dedup that shifts which neighborhoods are
+    * compared, the same trade SemDeDup already makes by clustering at
+    * all. */
+  def semanticDedupPruned(embs: DataFrame, tauPct: Int = 85, cells: Int = 16,
+                          sprobe: Int = 2, vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100]: $tauPct")
+    require(cells >= 1, s"cells must be >= 1: $cells")
+    val seeds = embs.orderBy(col(idCol)).limit(cells)
+    semanticPrunePass(
+      SimilarityOps.ivfAssignPruned(embs, seeds, sprobe, vecCol, idCol),
+      tauPct)
   }
 
   /** Incremental SemDeDup — the continuous-ingest shape of

@@ -143,6 +143,75 @@ object SimilarityOps {
         col("cid").as("cell"))
   }
 
+  /** Two-level PRUNED centroid assignment — the scale path past
+    * [[ivfAssign]]'s O(n·cells·d) brute force, which caps usable `cells`
+    * well below the √n rule at 100 TB (the r9 ProbeCells finding: assign
+    * cost, not candidate volume, set the optimum). Structure is the classic
+    * IVF coarse-quantizer shortlist (same shape as [[topKIvfProbe]]):
+    *
+    *  1. the ⌈√cells⌉ smallest-id seeds double as SUPER-centroids;
+    *  2. every seed maps to its nearest super (cells × √cells, tiny);
+    *  3. every vector shortlists its `sprobe` nearest supers
+    *     (n × √cells instead of n × cells);
+    *  4. exact argmin runs only over seeds whose super is shortlisted
+    *     (expected n × √cells·sprobe).
+    *
+    * Assign cost is O(n·√cells·(1+sprobe)·d) — SUBLINEAR in cells — so
+    * `cells` can track √n and shrink the within-cell candidate volume
+    * that dominates SemDeDup past fixture scale.
+    *
+    * Deterministic and oracle-expressible like everything here: quantized
+    * integer distances, (d2, id) tie-breaks at every level. Total: every
+    * super contains at least itself (a super's nearest super is itself at
+    * d2 = 0), so every shortlist yields ≥ 1 candidate seed. Assignment is
+    * APPROXIMATE relative to [[ivfAssign]] (the true nearest cell may hide
+    * behind an unprobed super — recall rises with `sprobe`, and
+    * sprobe = ⌈√cells⌉ degenerates to the exact assignment, which the spec
+    * differential pins); for clustering-style consumers (SemDeDup) the
+    * cell is a partition choice, not a correctness bound. Output schema
+    * matches [[ivfAssign]]: (nid, v, nrm, cell). */
+  def ivfAssignPruned(corpus: DataFrame, seeds: DataFrame, sprobe: Int = 2,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    require(sprobe >= 1, s"sprobe must be >= 1: $sprobe")
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val nSeeds = seedRows.count()
+    require(nSeeds >= 1, "ivfAssignPruned: empty seed set")
+    val nSupers = math.ceil(math.sqrt(nSeeds.toDouble)).toLong
+    val supers = seeds.orderBy(col(idCol)).limit(nSupers.toInt)
+      .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sv"))
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+    // level 1: seed -> nearest super (tiny; both sides broadcastable)
+    val seedSuper = seedRows.crossJoin(broadcast(supers))
+      .withColumn("sd2", d2(col("cv"), col("sv")))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("sd2"), col("sid"))))
+      .filter(col("srk") === 1)
+      .select(col("sid"), col("cid"), col("cv"))
+    // level 2a: vector -> sprobe nearest supers (n x sqrt(cells))
+    val short = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+        quantize(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(supers))
+      .withColumn("sd2", d2(col("qv"), col("sv")))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("nid")).orderBy(col("sd2"), col("sid"))))
+      .filter(col("srk") <= sprobe)
+      .select(col("nid"), col("v"), col("qv"), col("sid"))
+    // level 2b: exact argmin over the shortlisted supers' seeds only —
+    // the seed->super map is seed-sized, so it broadcasts and the probe
+    // never shuffles the corpus
+    short.join(broadcast(seedSuper), "sid")
+      .withColumn("d2", d2(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("nid"), col("v"), l2norm(col("v")).as("nrm"),
+        col("cid").as("cell"))
+  }
+
   /** IVF top-k: probe the query's own cell only. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
               vecCol: String = "embedding",

@@ -244,6 +244,12 @@ object Dedup extends QuerySet {
     "dedup_semantic" -> ((s, dir) =>
       DedupOps.semanticDedup(embs(s, dir))),
 
+    // SemDeDup with the two-level PRUNED centroid assigner — the cells-
+    // scaling path (assign cost sublinear in cells); supers = ceil(sqrt 16)
+    // = 4, each vector probes its 2 nearest supers
+    "dedup_semantic_pruned" -> ((s, dir) =>
+      DedupOps.semanticDedupPruned(embs(s, dir))),
+
     // continuous-ingest SemDeDup: the vec_id % 5 == 0 slice arrives as the
     // incoming batch and is judged against the stored corpus's cells (and
     // its own smaller ids); stored×stored is never re-examined
@@ -843,6 +849,60 @@ object Dedup extends QuerySet {
         |      i -> q[i+1] * q[i+1]), 'sum') AS BIGINT) AS n2
         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY d2, cid) AS rk FROM assign) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> a.q[i+1] * b.q[i+1]), 'sum') AS BIGINT) AS dot,
+        |    a.n2 AS an2, b.n2 AS bn2
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT bid FROM pairs
+        |  WHERE dot > 0
+        |    AND CAST(dot AS HUGEINT) * dot * 10000
+        |        >= CAST(7225 AS HUGEINT) * an2 * bn2)
+        |SELECT c.vec_id, c.cell, (d.bid IS NOT NULL) AS dup
+        |FROM cells c LEFT JOIN dups d ON c.vec_id = d.bid""".stripMargin,
+
+    // two-level pruned assignment mirror: supers = the 4 smallest-id seeds;
+    // each seed maps to its nearest super; each vector shortlists its 2
+    // nearest supers and argmins exactly over their seeds only — every
+    // (d2, id) tie-break stated, same within-cell prune as dedup_semantic
+    "dedup_semantic_pruned" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, q AS cq FROM v
+        |          ORDER BY vec_id LIMIT 16),
+        |supers AS (SELECT cid AS sid, cq AS sq FROM seeds
+        |           ORDER BY cid LIMIT 4),
+        |seedsup AS (
+        |  SELECT cid, cq, sid FROM (
+        |    SELECT s.cid, s.cq, p.sid, row_number() OVER (PARTITION BY s.cid
+        |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+        |        (s.cq[i+1] - p.sq[i+1]) * (s.cq[i+1] - p.sq[i+1])), 'sum')
+        |        AS BIGINT), p.sid) AS rk
+        |    FROM seeds s CROSS JOIN supers p) WHERE rk = 1),
+        |short AS (
+        |  SELECT vec_id, q, sid FROM (
+        |    SELECT v.vec_id, v.q, p.sid, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+        |        (v.q[i+1] - p.sq[i+1]) * (v.q[i+1] - p.sq[i+1])), 'sum')
+        |        AS BIGINT), p.sid) AS rk
+        |    FROM v CROSS JOIN supers p) WHERE rk <= 2),
+        |cells AS (
+        |  SELECT vec_id, q, cid AS cell,
+        |    CAST(list_aggregate(list_transform(range(64),
+        |      i -> q[i+1] * q[i+1]), 'sum') AS BIGINT) AS n2
+        |  FROM (
+        |    SELECT sh.vec_id, sh.q, ss.cid, row_number() OVER (
+        |      PARTITION BY sh.vec_id
+        |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+        |        (sh.q[i+1] - ss.cq[i+1]) * (sh.q[i+1] - ss.cq[i+1])), 'sum')
+        |        AS BIGINT), ss.cid) AS rk
+        |    FROM short sh JOIN seedsup ss ON sh.sid = ss.sid) WHERE rk = 1),
         |pairs AS (
         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
         |    CAST(list_aggregate(list_transform(range(64),

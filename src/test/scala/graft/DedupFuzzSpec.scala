@@ -289,6 +289,34 @@ class DedupFuzzSpec extends SparkSpecBase {
       "cells must be the 4 smallest ids")
   }
 
+  test("pruned semantic dedup: sprobe=sqrt(cells) equals the exact assigner; total and layout-independent") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.install(spark)
+    val vrnd = new scala.util.Random(0x9A55)
+    val all = (0L until 80L).map { i =>
+      (i, Array.fill(16)((vrnd.nextDouble() - 0.5).toFloat))
+    }
+    val df = all.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // probing ALL supers = exact argmin over every seed — the pruned
+    // assigner must DEGENERATE to semanticDedup exactly (the documented
+    // recall ceiling), which pins the two-level plumbing end to end
+    val exact = rows(DedupOps.semanticDedup(df, tauPct = 85, cells = 16))
+    val full = rows(DedupOps.semanticDedupPruned(df, tauPct = 85,
+      cells = 16, sprobe = 4))
+    assert(full == exact, "sprobe=ceil(sqrt(cells)) must equal the exact assigner")
+    // a REAL shortlist (sprobe=2) stays a total assignment: every vector
+    // lands in exactly one valid cell, whatever the input layout
+    val pruned = rows(DedupOps.semanticDedupPruned(df, tauPct = 85,
+      cells = 16, sprobe = 2))
+    assert(pruned.map(_._1) == all.map(_._1).toSet, "assignment must be total")
+    assert(pruned.forall { case (_, cell, _) => cell >= 0L && cell < 16L })
+    val pruned5 = rows(DedupOps.semanticDedupPruned(
+      df.repartition(5), tauPct = 85, cells = 16, sprobe = 2))
+    assert(pruned5 == pruned, "pruned assignment must be partition-count independent")
+  }
+
   test("normalized exact dedup groups re-punctuated copies") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
