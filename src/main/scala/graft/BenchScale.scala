@@ -66,8 +66,12 @@ object BenchScale {
       // it touches (measured: q01 14.2 s cold vs 1.0 s warm at sf1). A noop
       // write deserializes every column in parallel into the page cache —
       // the steady-state (plan-scaling) number is what this table is for.
-      Tables.names.foreach(n =>
-        Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save())
+      // Partial fixtures (the sf10 documents/embeddings ladder) warm only
+      // the tables they carry.
+      Tables.names
+        .filter(n => new java.io.File(s"$dir/$n.parquet").exists())
+        .foreach(n =>
+          Tables.load(spark, dir, n).write.format("noop").mode("overwrite").save())
       scaleSet.map { name =>
         val fn = SparkEntry.queries(name)
         def onePass(): Double = {

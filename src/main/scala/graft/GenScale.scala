@@ -99,6 +99,11 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "bench-data/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional table filter: the sf10 ladder replicates only the
+    // documents/embeddings families (TPC-H at x100 would measure disk, not
+    // plans the text ladder is for)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -107,7 +112,7 @@ object GenScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.names.foreach { t =>
+    Tables.names.filter(t => only.forall(_.contains(t))).foreach { t =>
       val raw = spark.read.parquet(s"$src/$t.parquet")
       val scaled = replicate(raw, t, copies)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
