@@ -265,6 +265,45 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[topKIvfProbe]] over a PRUNED-assigned index: the corpus side is
+    * placed by [[ivfAssignPruned]] (assignment sublinear in `cells` — the
+    * build-time term that dominates a production IVF index build), while
+    * the query side keeps the exact nprobe shortlist over all seeds
+    * (queries are few; their assignment cost is irrelevant). Candidate
+    * generation and exact-cosine rerank are identical to the exact-index
+    * probe; recall differs only where a corpus vector's pruned cell
+    * diverges from its true nearest cell (the `sprobe` knob — at
+    * sprobe = ⌈√cells⌉ the index IS the exact one). */
+  def topKIvfPruned(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
+                    nprobe: Int, sprobe: Int = 2,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < cells)
+    val c = ivfAssignPruned(corpus, seeds, sprobe, vecCol, idCol)
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qcells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        quantize(col(vecCol)).as("qq"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), l2norm(col("qvec")).as("qn"),
+        col("cid").as("qcell"))
+    val scored = c.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** L2-normalize + int8-quantize an embedding column — the storage/compute
     * shrink before indexing at scale (4 B → 1 B per dimension; at 100 TB of
     * vectors that is the difference between an index that fits executor
@@ -709,14 +748,23 @@ object SimilarityOps {
         l2norm(col(vecCol)).as("qn"))
     val relWin = Window.partitionBy(col("qid"))
       .orderBy(col("relq").desc, col("nid").asc)
-    // top-m candidates, micro-cosine relevance; vectors ride along for the
-    // pairwise stage then drop
-    val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("cv"), col("cn"),
+    // top-m candidates, micro-cosine relevance. The window input is SLIM
+    // (qid, nid, relq) — the round-10 sf10 ladder caught the first draft
+    // carrying the 64-double vectors through the top-m sort: the
+    // WindowGroupLimit prune only fires AFTER the per-partition sort, so
+    // at 200k corpus × 2k queries the sort spilled ~240 GB of vector
+    // payload and filled the disk. Vectors re-attach AFTER the prune via
+    // one broadcast join against the q·m-row survivor set (the corpus
+    // side streams; nothing corpus-sized is ever sorted wide).
+    val candIds = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 1e6)
           .cast("long").as("relq"))
       .withColumn("rn", row_number().over(relWin))
       .filter(col("rn") <= m)
+    val cand = c.join(broadcast(candIds), Seq("nid"))
+      .select(col("qid"), col("nid"), col("cv"), col("cn"), col("relq"),
+        col("rn"))
       .localCheckpoint()
     // within-query candidate pairwise sims: m² rows per query, constant
     val a = cand.select(col("qid"), col("nid").as("aid"),

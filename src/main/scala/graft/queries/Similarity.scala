@@ -81,6 +81,16 @@ object Similarity extends QuerySet {
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
     }),
 
+    // the pruned-assigner index probe (round 10): corpus placed by the
+    // two-level assigner (build cost sublinear in cells), queries keep the
+    // exact nprobe shortlist — same rerank, new index-build scale path
+    "sim_topk_ivf_pruned" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKIvfPruned(all, all.filter(col("vec_id") % 100 === 0),
+          k = 3, cells = 16, nprobe = 4, sprobe = 2)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    }),
+
     // vector prep: l2-normalize + int8 codes (narrow, scan-composed)
     "sim_normalize_quantize" -> ((s, dir) =>
       SimilarityOps.normalizeQuantize(embs(s, dir))),
@@ -499,6 +509,62 @@ object Similarity extends QuerySet {
          |qcells AS (
          |  SELECT vec_id, e, nrm, cid AS cell FROM ranked
          |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM qcells q JOIN cells c
+         |    ON q.vec_id <> c.vec_id AND q.cell = c.cell)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // pruned-index mirror: corpus cells via the two-level assignment
+    // (supers = 4 smallest-id seeds; per-vector 2-super shortlist; exact
+    // argmin over shortlisted seeds), query probe stays the exact nprobe=4
+    // shortlist over all seeds — every (d2, id) tie-break stated
+    "sim_topk_ivf_pruned" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |supers AS (SELECT cid AS sid, cq AS sq FROM seeds
+         |           ORDER BY cid LIMIT 4),
+         |seedsup AS (
+         |  SELECT cid, cq, sid FROM (
+         |    SELECT s.cid, s.cq, p.sid, row_number() OVER (PARTITION BY s.cid
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (s.cq[i+1] - p.sq[i+1]) * (s.cq[i+1] - p.sq[i+1])), 'sum')
+         |        AS BIGINT), p.sid) AS rk
+         |    FROM seeds s CROSS JOIN supers p) WHERE rk = 1),
+         |short AS (
+         |  SELECT vec_id, e, q, nrm, sid FROM (
+         |    SELECT v.vec_id, v.e, v.q, v.nrm, p.sid, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (v.q[i+1] - p.sq[i+1]) * (v.q[i+1] - p.sq[i+1])), 'sum')
+         |        AS BIGINT), p.sid) AS rk
+         |    FROM v CROSS JOIN supers p) WHERE rk <= 2),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT sh.vec_id, sh.e, sh.nrm, ss.cid, row_number() OVER (
+         |      PARTITION BY sh.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (sh.q[i+1] - ss.cq[i+1]) * (sh.q[i+1] - ss.cq[i+1])), 'sum')
+         |        AS BIGINT), ss.cid) AS rk
+         |    FROM short sh JOIN seedsup ss ON sh.sid = ss.sid) WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, s.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |        AS BIGINT), s.cid) AS rk
+         |    FROM v CROSS JOIN seeds s WHERE v.vec_id % 100 = 0)
+         |  WHERE rk <= 4),
          |scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
          |    round(list_aggregate(list_transform(range(64),
