@@ -129,9 +129,17 @@ object SimilarityOps {
                 idCol: String = "vec_id"): DataFrame = {
     val qv = quantize(col(vecCol))
     val seedRows = seeds.select(col(idCol).as("cid"), quantize(col(vecCol)).as("cv"))
-    // dist²(a,c) = Σ(a−c)² in quantized ints; argmin by (dist, cid)
+    // dist²(a,c) = Σ(a−c)² in quantized ints; argmin by (dist, cid).
+    // repartition(nid) FIRST (the topKBruteForce rule): a single-file
+    // corpus is one partition, and one partition trivially satisfies the
+    // argmin window's clustered distribution — Catalyst then skips the
+    // exchange and the whole n×cells distance evaluation (interpreted
+    // zip_with — higher-order exprs are CodegenFallback) runs on ONE core.
+    // Caught by the r10 sf10 ladder: the full SemDeDup pass was serial,
+    // 468 s at 200k×141 before, 32-way after.
     val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
         qv.as("qv"))
+      .repartition(col("nid"))
       .crossJoin(broadcast(seedRows))
       .withColumn("d2", aggregate(
         zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
@@ -191,9 +199,12 @@ object SimilarityOps {
         Window.partitionBy(col("cid")).orderBy(col("sd2"), col("sid"))))
       .filter(col("srk") === 1)
       .select(col("sid"), col("cid"), col("cv"))
-    // level 2a: vector -> sprobe nearest supers (n x sqrt(cells))
+    // level 2a: vector -> sprobe nearest supers (n x sqrt(cells));
+    // repartition first — same single-partition serial-window hazard as
+    // ivfAssign (see the comment there)
     val short = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
         quantize(col(vecCol)).as("qv"))
+      .repartition(col("nid"))
       .crossJoin(broadcast(supers))
       .withColumn("sd2", d2(col("qv"), col("sv")))
       .withColumn("srk", row_number().over(
