@@ -418,9 +418,13 @@ object EventStream {
     * across verify/bench configs). Each instance pays fixed open/commit/
     * checkpoint cost per micro-batch, so over-sharding a small stream is
     * pure overhead: the 10k-event fixture measured 16.1 s at 32 partitions
-    * vs 10.4 s at 8 for the full-outer interval join. `statePartitions`
-    * right-sizes the fixture runs; a real deployment sizes it to cluster
-    * cores × state volume instead.
+    * vs 10.4 s at 8 for the full-outer interval join, and the round-10
+    * phase split showed commit cost ∝ partitions × batches × stores —
+    * re-measured across the single-batch family, 4 beats 8 by ~0.5–1 s per
+    * row (tumble_append 3.0 → 2.0, session_append 3.5 → 2.6, full-outer
+    * interval 2.7 → 2.2) with no row slower, hence the default.
+    * `statePartitions` right-sizes the fixture runs; a real deployment
+    * sizes it to cluster cores × state volume instead.
     *
     * `phase`: when set, the per-micro-batch cost split Spark already
     * collects ([[org.apache.spark.sql.streaming.StreamingQueryProgress]])
@@ -435,7 +439,7 @@ object EventStream {
     * recordMin semantics match the bench's best-of-2: the split describes
     * the best pass. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
-                 statePartitions: Int = 8,
+                 statePartitions: Int = 4,
                  phase: Option[String] = None): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     graft.operators.PartitionOps.withShufflePartitions(spark, statePartitions) {
