@@ -1025,4 +1025,93 @@ object DedupOps {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           st => st.getField("tok")), " ")).as("clean_fp"))
   }
+
+  /** PRECISION audit of the MinHash-LSH candidate graph — the index-quality
+    * counterpart of the ANN recall probe (`sim_recall_lsh` audits what the
+    * index MISSES; this audits what it FALSELY proposes, the number that
+    * sets the wasted-verification bill at 100 TB). For every banded
+    * candidate pair, the EXACT shingle Jaccard is computed and compared to
+    * tauPct by integer cross-multiplication (inter·100 ≥ τ·union — no
+    * float can flip a verdict).
+    *
+    * Cost is candidate-bounded, never corpus-bounded: the pair graph and
+    * the per-doc shingle sets are the two staged artifacts every MinHash
+    * family pass already shares; the intersection join fans each pair out
+    * to its id1-side shingles and semi-matches the id2 side — O(Σ|pair
+    * shingles|), the same bill the banding already paid. Zero-overlap
+    * candidates (pure band collisions) keep a row with inter = 0. */
+  def lshPrecision(docs: DataFrame, tauPct: Int = 50,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   precomputedPairs: Option[DataFrame] = None,
+                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    require(tauPct >= 0 && tauPct <= 100, s"tauPct out of range: $tauPct")
+    val pairs = precomputedPairs
+      .getOrElse(minhashLshPairs(docs, textCol, idCol))
+      .select(col("id1"), col("id2"))
+    val sh = precomputedShingles
+      .getOrElse(shingleHashSet(docs, textCol, idCol).localCheckpoint())
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id1"), col("h").as("s")), "id1")
+      .join(sh.select(col("id").as("id2"), col("h").as("s")), Seq("id2", "s"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("uni"),
+        (col("inter") * 100 >= lit(tauPct.toLong) *
+          (col("sz1") + col("sz2") - col("inter"))).as("true_pos"))
+  }
+
+  /** Block-level ("paragraph") exact dedup — the CCNet pass (Wenzek et al.
+    * 2019): web boilerplate repeats at paragraph granularity, so hashing
+    * whole documents misses it while the substring k-gram family
+    * ([[duplicateSpans]]) over-segments it. Every fixed-width token block
+    * ([[graft.operators.TextOps.tokenBlocks]] — the fixture has no
+    * newlines, so the paragraph boundary is a 20-token block) is hashed;
+    * the corpus-wide FIRST occurrence (smallest (doc_id, blk)) is kept,
+    * every later occurrence flagged dup.
+    *
+    * Shape at scale: the block build is a narrow per-row map, and the
+    * keep-first decision is ONE shuffle (the block-hash window) — the same
+    * single-shuffle budget as [[exact]], at paragraph granularity. Skew is
+    * bounded: a block hash repeated k times fans to k window rows, never a
+    * pair join. */
+  def paragraphDedup(docs: DataFrame, width: Int = 20,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    flaggedBlocks(docs, width, textCol, idCol)
+      .select(col("doc_id"), col("blk"), col("n_block_tokens"),
+        (col("rn") > 1).as("dup"))
+
+  private def flaggedBlocks(docs: DataFrame, width: Int,
+                            textCol: String, idCol: String): DataFrame = {
+    val b = graft.operators.TextOps.tokenBlocks(docs, width, textCol, idCol)
+      .withColumn("bh", md5(col("btxt")))
+    b.withColumn("rn", row_number().over(
+      Window.partitionBy(col("bh")).orderBy(col("doc_id"), col("blk"))))
+  }
+
+  /** The apply step of [[paragraphDedup]]: drop every duplicate block and
+    * reconstruct each document from its kept blocks in order. Documents
+    * whose every block is a duplicate (exact copies of earlier content)
+    * disappear from the cleaned corpus, like [[cutDuplicateSpans]]'s
+    * fully-cut docs. One extra shuffle past the flag (the per-doc rollup);
+    * the ordered rebuild is a sorted collect_list fold, engine-exact
+    * because (blk) is unique per doc. */
+  def paragraphDedupApply(docs: DataFrame, width: Int = 20,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    flaggedBlocks(docs, width, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("blk"), col("btxt"))))),
+          st => st.getField("btxt")), " ").as("kept_text"))
+      .filter(col("n_kept") > 0)
 }

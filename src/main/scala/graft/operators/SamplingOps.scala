@@ -45,4 +45,50 @@ object SamplingOps {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Per-group cap with a LABELED survivor flag — the RefinedWeb-style
+    * per-domain document cap: at most k rows per group survive, chosen by
+    * md5 rank (a uniform deterministic lottery, so over-represented domains
+    * are downsampled without order bias). Where [[bottomK]] filters, this
+    * labels every row, which is what a curation report wants (kept + dropped
+    * counts per domain fall out of one groupBy); a pipeline that only needs
+    * the survivors filters on `kept`, and the rank predicate then executes
+    * as a WindowGroupLimit per-partition prune before the exchange. One
+    * shuffle on the group key; a mega-domain fans to its own rows only,
+    * never a join. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("kept", col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Temperature-flattened source sampling (τ = 2, the multilingual-mixing
+    * rule of XLM-R / mT5): each group's keep probability is √(its corpus
+    * share), so over-represented sources are downsampled ∝ 1/√share while
+    * tiny sources are kept near-whole — the smooth alternative to
+    * [[capPerGroup]]'s hard cutoff. Per-row decision is the md5 lottery
+    * against the group's integer micro-rate; the rate itself is
+    * round(√(n_g/N)·10⁶) — ONE IEEE division, one correctly-rounded sqrt,
+    * one round, so the rate (and therefore every keep decision) is
+    * bit-identical on any engine. Cost: one grouped count (tiny result,
+    * broadcast back) + a narrow per-row filter — the corpus itself never
+    * shuffles. */
+  def temperatureSample(df: DataFrame, groupCol: String,
+                        keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    // global total via an unpartitioned window over the COUNTS table —
+    // group-count-sized, not corpus-sized, so the single partition is fine
+    val ratesW = counts
+      .withColumn("_n", sum(col("n_g")).over(Window.partitionBy(lit(1))))
+      .select(col(groupCol), col("n_g"),
+        round(sqrt(col("n_g").cast("double") / col("_n").cast("double"))
+          * 1000000L).cast("long").as("w_micro"))
+    df.join(broadcast(ratesW), groupCol)
+      .withColumn("kept",
+        stableHash(col(keyCol).cast("string")) % Denom < col("w_micro"))
+  }
 }

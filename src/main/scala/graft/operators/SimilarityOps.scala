@@ -126,7 +126,8 @@ object SimilarityOps {
     * 1/cells of the data. */
   def ivfAssign(corpus: DataFrame, seeds: DataFrame,
                 vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame = {
+                idCol: String = "vec_id",
+                carry: Seq[String] = Nil): DataFrame = {
     val qv = quantize(col(vecCol))
     val seedRows = seeds.select(col(idCol).as("cid"), quantize(col(vecCol)).as("cv"))
     // dist²(a,c) = Σ(a−c)² in quantized ints; argmin by (dist, cid).
@@ -137,8 +138,9 @@ object SimilarityOps {
     // zip_with — higher-order exprs are CodegenFallback) runs on ONE core.
     // Caught by the r10 sf10 ladder: the full SemDeDup pass was serial,
     // 468 s at 200k×141 before, 32-way after.
-    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
-        qv.as("qv"))
+    val joined = corpus.select(
+        (col(idCol).as("nid") +: col(vecCol).as("v") +: qv.as("qv") +:
+          carry.map(col)): _*)
       .repartition(col("nid"))
       .crossJoin(broadcast(seedRows))
       .withColumn("d2", aggregate(
@@ -147,8 +149,8 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nid")).orderBy(col("d2"), col("cid"))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("nid"), col("v"), l2norm(col("v")).as("nrm"),
-        col("cid").as("cell"))
+      .select((col("nid") +: col("v") +: l2norm(col("v")).as("nrm") +:
+        col("cid").as("cell") +: carry.map(col)): _*)
   }
 
   /** Two-level PRUNED centroid assignment — the scale path past
@@ -315,6 +317,74 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Metadata-FILTERED IVF top-k — the filtered-vector-search shape every
+    * production ANN store exposes (search restricted to candidates
+    * satisfying a predicate, e.g. language, license, source). This is the
+    * PRE-filter form: the predicate cuts the candidate set BEFORE the
+    * per-query top-k, so each query still gets k qualifying neighbors
+    * (post-filtering the unfiltered top-k under-returns whenever the
+    * predicate is selective — the classic filtered-ANN pitfall). The index
+    * (cells over the FULL corpus) is shared across predicates: the filter
+    * rides the indexed side as a plain pushdown-able column predicate, no
+    * per-predicate index rebuild. Metadata columns travel through the
+    * assignment via [[ivfAssign]]'s carry parameter — one corpus scan,
+    * no re-join. */
+  def topKIvfFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      cells: Int, nprobe: Int, candPred: Column,
+                      carry: Seq[String] = Seq("label"),
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < cells)
+    val c = ivfAssign(corpus, seeds, vecCol, idCol, carry).filter(candPred)
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qcells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        quantize(col(vecCol)).as("qq"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), l2norm(col("qvec")).as("qn"),
+        col("cid").as("qcell"))
+    val scored = c.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select((col("qid") +: col("nid") +:
+        round(dot(col("qvec"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos") +: carry.map(col)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Cluster-balanced corpus resampling — the coverage-preserving
+    * downsample (the SSL-curation companion of SemDeDup: cap each
+    * embedding-space cluster instead of deleting near-dups, so dominant
+    * modes shrink while rare modes survive intact). Every vector is
+    * IVF-assigned to its cell ([[ivfAssign]]); within a cell at most `cap`
+    * vectors survive, chosen by md5 rank — the same deterministic lottery
+    * as the per-domain document cap, in embedding space instead of
+    * metadata space. Output labels every vector (vec_id, cell, kept);
+    * consumers filter on `kept`. Cost = the assignment (swap in
+    * [[ivfAssignPruned]] past fixture scale) + one window on the cell —
+    * no pair joins anywhere, so a mega-cluster costs its own rows, not
+    * its rows². */
+  def clusterBalance(embs: DataFrame, cells: Int = 16, cap: Int = 25,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val seeds = embs.filter(col(idCol) < cells)
+    val assigned = ivfAssign(embs, seeds, vecCol, idCol)
+    assigned.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(md5(col("nid").cast("string")).asc, col("nid").asc)))
+      .select(col("nid").as("vec_id"), col("cell"), (col("rn") <= cap).as("kept"))
+  }
+
   /** L2-normalize + int8-quantize an embedding column — the storage/compute
     * shrink before indexing at scale (4 B → 1 B per dimension; at 100 TB of
     * vectors that is the difference between an index that fits executor
@@ -432,8 +502,29 @@ object SimilarityOps {
     // narrow all the way (pqMins)
     val codesWide = pqMins(embs, vecCol, idCol, Some(cb))
       .select(col("vec_id"), expr("transform(mins, m -> m.cid)").as("codes"))
-    // per-query distance table, shaped as qd2s[s][cid] (nested arrays in
-    // subspace/codeword order) — one broadcastable row per query
+    val qtable = pqQueryTable(embs, queryPred, cb, vecCol, idCol)
+    // ADC = ordered sum of table lookups at the corpus vector's codes —
+    // pure expression over (codes × broadcast tables); the ONLY shuffle in
+    // the whole query is the final per-query top-k window
+    val adc = codesWide.crossJoin(broadcast(qtable))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr("aggregate(zip_with(sequence(0, " + (PqSub - 1) + "), codes, " +
+          "(s, c) -> qd2s[s][c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-query ADC distance table, shaped as qd2s[s][cid] (nested arrays in
+    * subspace/codeword order) — one broadcastable row per query. Shared by
+    * [[pqAdcTopK]] (flat scan) and [[ivfPqTopK]] (cell-probed scan);
+    * subspace partials are integer-quantized here so every consumer's sum
+    * is associative. */
+  private def pqQueryTable(embs: DataFrame, queryPred: Column, cb: DataFrame,
+                           vecCol: String, idCol: String): DataFrame = {
     val qsub = embs.filter(queryPred)
       .select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("v"))
@@ -441,7 +532,7 @@ object SimilarityOps {
         col("v"))
       .select(col("qid"), col("s"),
         expr(s"slice(v, s * $PqDims + 1, $PqDims)").as("sv"))
-    val qtable = qsub.join(broadcast(cb), "s")
+    qsub.join(broadcast(cb), "s")
       .select(col("qid"), col("s"), col("cid"), sqDist("sv", "cv").as("d2"))
       .select(col("qid"), col("s"), col("cid"),
         expr("CAST(round(d2 * 1e6) AS BIGINT)").as("qd2"))
@@ -452,11 +543,60 @@ object SimilarityOps {
            |  transform(sequence(0, ${PqK - 1}), j ->
            |    filter(t, e -> e.s = s AND e.cid = j)[0].qd2))""".stripMargin)
         .as("qd2s"))
-    // ADC = ordered sum of table lookups at the corpus vector's codes —
-    // pure expression over (codes × broadcast tables); the ONLY shuffle in
-    // the whole query is the final per-query top-k window
-    val adc = codesWide.crossJoin(broadcast(qtable))
+  }
+
+  /** IVF-PQ top-k — the composed index every production-scale ANN system
+    * ships (FAISS IVFPQ; Jégou et al. 2011): the IVF coarse quantizer
+    * bounds WHICH vectors are scored (the query probes its `nprobe`
+    * nearest cells) and PQ-ADC bounds WHAT each score costs (a sum of
+    * table lookups over 4-byte codes — the float vectors are never
+    * touched at query time). This is the 100 TB shape: the flat ADC scan
+    * of [[pqAdcTopK]] still reads every code row per query, while here
+    * candidate volume is nprobe/cells of the corpus AND each candidate
+    * costs table lookups only.
+    *
+    * Composition is by construction: corpus cells from [[ivfAssign]]
+    * (swap [[ivfAssignPruned]] past fixture scale), codes from
+    * [[pqMins]], the query's cell shortlist from the same quantized-int
+    * argmin as [[topKIvfProbe]], distance tables from the shared
+    * [[pqQueryTable]]. Everything query-sided broadcasts; the only
+    * shuffle is the final per-query top-k window. Approximation is the
+    * product of the two knobs — nprobe (recall of the candidate set) and
+    * the codebook (fidelity of the score) — each independently verified
+    * by its own oracle row; at nprobe = cells this degenerates to exactly
+    * [[pqAdcTopK]], which the spec differential pins. */
+  def ivfPqTopK(embs: DataFrame, k: Int, cells: Int, nprobe: Int,
+                queryPred: Column, vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val seeds = embs.filter(col(idCol) < cells)
+    // corpus side: cell placement + PQ codes, joined on the vector id —
+    // both sides are corpus-keyed, so at scale this is a co-partitioned
+    // join (and the index build a real deployment materializes anyway)
+    val assigned = ivfAssign(embs, seeds, vecCol, idCol)
+      .select(col("nid").cast("long").as("vec_id"), col("cell"))
+    val cb = pqCodebook(embs, vecCol, idCol)
+    val codesWide = pqMins(embs, vecCol, idCol, Some(cb))
+      .select(col("vec_id"), expr("transform(mins, m -> m.cid)").as("codes"))
+      .join(assigned, "vec_id")
+    // query side: nprobe-cell shortlist (quantized-int argmin over seeds,
+    // the topKIvfProbe shape) + the ADC distance table — both broadcast
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qprobe = embs.filter(queryPred)
+      .select(col(idCol).cast("long").as("qid"), quantize(col(vecCol)).as("qq"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", aggregate(
+        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("cid").as("qcell"))
+    val qtable = pqQueryTable(embs, queryPred, cb, vecCol, idCol)
+    val adc = codesWide
+      .join(broadcast(qprobe), col("cell") === col("qcell"))
       .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(qtable), "qid")
       .select(col("qid"), col("vec_id").as("nid"),
         expr("aggregate(zip_with(sequence(0, " + (PqSub - 1) + "), codes, " +
           "(s, c) -> qd2s[s][c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")

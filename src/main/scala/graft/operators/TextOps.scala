@@ -168,6 +168,55 @@ object TextOps {
         max(when(col("bg").isNotNull, col("c")).otherwise(0L)).as("top_bigram_n"))
   }
 
+  /** Fixed-width token blocks — the "paragraph" unit for block-level exact
+    * dedup ([[graft.operators.DedupOps.paragraphDedup]]). The fixture text
+    * carries no newlines, so the CCNet paragraph boundary degrades to a
+    * fixed `width`-token block; a corpus with real structure swaps the
+    * splitter, nothing downstream changes. Same per-row sequence+slice
+    * shape as [[chunkWindows]] with stride = width but carrying the block
+    * TEXT (the apply step needs it to reconstruct documents): rows
+    * (doc_id, blk, n_block_tokens, btxt), the tail block partial. Pure
+    * codegen'd map — no shuffle, composes into the scan at any scale. */
+  def tokenBlocks(docs: DataFrame, width: Int = 20,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1, s"block width must be >= 1: $width")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 1, lit(width)),
+          st => array_join(slice(col("toks"), st + 1, lit(width)), " ")))
+          .as(Seq("blk", "btxt")))
+      .select(col("doc_id"), col("blk").cast("long").as("blk"),
+        least(lit(width.toLong), col("n_toks") - col("blk") * width)
+          .as("n_block_tokens"),
+        col("btxt"))
+  }
+
+  /** Lexical-diversity quality signals (the Gopher-style vocabulary gates
+    * that [[repetition]]'s duplication counts complement): per document the
+    * type-token ratio, the dominance of the single most frequent token, and
+    * the hapax fraction (types occurring once). All-integer basis points
+    * (x·10000 div y) so the comparison is exact on any engine. Shape: ONE
+    * exchange — repartition by doc ships compact text rows, and both
+    * grouped aggregations (per-(doc,token) counts, then the per-doc
+    * rollup) are satisfied by that clustering, so neither re-shuffles. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val tf = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        expr("COUNT(1) * 10000 DIV SUM(k)").as("ttr_bp"),
+        expr("MAX(k) * 10000 DIV SUM(k)").as("top_frac_bp"),
+        expr("SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 10000 DIV COUNT(1)")
+          .as("hapax_bp"))
+  }
+
   /** Regex redaction (PII scrub): each (name, regex, replacement) pattern is
     * counted and then replaced, in order — counts for pattern k are taken on
     * the text AFTER patterns 1..k-1 were applied, so overlapping patterns

@@ -280,7 +280,31 @@ object Dedup extends QuerySet {
       DedupOps.incrementalDuplicateSpans(
         d.filter(col("doc_id") % 3 =!= 0),
         d.filter(col("doc_id") % 3 === 0))
-    })
+    }),
+
+    // LSH index-quality audit: exact shingle Jaccard for every banded
+    // candidate pair (integer cross-multiplied verdict at tau=50%) — the
+    // precision companion of sim_recall_lsh; consumes BOTH staged
+    // artifacts (pair graph + shingle sets), so the audit costs only the
+    // candidate-bounded intersection join
+    "dedup_lsh_precision" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.lshPrecision(docs(s, dir),
+          precomputedPairs = Some(minhashPairs(s, dir)),
+          precomputedShingles = Some(shingleSet(s, dir)))
+      }),
+
+    // paragraph-level exact dedup (CCNet): 20-token blocks hashed
+    // corpus-wide, keep-first by (doc_id, blk) — the boilerplate
+    // granularity doc-level hashing misses and the k-gram span family
+    // over-segments; ONE shuffle (the block-hash window)
+    "dedup_paragraph" -> ((s, dir) =>
+      DedupOps.paragraphDedup(docs(s, dir))),
+
+    // the apply step: duplicate blocks dropped, documents reconstructed
+    // from their kept blocks in order; fully-duplicate docs disappear
+    "dedup_paragraph_apply" -> ((s, dir) =>
+      DedupOps.paragraphDedupApply(docs(s, dir)))
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -390,6 +414,73 @@ object Dedup extends QuerySet {
          |  CAST(MAX(e) AS BIGINT) AS span_end,
          |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
          |FROM sp GROUP BY doc_id, isl""".stripMargin,
+
+    // minhash band CTEs (as dedup_minhash_lsh) + distinct-shingle sets
+    // (as dedup_ngram_jaccard); verdict by integer cross-multiplication
+    "dedup_lsh_precision" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(1, 17), i ->
+         |      list_aggregate(list_transform($Sh, s ->
+         |        ((${H("s")} % 1000000007) * (2*i + 1) + i * 12582917)
+         |          % 1000000007), 'min')) AS sig
+         |  FROM documents),
+         |bands AS (
+         |  SELECT id,
+         |    CAST(unnest(range(4)) AS INT) AS band,
+         |    unnest(list_transform(range(4), b ->
+         |      array_to_string(sig[b*4 + 1 : b*4 + 4], '-'))) AS bsig
+         |  FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+         |raw AS (SELECT doc_id AS id, unnest($Sh) AS str FROM documents),
+         |sh AS (SELECT id, ${H("str")} AS s FROM raw),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+         |ix AS (
+         |  SELECT p.id1, p.id2, CAST(COUNT(s2.s) AS BIGINT) AS inter
+         |  FROM pairs p
+         |  JOIN sh s1 ON s1.id = p.id1
+         |  LEFT JOIN sh s2 ON s2.id = p.id2 AND s2.s = s1.s
+         |  GROUP BY p.id1, p.id2)
+         |SELECT id1, id2, inter, (z1.sz + z2.sz - inter) AS uni,
+         |  (inter * 100 >= 50 * (z1.sz + z2.sz - inter)) AS true_pos
+         |FROM ix
+         |JOIN sizes z1 ON z1.id = id1
+         |JOIN sizes z2 ON z2.id = id2""".stripMargin,
+
+    // 20-token blocks via 1-based inclusive list slices; keep-first =
+    // row_number over (doc_id, blk) per block-text md5
+    "dedup_paragraph" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+         |    CAST(least(20, len(t) - i * 20) AS BIGINT) AS n_block_tokens,
+         |    md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS bh
+         |  FROM toks, unnest(range((len(t) + 19) // 20)) AS u(i))
+         |SELECT doc_id, blk, n_block_tokens, (rn > 1) AS dup FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bh
+         |    ORDER BY doc_id, blk) AS rn FROM b)""".stripMargin,
+
+    // block CTEs as in dedup_paragraph; filtered ordered string_agg ≡
+    // Spark's null-skipping sorted collect_list fold; fully-duplicate
+    // docs drop out via HAVING
+    "dedup_paragraph_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+         |    array_to_string(t[i*20+1 : i*20+20], ' ') AS btxt
+         |  FROM toks, unnest(range((len(t) + 19) // 20)) AS u(i)),
+         |f AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(btxt)
+         |    ORDER BY doc_id, blk) AS rn FROM b)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |  string_agg(btxt, ' ' ORDER BY blk) FILTER (WHERE rn = 1)
+         |    AS kept_text
+         |FROM f GROUP BY doc_id
+         |HAVING COUNT(*) FILTER (WHERE rn = 1) > 0""".stripMargin,
 
     // spans CTEs as in dedup_substring_spans, then: fingerprint span
     // content, keep-first per recurring fingerprint, anti-join the cut

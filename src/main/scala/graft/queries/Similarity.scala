@@ -91,6 +91,25 @@ object Similarity extends QuerySet {
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
     }),
 
+    // metadata-FILTERED IVF probe: search restricted to even-label
+    // candidates, predicate applied BEFORE the per-query top-k (the
+    // pre-filter form — k qualifying neighbors guaranteed while the
+    // post-filter form under-returns); the label rides the assignment
+    // via ivfAssign's carry columns, one corpus scan
+    "sim_topk_ivf_filtered" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKIvfFiltered(all,
+          all.filter(col("vec_id") % 100 === 0),
+          k = 3, cells = 16, nprobe = 4, candPred = col("label") % 2 === 0)
+        .select(col("qid"), col("nid"), col("label"), col("rank"), col("cos"))
+    }),
+
+    // cluster-balanced resampling: cap each IVF cell at 25 vectors by md5
+    // lottery — dominant embedding-space modes shrink, rare modes survive
+    // (the coverage-preserving curation companion of SemDeDup)
+    "corpus_cluster_balance" -> ((s, dir) =>
+      SimilarityOps.clusterBalance(embs(s, dir), cells = 16, cap = 25)),
+
     // vector prep: l2-normalize + int8 codes (narrow, scan-composed)
     "sim_normalize_quantize" -> ((s, dir) =>
       SimilarityOps.normalizeQuantize(embs(s, dir))),
@@ -105,6 +124,14 @@ object Similarity extends QuerySet {
     // through its codes
     "sim_pq_adc_topk" -> ((s, dir) =>
       SimilarityOps.pqAdcTopK(embs(s, dir), k = 10,
+        col("vec_id") % 100 === 0)),
+
+    // IVF-PQ composed index (FAISS IVFPQ shape): coarse cells bound WHICH
+    // vectors are scored (nprobe=4 of 16), PQ-ADC bounds WHAT a score
+    // costs (table lookups over 4-byte codes) — the 100 TB ANN
+    // architecture, both approximation knobs value-oracled
+    "sim_ivf_pq_topk" -> ((s, dir) =>
+      SimilarityOps.ivfPqTopK(embs(s, dir), k = 10, cells = 16, nprobe = 4,
         col("vec_id") % 100 === 0)),
 
     // lexical counterpart of the dense ANN paths: TF-IDF weighted
@@ -576,6 +603,65 @@ object Similarity extends QuerySet {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
 
+    // probe CTEs as in sim_topk_ivf_probe, label carried through the
+    // assignment; the even-label predicate cuts candidates BEFORE the
+    // per-query rank (pre-filter semantics)
+    "sim_topk_ivf_filtered" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, v.label, v.e, v.nrm, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rk FROM assign),
+         |cells AS (
+         |  SELECT vec_id, label, e, nrm, cid AS cell FROM ranked
+         |  WHERE rk = 1 AND label % 2 = 0),
+         |qcells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, c.label,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM qcells q JOIN cells c
+         |    ON q.vec_id <> c.vec_id AND q.cell = c.cell)
+         |SELECT qid, nid, label, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, nid, label, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // assignment CTEs as in dedup_semantic; the per-cell survivor lottery
+    // is a row_number over (md5(id), id) — deterministic on any engine
+    "corpus_cluster_balance" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cid) AS rk FROM assign) WHERE rk = 1)
+         |SELECT vec_id, cell, (rn <= 25) AS kept FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM cells)""".stripMargin,
+
     "sim_label_centroid" ->
       s"""WITH q AS (
          |  SELECT label,
@@ -619,6 +705,52 @@ object Similarity extends QuerySet {
          |adc AS (
          |  SELECT qd.qid, codes.id AS nid, CAST(SUM(qd2) AS BIGINT) AS adc_micro
          |  FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.code
+         |  WHERE qd.qid <> codes.id
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin,
+
+    // IVF-PQ: the PQ CTE chain (codes + per-query distance tables) plus
+    // the IVF assignment CTEs (quantized-int argmin, the sim_topk_ivf
+    // form); the ADC sum runs only over candidates whose cell is among
+    // the query's nprobe=4 probed cells
+    "sim_ivf_pq_topk" ->
+      s"""$PqCtes,
+         |codes AS (SELECT id, s, cid AS code FROM enc WHERE rn = 1),
+         |iv AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |iseeds AS (SELECT vec_id AS icid, q AS icq FROM iv WHERE vec_id < 16),
+         |iassign AS (
+         |  SELECT iv.vec_id, s.icid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (iv.q[i+1] - s.icq[i+1]) * (iv.q[i+1] - s.icq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM iv CROSS JOIN iseeds s),
+         |iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, icid) AS rk FROM iassign),
+         |icells AS (SELECT vec_id, icid AS cell FROM iranked WHERE rk = 1),
+         |iprobe AS (
+         |  SELECT vec_id AS qid, icid AS qcell FROM iranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |q AS (SELECT id AS qid, s, sv FROM vs WHERE id % 100 = 0),
+         |qd AS (
+         |  SELECT qid, q.s, cbs.cid, CAST(round(
+         |    list_aggregate(list_transform(range(16),
+         |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum')
+         |    * 1e6) AS BIGINT) AS qd2
+         |  FROM q JOIN cbs ON q.s = cbs.s),
+         |adc AS (
+         |  SELECT qd.qid, codes.id AS nid, CAST(SUM(qd2) AS BIGINT) AS adc_micro
+         |  FROM codes
+         |  JOIN icells ON icells.vec_id = codes.id
+         |  JOIN iprobe ON iprobe.qcell = icells.cell
+         |  JOIN qd ON qd.qid = iprobe.qid AND qd.s = codes.s
+         |         AND qd.cid = codes.code
          |  WHERE qd.qid <> codes.id
          |  GROUP BY 1, 2)
          |SELECT qid, nid, CAST(rank AS INT) AS rank, adc_micro FROM (

@@ -199,7 +199,34 @@ object TextAnalysis extends QuerySet {
       s.read.parquet(bpeStage(s, dir) + "/state")
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"),
-          countDistinct(col("doc_id")).as("n_docs")))
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // lexical-diversity gates (Gopher-style vocabulary signals): per-doc
+    // type-token ratio, top-token dominance, hapax fraction — all-integer
+    // basis points, one exchange (both aggs share the doc clustering)
+    "text_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(docs(s, dir))),
+
+    // per-domain cap (RefinedWeb-style source balancing): at most 10 docs
+    // per source survive, chosen by md5 lottery; output labels every doc
+    // so kept/dropped counts per domain fall out of one groupBy
+    "corpus_domain_cap" -> ((s, dir) =>
+      graft.operators.SamplingOps.capPerGroup(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          groupCol = "source", keyCol = "doc_id", k = 10)
+        .select(col("doc_id"), col("source"), col("kept"))),
+
+    // temperature-flattened mixing (τ=2, XLM-R/mT5): per-source keep
+    // probability = sqrt(corpus share) — smooth downsampling of dominant
+    // sources; rolled up per source so the flattening is visible
+    "corpus_temperature_sample" -> ((s, dir) =>
+      graft.operators.SamplingOps.temperatureSample(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          groupCol = "source", keyCol = "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("w_micro")).as("w_micro"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")))
   )
 
   // one BPE merge round r (mirrors TextOps.bpeTrain): adjacent-pair counts
@@ -240,6 +267,46 @@ object TextAnalysis extends QuerySet {
   }
 
   override def oracle: Map[String, String] = Map(
+    // `//` = Spark's DIV: both engines integer-divide BIGINTs exactly
+    "text_lexical_diversity" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest($T) AS tok FROM documents)
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(COUNT(*) * 10000 // CAST(SUM(k) AS BIGINT) AS BIGINT) AS ttr_bp,
+         |  CAST(MAX(k) * 10000 // CAST(SUM(k) AS BIGINT) AS BIGINT)
+         |    AS top_frac_bp,
+         |  CAST(CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000 // COUNT(*) AS BIGINT) AS hapax_bp
+         |FROM tf GROUP BY doc_id""".stripMargin,
+
+    "corpus_domain_cap" ->
+      s"""SELECT doc_id, source, (rn <= 10) AS kept FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)""".stripMargin,
+
+    // rate = round(sqrt(n_g/N)*1e6): one IEEE division + correctly-rounded
+    // sqrt on both engines, then the md5 lottery in exact integers
+    "corpus_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_g, CAST(round(sqrt(CAST(n_g AS DOUBLE) /
+         |    CAST((SELECT SUM(n_g) FROM c) AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w_micro
+         |  FROM c)
+         |SELECT d.source, w.n_g AS n_docs, w.w_micro,
+         |  CAST(SUM(CASE WHEN
+         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 1000000 < w.w_micro THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept
+         |FROM documents d JOIN w USING (source)
+         |GROUP BY 1, 2, 3""".stripMargin,
+
     // 3 chained merge rounds; block structure generated by bpeRoundSql
     "corpus_bpe_train" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),

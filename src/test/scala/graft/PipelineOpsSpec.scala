@@ -167,6 +167,143 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
   }
 
+  test("ivf-pq with exhaustive probing equals flat ADC exactly") {
+    // nprobe = cells probes every cell, so the candidate set is the full
+    // corpus and IVF-PQ must reproduce the flat ADC scan row for row —
+    // the same degeneracy differential as the IVF/brute-force pair, now
+    // for the composed index
+    val cells = 16
+    val ivfpq = SimilarityOps.ivfPqTopK(embs, k = 10, cells, nprobe = cells,
+      col("vec_id") % 100 === 0)
+    val flat = SimilarityOps.pqAdcTopK(embs, k = 10, col("vec_id") % 100 === 0)
+    assert(ivfpq.exceptAll(flat).isEmpty && flat.exceptAll(ivfpq).isEmpty)
+  }
+
+  test("filtered ivf: every neighbor satisfies the predicate; true predicate degenerates to the plain probe") {
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val f = SimilarityOps.topKIvfFiltered(embs, qs, k = 3, cells = 16,
+      nprobe = 4, candPred = col("label") % 2 === 0)
+    assert(f.filter(col("label") % 2 =!= 0).isEmpty,
+      "pre-filter must remove non-qualifying candidates before ranking")
+    val noop = SimilarityOps.topKIvfFiltered(embs, qs, k = 3, cells = 16,
+      nprobe = 4, candPred = lit(true))
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val plain = SimilarityOps.topKIvfProbe(embs, qs, k = 3, cells = 16,
+      nprobe = 4)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    assert(noop.exceptAll(plain).isEmpty && plain.exceptAll(noop).isEmpty)
+  }
+
+  test("paragraph dedup: survivors equal distinct blocks; apply reconstructs kept tokens") {
+    val flagged = DedupOps.paragraphDedup(docs)
+    val blocks = TextOps.tokenBlocks(docs).withColumn("bh", md5(col("btxt")))
+    val distinctHashes = blocks.select(col("bh")).distinct().count()
+    assert(flagged.filter(!col("dup")).count() == distinctHashes,
+      "keep-first must retain exactly one block per distinct hash")
+    assert(flagged.count() == blocks.count(), "every block gets a flag")
+    val applied = DedupOps.paragraphDedupApply(docs)
+    assert(applied.agg(sum(col("n_kept"))).head.getLong(0) == distinctHashes)
+    // reconstruction: kept_text's token count equals the kept blocks' sum
+    val rebuilt = applied.select(col("doc_id"),
+      size(split(col("kept_text"), " ")).cast("long").as("n_rebuilt"))
+    val expected = flagged.filter(!col("dup")).groupBy(col("doc_id"))
+      .agg(sum(col("n_block_tokens")).as("n_exp"))
+    assert(rebuilt.join(expected, "doc_id")
+      .filter(col("n_rebuilt") =!= col("n_exp")).isEmpty)
+  }
+
+  test("capPerGroup: at most k kept per group, labels cover every row, layout-independent") {
+    import graft.operators.SamplingOps
+    val capped = SamplingOps.capPerGroup(
+      docs.select(col("doc_id"), col("source")), "source", "doc_id", k = 10)
+    assert(capped.count() == docs.count(), "every row labeled")
+    capped.filter(col("kept")).groupBy(col("source")).count()
+      .collect().foreach(r => assert(r.getLong(1) <= 10))
+    val again = SamplingOps.capPerGroup(
+      docs.select(col("doc_id"), col("source")).repartition(7),
+      "source", "doc_id", k = 10)
+    assert(capped.exceptAll(again).isEmpty, "md5 lottery must not depend on layout")
+  }
+
+  test("clusterBalance: per-cell cap holds and every vector is labeled") {
+    val bal = SimilarityOps.clusterBalance(embs, cells = 16, cap = 25)
+    assert(bal.count() == embs.count())
+    bal.filter(col("kept")).groupBy(col("cell")).count()
+      .collect().foreach(r => assert(r.getLong(1) <= 25))
+    // cells smaller than the cap survive whole: no kept-count may exceed
+    // its cell's population
+    val pop = bal.groupBy(col("cell")).count().withColumnRenamed("count", "n")
+    assert(bal.filter(col("kept")).groupBy(col("cell")).count()
+      .join(pop, "cell").filter(col("count") > col("n")).isEmpty)
+  }
+
+  test("lexical diversity: basis points bounded, brute-force agreement on one doc") {
+    val ld = TextOps.lexicalDiversity(docs).cache()
+    ld.collect().foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val ty = r.getAs[Long]("n_types")
+      assert(ty >= 1 && ty <= n)
+      assert(r.getAs[Long]("ttr_bp") >= 0 && r.getAs[Long]("ttr_bp") <= 10000)
+      assert(r.getAs[Long]("top_frac_bp") >= 10000 / n)
+      assert(r.getAs[Long]("hapax_bp") <= 10000)
+    }
+    val one = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+    val toks = one.getAs[String]("text").toLowerCase.split("\\s+").toSeq
+    val counts = toks.groupBy(identity).map(_._2.size)
+    val row = ld.filter(col("doc_id") === one.getAs[Long]("doc_id")).head
+    assert(row.getAs[Long]("n_tokens") == toks.size)
+    assert(row.getAs[Long]("n_types") == counts.size)
+    assert(row.getAs[Long]("top_frac_bp") == counts.max.toLong * 10000 / toks.size)
+    assert(row.getAs[Long]("hapax_bp") ==
+      counts.count(_ == 1).toLong * 10000 / counts.size)
+    ld.unpersist()
+  }
+
+  test("temperature sample: micro-rates mirror sqrt share; every row labeled") {
+    import graft.operators.SamplingOps
+    val ts = SamplingOps.temperatureSample(
+      docs.select(col("doc_id"), col("source")), "source", "doc_id").cache()
+    assert(ts.count() == docs.count())
+    val n = docs.count().toDouble
+    val shares = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ts.select(col("source"), col("w_micro")).distinct().collect().foreach { r =>
+      val exp = math.round(math.sqrt(shares(r.getString(0)) / n) * 1000000L)
+      assert(r.getAs[Long]("w_micro") == exp,
+        s"w_micro mismatch for ${r.getString(0)}")
+    }
+    // flattening: a source's keep RATE (w_micro) must be >= its share —
+    // sqrt(x) >= x on [0,1] — so small sources are kept near-whole
+    ts.select(col("source"), col("w_micro")).distinct().collect().foreach { r =>
+      val share = shares(r.getString(0)) / n
+      assert(r.getAs[Long]("w_micro") >= math.floor(share * 1e6))
+    }
+    ts.unpersist()
+  }
+
+  test("lsh precision: one verdict per candidate pair, cloned doc is a true positive") {
+    val clone = docs.orderBy(col("doc_id")).limit(1)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    val mini = docs.limit(40).select(col("doc_id"), col("text")).union(clone)
+    val pairs = DedupOps.minhashLshPairs(mini)
+    val prec = DedupOps.lshPrecision(mini,
+      precomputedPairs = Some(pairs)).cache()
+    assert(prec.count() == pairs.select(col("id1"), col("id2")).distinct().count(),
+      "exactly one audited row per candidate pair")
+    // the exact clone collides in every band and has inter = uni
+    val cloneRow = prec.filter(col("id2") === 9000000L ||
+      col("id1") === 9000000L).collect()
+    assert(cloneRow.nonEmpty && cloneRow.forall(r =>
+      r.getAs[Boolean]("true_pos") &&
+        r.getAs[Long]("inter") == r.getAs[Long]("uni")))
+    // verdicts agree with an independently computed exact jaccard
+    val truth = DedupOps.ngramJaccardPairs(mini, minJaccard = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    prec.join(truth, Seq("id1", "id2")).collect().foreach { r =>
+      assert(r.getAs[Boolean]("true_pos") == (r.getAs[Double]("jaccard") >= 0.5))
+    }
+    prec.unpersist()
+  }
+
   test("lsh topk is a subset-ranking consistent with brute force") {
     val qs = embs.filter(col("vec_id") % 100 === 0)
     val lsh = SimilarityOps.topKLsh(embs, qs, 3)
