@@ -39,7 +39,14 @@ object BenchScale {
     "corpus_dsir_sample", "corpus_source_overlap", "sim_recall_lsh",
     "corpus_decontaminate", "dedup_winnowing_incremental",
     // round-10 addition: the pruned-assigner scale path
-    "dedup_semantic_pruned")
+    "dedup_semantic_pruned",
+    // round-10 continuation: paragraph dedup, composed/filtered ANN,
+    // balancing/mixing, index audits, vocabulary gates
+    "dedup_paragraph", "dedup_paragraph_apply", "text_lexical_diversity",
+    "corpus_domain_cap", "corpus_cluster_balance", "sim_topk_ivf_filtered",
+    "sim_ivf_pq_topk", "corpus_temperature_sample", "dedup_lsh_precision",
+    // flat-ADC baseline: the sf10 IVF-PQ comparison row
+    "sim_pq_adc_topk")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -1089,7 +1089,14 @@ object DedupOps {
 
   private def flaggedBlocks(docs: DataFrame, width: Int,
                             textCol: String, idCol: String): DataFrame = {
-    val b = graft.operators.TextOps.tokenBlocks(docs, width, textCol, idCol)
+    // repartition BEFORE the block build (the shingleHashes idiom): a
+    // single-file fixture scans as ONE partition, which trivially
+    // satisfies the bh-window's clustered distribution — Catalyst would
+    // skip the exchange and the whole tokenize+md5+window would run
+    // serially (the ivfAssign serial-window hazard). Compact text rows
+    // ship; the bh window still adds its own hash exchange.
+    val b = graft.operators.TextOps.tokenBlocks(
+        docs.repartition(col(idCol)), width, textCol, idCol)
       .withColumn("bh", md5(col("btxt")))
     b.withColumn("rn", row_number().over(
       Window.partitionBy(col("bh")).orderBy(col("doc_id"), col("blk"))))

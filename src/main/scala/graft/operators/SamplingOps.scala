@@ -61,7 +61,13 @@ object SamplingOps {
     require(k >= 1, s"cap must be >= 1: $k")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    df.withColumn("_rk", row_number().over(w))
+    // explicit group-key repartition: on a single-file (1-partition) input
+    // the window's clustered distribution is trivially satisfied and the
+    // whole pass would run serially (the ivfAssign hazard); the window
+    // then REUSES this exchange, so a multi-partition input pays nothing
+    // beyond the shuffle the window needed anyway
+    df.repartition(col(groupCol))
+      .withColumn("_rk", row_number().over(w))
       .withColumn("kept", col("_rk") <= k)
       .drop("_rk")
   }
@@ -79,7 +85,11 @@ object SamplingOps {
     * shuffles. */
   def temperatureSample(df: DataFrame, groupCol: String,
                         keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    // spread a single-file input across cores before the grouped count and
+    // the per-row lottery (serial-scan hazard, see capPerGroup); the
+    // grouped count's final agg exchanges off this layout
+    val spread = df.repartition(col(keyCol))
+    val counts = spread.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
     // global total via an unpartitioned window over the COUNTS table —
     // group-count-sized, not corpus-sized, so the single partition is fine
     val ratesW = counts
@@ -87,7 +97,7 @@ object SamplingOps {
       .select(col(groupCol), col("n_g"),
         round(sqrt(col("n_g").cast("double") / col("_n").cast("double"))
           * 1000000L).cast("long").as("w_micro"))
-    df.join(broadcast(ratesW), groupCol)
+    spread.join(broadcast(ratesW), groupCol)
       .withColumn("kept",
         stableHash(col(keyCol).cast("string")) % Denom < col("w_micro"))
   }

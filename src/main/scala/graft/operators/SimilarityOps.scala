@@ -442,11 +442,12 @@ object SimilarityOps {
 
   /** Per-row PQ minimization: (vec_id, mins) where mins[s] is the
     * struct(d2, cid) of the winning codeword for subspace s (ties to the
-    * smaller codeword id — struct ordering). ENTIRELY NARROW: the 64
-    * codebook structs ride in as a one-row broadcast and the argmin runs
-    * inside higher-order functions per corpus row — no explode fan-out,
-    * no shuffle, nothing between the parquet scan and the result. That is
-    * the 100 TB shape: encoding N vectors costs exactly one pass. */
+    * smaller codeword id — struct ordering). The 64 codebook structs ride
+    * in as a one-row broadcast and the argmin runs inside higher-order
+    * functions per corpus row — no explode fan-out, no keyed shuffle;
+    * encoding N vectors costs one pass (plus one spread-the-input hash
+    * exchange on the id guarding the single-file serial hazard, see the
+    * comment below). */
   private def pqMins(embs: DataFrame, vecCol: String, idCol: String,
                      codebook: Option[DataFrame] = None): DataFrame = {
     // precomputed-codebook parameter mirrors DedupOps' precomputedSigs:
@@ -456,9 +457,16 @@ object SimilarityOps {
     val cbRow = codebook.getOrElse(pqCodebook(embs, vecCol, idCol))
       .select(struct(col("cid"), col("s"), col("cv")).as("c"))
       .agg(collect_list(col("c")).as("cbs"))
+    // repartition FIRST (the ivfAssign serial-window rule, found here by
+    // the sf10 ladder at 1.1 load): a single-file corpus scans as ONE
+    // partition and this whole chain is narrow, so the per-row argmin over
+    // PqK×PqSub codewords — and every downstream ADC scan — would run on
+    // one core. On a many-file corpus the exchange is the one you'd drop;
+    // at 100 TB the codes table is materialized once anyway.
     embs
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
       .crossJoin(broadcast(cbRow))
       .select(col("vec_id"), expr(
         s"""transform(sequence(0, ${PqSub - 1}), s ->
@@ -567,12 +575,21 @@ object SimilarityOps {
     * [[pqAdcTopK]], which the spec differential pins. */
   def ivfPqTopK(embs: DataFrame, k: Int, cells: Int, nprobe: Int,
                 queryPred: Column, vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame = {
+                idCol: String = "vec_id",
+                assignSprobe: Option[Int] = None): DataFrame = {
     val seeds = embs.filter(col(idCol) < cells)
     // corpus side: cell placement + PQ codes, joined on the vector id —
     // both sides are corpus-keyed, so at scale this is a co-partitioned
-    // join (and the index build a real deployment materializes anyway)
-    val assigned = ivfAssign(embs, seeds, vecCol, idCol)
+    // join (and the index build a real deployment materializes anyway).
+    // assignSprobe = Some(s) swaps in the two-level PRUNED placement
+    // (assign cost sublinear in cells) — the knob that lets `cells` track
+    // √n at corpus scale; the sf10 probe measured the exact assigner's
+    // curve RISING past cells ≈ 141 (20.7 → 145.8 s at 1414) because the
+    // O(n·cells·d) assign term swamps the shrinking candidate volume,
+    // exactly the SemDeDup r10 finding replayed on the ANN side.
+    val assigned = assignSprobe
+      .map(sp => ivfAssignPruned(embs, seeds, sp, vecCol, idCol))
+      .getOrElse(ivfAssign(embs, seeds, vecCol, idCol))
       .select(col("nid").cast("long").as("vec_id"), col("cell"))
     val cb = pqCodebook(embs, vecCol, idCol)
     val codesWide = pqMins(embs, vecCol, idCol, Some(cb))

@@ -179,6 +179,19 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(ivfpq.exceptAll(flat).isEmpty && flat.exceptAll(ivfpq).isEmpty)
   }
 
+  test("ivf-pq pruned placement at sprobe=sqrt(cells) equals the exact placement") {
+    // the pruned two-level assigner degenerates to the exact argmin when
+    // every super is probed (sprobe = ceil(sqrt(cells))) — so the composed
+    // index must return identical rows; at smaller sprobe only cell
+    // PLACEMENT may differ (recall knob), which the ivfAssignPruned spec
+    // covers
+    val exact = SimilarityOps.ivfPqTopK(embs, k = 10, cells = 16, nprobe = 4,
+      col("vec_id") % 100 === 0)
+    val pruned = SimilarityOps.ivfPqTopK(embs, k = 10, cells = 16, nprobe = 4,
+      col("vec_id") % 100 === 0, assignSprobe = Some(4))
+    assert(exact.exceptAll(pruned).isEmpty && pruned.exceptAll(exact).isEmpty)
+  }
+
   test("filtered ivf: every neighbor satisfies the predicate; true predicate degenerates to the plain probe") {
     val qs = embs.filter(col("vec_id") % 100 === 0)
     val f = SimilarityOps.topKIvfFiltered(embs, qs, k = 3, cells = 16,

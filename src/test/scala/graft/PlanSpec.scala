@@ -108,20 +108,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
-  test("pq encode is shuffle-free; adc's only shuffle is the top-k window") {
-    // encoding N vectors must cost exactly one pass: the codebook rides in
-    // as a one-row broadcast and the argmin runs inside per-row
-    // higher-order functions — any hash exchange here is a regression
+  test("pq encode: one spread exchange; adc adds only the top-k window") {
+    // encoding N vectors costs one pass over the codes chain: the codebook
+    // rides in as a one-row broadcast and the argmin runs inside per-row
+    // higher-order functions. EXACTLY ONE hash exchange is expected — the
+    // id-spread guarding the single-file serial hazard (sf10 ladder find:
+    // without it the whole argmin chain ran on one core at 1.1 load);
+    // a second exchange would mean the codes themselves shuffle.
     val enc = plan("sim_pq_encode")
-    assert(!enc.contains("Exchange hashpartitioning"),
-      s"pq encode must not shuffle the corpus:\n${enc.take(1500)}")
-    // adc: one corpus-sized shuffle (the per-query top-k window) plus the
-    // tiny query-side table aggregation; the window must carry the
-    // WindowGroupLimit pushdown so each partition pre-prunes to k before
-    // the exchange — without it the full n×q score set crosses the wire
+    val encShuffles = "Exchange hashpartitioning".r.findAllIn(enc).length
+    assert(encShuffles == 1,
+      s"pq encode must spread once and only once ($encShuffles):\n${enc.take(1500)}")
+    // adc: the spread + the per-query top-k window + the tiny query-side
+    // table aggregation; the window must carry the WindowGroupLimit
+    // pushdown so each partition pre-prunes to k before the exchange —
+    // without it the full n×q score set crosses the wire
     val adc = plan("sim_pq_adc_topk")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(adc).length
-    assert(shuffles <= 2,
+    assert(shuffles <= 3,
       s"adc grew extra shuffles ($shuffles):\n${adc.take(1500)}")
     assert(adc.contains("WindowGroupLimit"),
       s"top-k window lost its partial group-limit pushdown:\n${adc.take(1500)}")
@@ -284,6 +288,47 @@ class PlanSpec extends SparkSpecBase {
     // the pair fan-out happens in a generate over the collected source
     // set, not by joining the vocabulary with itself
     assert(p.contains("Generate explode"), p.take(2000))
+  }
+
+  test("paragraph dedup: no cartesian; block build feeds one hash window") {
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Join"), s"block dedup must not join:\n${p.take(2000)}")
+    assert("Window".r.findAllIn(p).length == 1, "exactly one keep-first window")
+  }
+
+  test("ivf-pq: query side all-broadcast, corpus join keyed, no cartesian") {
+    val p = plan("sim_ivf_pq_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // qprobe (cell shortlist) and qtable (distance tables) must ride as
+    // broadcasts — the corpus side is the only shuffled relation
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"qprobe + qtable must broadcast:\n${p.take(2000)}")
+  }
+
+  test("filtered ivf: candidate predicate evaluates below the rank window") {
+    val p = plan("sim_topk_ivf_filtered")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // pre-filter semantics: the label filter must appear strictly before
+    // (deeper than) the final rank window in the executed plan text
+    val fi = p.indexOf("(label")
+    val wi = p.indexOf("row_number")
+    assert(fi >= 0 && wi >= 0 && fi > wi,
+      s"label predicate must sit below the top-k window:\n${p.take(3000)}")
+  }
+
+  test("lsh precision: candidate-bounded joins only, no cartesian") {
+    val p = plan("dedup_lsh_precision")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("domain cap + temperature sample: no joins beyond the broadcast rate table") {
+    val pc = plan("corpus_domain_cap")
+    assert(!pc.contains("Join"), s"cap is window-only:\n${pc.take(2000)}")
+    val pt = plan("corpus_temperature_sample")
+    assert(!pt.contains("CartesianProduct"), pt.take(2000))
+    assert(pt.contains("BroadcastHashJoin"),
+      s"group-rate table must broadcast:\n${pt.take(2000)}")
   }
 
   test("whole-stage codegen spans cover the TPC-H spine") {
