@@ -134,6 +134,15 @@ object Similarity extends QuerySet {
       SimilarityOps.ivfPqTopK(embs(s, dir), k = 10, cells = 16, nprobe = 4,
         col("vec_id") % 100 === 0)),
 
+    // IVF-PQ with the PRUNED two-level cell placement (sprobe=2) — the
+    // build path whose assign cost is sublinear in cells (the sf10 probe:
+    // exact placement 189.8 s vs pruned 43.5 s at cells=1414); placement
+    // divergence from the exact index is the recall knob, here pinned by
+    // the value oracle itself
+    "sim_ivf_pq_pruned" -> ((s, dir) =>
+      SimilarityOps.ivfPqTopK(embs(s, dir), k = 10, cells = 16, nprobe = 4,
+        col("vec_id") % 100 === 0, assignSprobe = Some(2))),
+
     // lexical counterpart of the dense ANN paths: TF-IDF weighted
     // inverted-index join with a df cap pruning hot posting lists, exact
     // cosine re-rank (integer rational weights → value-oracle-exact);
@@ -737,6 +746,73 @@ object Similarity extends QuerySet {
          |iprobe AS (
          |  SELECT vec_id AS qid, icid AS qcell FROM iranked
          |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |q AS (SELECT id AS qid, s, sv FROM vs WHERE id % 100 = 0),
+         |qd AS (
+         |  SELECT qid, q.s, cbs.cid, CAST(round(
+         |    list_aggregate(list_transform(range(16),
+         |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum')
+         |    * 1e6) AS BIGINT) AS qd2
+         |  FROM q JOIN cbs ON q.s = cbs.s),
+         |adc AS (
+         |  SELECT qd.qid, codes.id AS nid, CAST(SUM(qd2) AS BIGINT) AS adc_micro
+         |  FROM codes
+         |  JOIN icells ON icells.vec_id = codes.id
+         |  JOIN iprobe ON iprobe.qcell = icells.cell
+         |  JOIN qd ON qd.qid = iprobe.qid AND qd.s = codes.s
+         |         AND qd.cid = codes.code
+         |  WHERE qd.qid <> codes.id
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin,
+
+    // IVF-PQ with pruned placement: corpus cells via the two-level
+    // assignment (supers = 4 smallest-id seeds, 2-super shortlist, exact
+    // argmin over shortlisted seeds — the dedup_semantic_pruned chain);
+    // query probe and ADC identical to sim_ivf_pq_topk
+    "sim_ivf_pq_pruned" ->
+      s"""$PqCtes,
+         |codes AS (SELECT id, s, cid AS code FROM enc WHERE rn = 1),
+         |iv AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |iseeds AS (SELECT vec_id AS icid, q AS icq FROM iv WHERE vec_id < 16),
+         |isupers AS (SELECT icid AS sid, icq AS sq FROM iseeds
+         |            ORDER BY icid LIMIT 4),
+         |iseedsup AS (
+         |  SELECT icid, icq, sid FROM (
+         |    SELECT s.icid, s.icq, p.sid, row_number() OVER (PARTITION BY s.icid
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (s.icq[i+1] - p.sq[i+1]) * (s.icq[i+1] - p.sq[i+1])), 'sum')
+         |        AS BIGINT), p.sid) AS rk
+         |    FROM iseeds s CROSS JOIN isupers p) WHERE rk = 1),
+         |ishort AS (
+         |  SELECT vec_id, q, sid FROM (
+         |    SELECT iv.vec_id, iv.q, p.sid, row_number() OVER (
+         |      PARTITION BY iv.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (iv.q[i+1] - p.sq[i+1]) * (iv.q[i+1] - p.sq[i+1])), 'sum')
+         |        AS BIGINT), p.sid) AS rk
+         |    FROM iv CROSS JOIN isupers p) WHERE rk <= 2),
+         |icells AS (
+         |  SELECT vec_id, icid AS cell FROM (
+         |    SELECT sh.vec_id, ss.icid, row_number() OVER (
+         |      PARTITION BY sh.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (sh.q[i+1] - ss.icq[i+1]) * (sh.q[i+1] - ss.icq[i+1])), 'sum')
+         |        AS BIGINT), ss.icid) AS rk
+         |    FROM ishort sh JOIN iseedsup ss ON sh.sid = ss.sid) WHERE rk = 1),
+         |iprobe AS (
+         |  SELECT vec_id AS qid, icid AS qcell FROM (
+         |    SELECT iv.vec_id, s.icid, row_number() OVER (
+         |      PARTITION BY iv.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (iv.q[i+1] - s.icq[i+1]) * (iv.q[i+1] - s.icq[i+1])), 'sum')
+         |        AS BIGINT), s.icid) AS rk
+         |    FROM iv CROSS JOIN iseeds s WHERE iv.vec_id % 100 = 0)
+         |  WHERE rk <= 4),
          |q AS (SELECT id AS qid, s, sv FROM vs WHERE id % 100 = 0),
          |qd AS (
          |  SELECT qid, q.s, cbs.cid, CAST(round(
