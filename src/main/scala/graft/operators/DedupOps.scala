@@ -1102,6 +1102,30 @@ object DedupOps {
       Window.partitionBy(col("bh")).orderBy(col("doc_id"), col("blk"))))
   }
 
+  /** Continuous-ingest paragraph dedup — the incremental shape of
+    * [[paragraphDedup]], completing the incremental family (exact /
+    * minhash / semantic / substring / winnowing all have one): only the
+    * incoming batch is tokenized and blocked; the stored corpus
+    * participates as its distinct block-hash INDEX, probed by the batch's
+    * blocks. A batch block is dup when its hash exists in the stored index
+    * (stored always wins — its keep-first happened at ITS ingest) or a
+    * smaller (doc_id, blk) batch block shares the hash. Per ingest:
+    * O(batch blocks + probe hits), independent of the stored corpus size;
+    * blocks are doc-local, so ingest only APPENDS index rows — the stored
+    * index never goes stale. At 100 TB the index is materialized bucketed
+    * on the hash and the probe is a co-located join. */
+  def incrementalParagraphDedup(stored: DataFrame, batch: DataFrame,
+                                width: Int = 20, textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
+    val storedIdx = graft.operators.TextOps.tokenBlocks(
+        stored.repartition(col(idCol)), width, textCol, idCol)
+      .select(md5(col("btxt")).as("bh")).distinct()
+    flaggedBlocks(batch, width, textCol, idCol)
+      .join(storedIdx.withColumn("stored_hit", lit(true)), Seq("bh"), "left")
+      .select(col("doc_id"), col("blk"), col("n_block_tokens"),
+        (coalesce(col("stored_hit"), lit(false)) || col("rn") > 1).as("dup"))
+  }
+
   /** The apply step of [[paragraphDedup]]: drop every duplicate block and
     * reconstruct each document from its kept blocks in order. Documents
     * whose every block is a duplicate (exact copies of earlier content)

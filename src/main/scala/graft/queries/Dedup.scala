@@ -304,7 +304,17 @@ object Dedup extends QuerySet {
     // the apply step: duplicate blocks dropped, documents reconstructed
     // from their kept blocks in order; fully-duplicate docs disappear
     "dedup_paragraph_apply" -> ((s, dir) =>
-      DedupOps.paragraphDedupApply(docs(s, dir)))
+      DedupOps.paragraphDedupApply(docs(s, dir))),
+
+    // continuous-ingest paragraph dedup: the doc_id % 3 == 0 batch probes
+    // the stored corpus's distinct block-hash index (stored always wins);
+    // stored x stored is never re-examined, O(batch + hits) per ingest
+    "dedup_paragraph_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.incrementalParagraphDedup(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0))
+    })
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
@@ -462,6 +472,24 @@ object Dedup extends QuerySet {
          |SELECT doc_id, blk, n_block_tokens, (rn > 1) AS dup FROM (
          |  SELECT *, row_number() OVER (PARTITION BY bh
          |    ORDER BY doc_id, blk) AS rn FROM b)""".stripMargin,
+
+    // block CTEs over the batch slice; dup = hash in the stored-side
+    // distinct index OR a smaller (doc_id, blk) batch block
+    "dedup_paragraph_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+         |    CAST(least(20, len(t) - i * 20) AS BIGINT) AS n_block_tokens,
+         |    md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS bh
+         |  FROM toks, unnest(range((len(t) + 19) // 20)) AS u(i)),
+         |stored AS (SELECT DISTINCT bh FROM b WHERE doc_id % 3 <> 0),
+         |batch AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bh
+         |    ORDER BY doc_id, blk) AS rn
+         |  FROM b WHERE doc_id % 3 = 0)
+         |SELECT batch.doc_id, batch.blk, batch.n_block_tokens,
+         |  ((stored.bh IS NOT NULL) OR batch.rn > 1) AS dup
+         |FROM batch LEFT JOIN stored ON batch.bh = stored.bh""".stripMargin,
 
     // block CTEs as in dedup_paragraph; filtered ordered string_agg ≡
     // Spark's null-skipping sorted collect_list fold; fully-duplicate

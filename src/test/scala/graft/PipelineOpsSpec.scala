@@ -225,6 +225,22 @@ class PipelineOpsSpec extends SparkSpecBase {
       .filter(col("n_rebuilt") =!= col("n_exp")).isEmpty)
   }
 
+  test("incremental paragraph dedup: stored wins, in-batch keep-first, novels kept") {
+    import spark.implicits._
+    // width=20 blocks: craft 20-token texts so each doc is one block
+    def txt(seed: String) = Seq.fill(20)(seed).mkString(" ")
+    val stored = Seq((100L, txt("s"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, txt("s")),   // duplicates a STORED block -> dup despite smaller id
+      (2L, txt("b")),   // first of an in-batch pair -> kept
+      (3L, txt("b")),   // second of the pair -> dup
+      (4L, txt("n"))    // novel -> kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalParagraphDedup(stored, batch)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("capPerGroup: at most k kept per group, labels cover every row, layout-independent") {
     import graft.operators.SamplingOps
     val capped = SamplingOps.capPerGroup(
