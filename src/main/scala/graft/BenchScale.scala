@@ -46,7 +46,9 @@ object BenchScale {
     "corpus_domain_cap", "corpus_cluster_balance", "sim_topk_ivf_filtered",
     "sim_ivf_pq_topk", "corpus_temperature_sample", "dedup_lsh_precision",
     // flat-ADC baseline: the sf10 IVF-PQ comparison row
-    "sim_pq_adc_topk")
+    "sim_pq_adc_topk",
+    "dedup_paragraph_incremental", "corpus_curation_pipeline",
+    "sim_ivf_pq_pruned")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -314,11 +314,41 @@ object Dedup extends QuerySet {
       DedupOps.incrementalParagraphDedup(
         d.filter(col("doc_id") % 3 =!= 0),
         d.filter(col("doc_id") % 3 === 0))
+    }),
+
+    // flagship curation composition over the round-10 family: language
+    // gate -> paragraph-level dedup with doc reconstruction -> per-domain
+    // cap -> temperature-flattened mix. Four stages, each independently
+    // value-oracled elsewhere; the chain costs the block window + two
+    // group windows + one broadcast join — no stage re-reads the corpus
+    "corpus_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.{SamplingOps, TextOps}
+      val d = docs(s, dir)
+      val gated = d.filter(TextOps.langId(col("text")) === "en")
+      val cleaned = DedupOps.paragraphDedupApply(gated)
+        .withColumnRenamed("n_kept", "n_kept_blocks")
+      val withSrc = cleaned
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_blocks"),
+          col("n_kept_blocks"))
+      val capped = SamplingOps.capPerGroup(withSrc, "source", "doc_id", 10)
+        .withColumnRenamed("kept", "cap_kept")
+      SamplingOps.temperatureSample(
+          capped.filter(col("cap_kept"))
+            .select(col("doc_id"), col("source"), col("n_blocks"),
+              col("n_kept_blocks")),
+          "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_blocks"),
+          col("n_kept_blocks"), col("kept"))
     })
   )
 
   // ---- shared DuckDB fragments --------------------------------------------
   private val T = raw"string_split_regex(lower(text), '\s+')"
+  /** stopword list shared verbatim with TextOps.langId (curation pipeline
+    * oracle's language gate). */
+  private val StopList =
+    graft.operators.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def H(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
   /** distinct 3-gram shingles with the <3-token fallback of
@@ -424,6 +454,56 @@ object Dedup extends QuerySet {
          |  CAST(MAX(e) AS BIGINT) AS span_end,
          |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
          |FROM sp GROUP BY doc_id, isl""".stripMargin,
+
+    // four verified stages chained: langid gate (text_langid mirror),
+    // block dedup + rollup (dedup_paragraph_apply), cap window
+    // (corpus_domain_cap), temperature lottery (corpus_temperature_sample)
+    "corpus_curation_pipeline" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (length(text) - length(regexp_replace(text,
+         |          '[^ -~]', '', 'g'))) * 10 > length(text) THEN 'non_latin'
+         |      WHEN len(list_filter($T, x -> list_contains(
+         |          $StopList, x))) * 50 >= len($T) THEN 'en'
+         |      ELSE 'unk' END AS lang_pred
+         |  FROM documents),
+         |g AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN sig USING (doc_id) WHERE sig.lang_pred = 'en'),
+         |toks AS (SELECT doc_id, $T AS t FROM g),
+         |b AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+         |    md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS bh
+         |  FROM toks, unnest(range((len(t) + 19) // 20)) AS u(i)),
+         |f AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bh
+         |    ORDER BY doc_id, blk) AS rn FROM b),
+         |cleaned AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept_blocks
+         |  FROM f GROUP BY doc_id
+         |  HAVING COUNT(*) FILTER (WHERE rn = 1) > 0),
+         |withsrc AS (
+         |  SELECT cleaned.doc_id, g.source, cleaned.n_blocks,
+         |    cleaned.n_kept_blocks
+         |  FROM cleaned JOIN g USING (doc_id)),
+         |capped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+         |  FROM withsrc),
+         |surv AS (SELECT doc_id, source, n_blocks, n_kept_blocks
+         |         FROM capped WHERE crn <= 10),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+         |      FROM surv GROUP BY source),
+         |w AS (
+         |  SELECT source, CAST(round(sqrt(CAST(n_g AS DOUBLE) /
+         |    CAST((SELECT SUM(n_g) FROM c) AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS w_micro
+         |  FROM c)
+         |SELECT surv.doc_id, surv.source, surv.n_blocks, surv.n_kept_blocks,
+         |  (CAST(concat('0x', substr(md5(CAST(surv.doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % 1000000 < w.w_micro) AS kept
+         |FROM surv JOIN w USING (source)""".stripMargin,
 
     // minhash band CTEs (as dedup_minhash_lsh) + distinct-shingle sets
     // (as dedup_ngram_jaccard); verdict by integer cross-multiplication
