@@ -114,6 +114,12 @@ object Similarity extends QuerySet {
     "sim_normalize_quantize" -> ((s, dir) =>
       SimilarityOps.normalizeQuantize(embs(s, dir))),
 
+    // JL signed random projection 64d -> 16d: the md5-derived ±1 matrix is
+    // a pure function of indices, so both engines reconstruct it exactly;
+    // narrow per-row map (the cheap pre-filter before exact ANN at scale)
+    "sim_random_projection" -> ((s, dir) =>
+      SimilarityOps.randomProject(embs(s, dir))),
+
     // product quantization: 4-byte codes per 64-dim vector (the standard
     // ANN compression — the corpus index stores codes, not floats)
     "sim_pq_encode" -> ((s, dir) =>
@@ -681,6 +687,21 @@ object Similarity extends QuerySet {
          |SELECT label, dim,
          |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
          |FROM q GROUP BY label, dim""".stripMargin,
+
+    // sign(i,j) = +1 iff the first md5 hex digit of "i-j" is even (bit 0
+    // of the byte's high nibble — the Spark side tests (h(0)>>4)&1)
+    "sim_random_projection" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings)
+         |SELECT vec_id, array_to_string(list_transform(range(16), j ->
+         |  list_aggregate(list_transform(range(64), i ->
+         |    CASE WHEN strpos('02468ace',
+         |        substr(md5(CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)),
+         |          1, 1)) > 0
+         |      THEN q[i+1] ELSE -q[i+1] END), 'sum')), ',') AS pvec
+         |FROM v""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH n AS (

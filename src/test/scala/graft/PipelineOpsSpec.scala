@@ -287,6 +287,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     ld.unpersist()
   }
 
+  test("random projection: layout-independent and exact against a local mirror") {
+    val rp = SimilarityOps.randomProject(embs).cache()
+    val again = SimilarityOps.randomProject(embs.repartition(7))
+    assert(rp.exceptAll(again).isEmpty, "projection must not depend on layout")
+    // local mirror of one vector: same quantization, same md5-parity signs
+    val one = embs.orderBy(col("vec_id")).limit(1).collect()(0)
+    val q = one.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000))
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i-$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val exp = (0 until 16).map(j =>
+      (0 until 64).map(i => sign(i, j) * q(i)).sum).mkString(",")
+    val got = rp.filter(col("vec_id") === one.getLong(0)).head.getString(1)
+    assert(got == exp)
+    rp.unpersist()
+  }
+
   test("temperature sample: micro-rates mirror sqrt share; every row labeled") {
     import graft.operators.SamplingOps
     val ts = SamplingOps.temperatureSample(
