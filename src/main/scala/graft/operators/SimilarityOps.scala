@@ -409,13 +409,63 @@ object SimilarityOps {
         .digest(s"$i-$j".getBytes("UTF-8"))
       if (((h(0) >> 4) & 1) == 0) 1 else -1
     }
-    val comps = (0 until outDims).map { j =>
+    embs.select(col(idCol),
+      array_join(array(projectComps(q, outDims): _*), ",").as("pvec"))
+  }
+
+  /** The ±1-projection components as plan-time columns (shared by
+    * [[randomProject]] and [[topKProjected]]). */
+  private def projectComps(q: Column, outDims: Int): Seq[Column] = {
+    def sign(i: Int, j: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i-$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1 else -1
+    }
+    (0 until outDims).map { j =>
       (0 until 64).map { i =>
         val t = element_at(q, i + 1)
         if (sign(i, j) > 0) t else -t
       }.reduce(_ + _)
     }
-    embs.select(col(idCol), array_join(array(comps: _*), ",").as("pvec"))
+  }
+
+  /** Projected-space top-k with exact rerank — the USE of
+    * [[randomProject]]: candidates are the top-m neighbors by cosine in
+    * the 16-dim projected space (JL preserves angles in expectation, and a
+    * 16-int dot costs ¼ the memory traffic of the 64-dim original), then
+    * the m survivors re-rank by EXACT full-space cosine. Same
+    * candidate-count as the brute-force scan but each candidate is 4×
+    * cheaper to score and the full vectors are touched only m times per
+    * query — the dimensionality-reduction prefilter family, complementing
+    * LSH (bucketing) and IVF (partitioning). Projected dots are exact
+    * BIGINTs; both cosines round at 6 dp, so ranks are engine-exact. */
+  def topKProjected(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                    m: Int = 10, outDims: Int = 16,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String, pAs: String,
+             nAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vAs),
+        array(projectComps(quantize(col(vecCol)), outDims): _*).as(pAs),
+        l2norm(col(vecCol)).as(nAs))
+    val c = prep(corpus, "nid", "v", "pc", "nrm").repartition(col("nid"))
+    val qs = prep(queries, "qid", "qv", "pq", "qn")
+    val pdot = aggregate(zip_with(col("pq"), col("pc"),
+      (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+    val pnorm = (p: String) => sqrt(aggregate(zip_with(col(p), col(p),
+      (x, y) => x * y), lit(0L), (acc, t) => acc + t).cast("double"))
+    val scored = c.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        round(pdot.cast("double") / (pnorm("pq") * pnorm("pc")), 6))
+    val cand = scored.withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("nid"))))
+      .filter(col("prank") <= m)
+    cand.select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
   }
 
   /** L2-normalize + int8-quantize an embedding column — the storage/compute

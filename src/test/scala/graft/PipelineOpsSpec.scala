@@ -287,6 +287,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     ld.unpersist()
   }
 
+  test("projected topk with an exhaustive prefilter equals brute force") {
+    // m >= corpus size means no candidate is pruned, so the exact rerank
+    // must reproduce brute force row for row — the prefilter is then pure
+    // cost, which is exactly the degeneracy that proves it changes nothing
+    // but the candidate set
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val proj = SimilarityOps.topKProjected(embs, qs, k = 3,
+      m = embs.count().toInt)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val bf = SimilarityOps.topKBruteForce(embs, qs, 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    assert(proj.exceptAll(bf).isEmpty && bf.exceptAll(proj).isEmpty)
+  }
+
   test("random projection: layout-independent and exact against a local mirror") {
     val rp = SimilarityOps.randomProject(embs).cache()
     val again = SimilarityOps.randomProject(embs.repartition(7))
