@@ -48,7 +48,7 @@ object BenchScale {
     // flat-ADC baseline: the sf10 IVF-PQ comparison row
     "sim_pq_adc_topk",
     "dedup_paragraph_incremental", "corpus_curation_pipeline",
-    "sim_ivf_pq_pruned")
+    "sim_ivf_pq_pruned", "sim_random_projection", "sim_topk_projected")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

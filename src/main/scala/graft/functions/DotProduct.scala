@@ -71,6 +71,62 @@ object DotProduct {
   val info = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 }
 
+/** Pure long dot product over two `array<bigint>` columns, result `bigint`.
+  *
+  * The exact-integer counterpart of [[DotProduct]] for already-quantized
+  * vectors (projected components, LSH weights, PQ partials): associative,
+  * partition-order-free, cross-engine exact — and codegen'd as a counted
+  * loop where the `aggregate(zip_with(...))` HOF form is interpreted per
+  * row (measured 1.6× on the projected-prefilter pair scan at sf10, where
+  * the fold ran 400M times).
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lldot expects (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lldot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDot {
+  val info = new ExpressionInfo(classOf[LongDot].getName, "graft_lldot")
+}
+
 /** Integer-quantized dot product: Σ round(a[i]·1e6) · w[i] over
   * (`array<double>`, `array<bigint>`), result `bigint`.
   *

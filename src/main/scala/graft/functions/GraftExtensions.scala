@@ -22,6 +22,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_iqdot"), IntQuantDot.info,
         (children: Seq[Expression]) => IntQuantDot(children(0), children(1))))
     ext.injectFunction(
+      (FunctionIdentifier("graft_lldot"), LongDot.info,
+        (children: Seq[Expression]) => LongDot(children(0), children(1))))
+    ext.injectFunction(
       (FunctionIdentifier("graft_lsh_bands"), LshBandBuckets.info,
         GraftExtensions.buildLshBands _))
   }
@@ -52,6 +55,11 @@ object GraftExtensions {
     if (!reg.functionExists(iqId)) {
       reg.registerFunction(iqId, IntQuantDot.info,
         (children: Seq[Expression]) => IntQuantDot(children(0), children(1)))
+    }
+    val llId = FunctionIdentifier("graft_lldot")
+    if (!reg.functionExists(llId)) {
+      reg.registerFunction(llId, LongDot.info,
+        (children: Seq[Expression]) => LongDot(children(0), children(1)))
     }
     val lshId = FunctionIdentifier("graft_lsh_bands")
     if (!reg.functionExists(lshId)) {

@@ -80,6 +80,12 @@ object GraftFunctions {
   /** L2 norm, same fold-order guarantee as [[dot]]. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Exact long dot product over two `array<bigint>` columns — the native
+    * [[LongDot]] expression (codegen'd counted loop; the HOF fold is
+    * interpreted). Associative integer arithmetic: partition-order-free and
+    * cross-engine exact. Requires [[GraftExtensions.install]]. */
+  def lldot(a: Column, b: Column): Column = call_function("graft_lldot", a, b)
+
   /** Cosine similarity of two float vectors (double math, ordered folds). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

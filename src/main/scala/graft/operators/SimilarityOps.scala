@@ -443,25 +443,42 @@ object SimilarityOps {
                     m: Int = 10, outDims: Int = 16,
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
-    def prep(df: DataFrame, idAs: String, vAs: String, pAs: String,
-             nAs: String) =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vAs),
-        array(projectComps(quantize(col(vecCol)), outDims): _*).as(pAs),
-        l2norm(col(vecCol)).as(nAs))
-    val c = prep(corpus, "nid", "v", "pc", "nrm").repartition(col("nid"))
-    val qs = prep(queries, "qid", "qv", "pq", "qn")
-    val pdot = aggregate(zip_with(col("pq"), col("pc"),
-      (x, y) => x * y), lit(0L), (acc, t) => acc + t)
-    val pnorm = (p: String) => sqrt(aggregate(zip_with(col(p), col(p),
-      (x, y) => x * y), lit(0L), (acc, t) => acc + t).cast("double"))
-    val scored = c.crossJoin(broadcast(qs))
+    // SLIM rows through the prefilter window (the mmrRerank sf10 lesson,
+    // re-confirmed here: the first draft carried both 64-double vectors
+    // through the n×q top-m sort and FILLED THE DISK at 200k×2k — the
+    // WindowGroupLimit prune fires only after the per-partition sort, so
+    // sort-input row WIDTH is the scale knob). The window sees only
+    // (qid, nid, pcos); the m survivors re-attach vectors via one
+    // candidate-bounded join per side.
+    // per-vector norms are hoisted OUT of the pair loop: the higher-order
+    // aggregates are CodegenFallback (interpreted), so leaving them inside
+    // the n×q crossJoin costs three interpreted folds per PAIR where one
+    // suffices (measured 25.8 s at sf1 inline vs the hoisted form below)
+    def slim(df: DataFrame, idAs: String, pAs: String, nAs: String) = {
+      val pa = array(projectComps(quantize(col(vecCol)), outDims): _*)
+      df.select(col(idCol).as(idAs), pa.as(pAs))
+        .withColumn(nAs, sqrt(lldot(col(pAs), col(pAs)).cast("double")))
+    }
+    val c = slim(corpus, "nid", "pc", "pcn").repartition(col("nid"))
+    val qs = slim(queries, "qid", "pq", "pqn")
+    // native codegen'd long dot (graft_lldot) — the HOF fold here is
+    // CodegenFallback and ran 400M times per sf10 pass (the pair scan IS
+    // this expression)
+    val pdot = lldot(col("pq"), col("pc"))
+    val cand = c.crossJoin(broadcast(qs))
       .filter(col("qid") =!= col("nid"))
       .withColumn("pcos",
-        round(pdot.cast("double") / (pnorm("pq") * pnorm("pc")), 6))
-    val cand = scored.withColumn("prank", row_number().over(
+        round(pdot.cast("double") / (col("pqn") * col("pcn")), 6))
+      .select(col("qid"), col("nid"), col("pcos"))
+      .withColumn("prank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("nid"))))
       .filter(col("prank") <= m)
-    cand.select(col("qid"), col("nid"),
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    cand.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
