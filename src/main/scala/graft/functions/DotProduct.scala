@@ -127,6 +127,133 @@ object LongDot {
   val info = new ExpressionInfo(classOf[LongDot].getName, "graft_lldot")
 }
 
+/** Squared L2 distance over two `array<bigint>` columns, result `bigint`:
+  * Σ (a[i]−b[i])². The IVF/SemDeDup assignment inner loop — it runs
+  * n×cells times per assignment pass, where the `aggregate(zip_with(...))`
+  * HOF form is interpreted per evaluation (the measured dominant term of
+  * the r10 cells-sizing tables). Codegen'd counted loop; exact associative
+  * integer arithmetic, so assignments are partition-order-free and
+  * cross-engine exact like the fold they replace.
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lld2 expects (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lld2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongSqDist {
+  val info = new ExpressionInfo(classOf[LongSqDist].getName, "graft_lld2")
+}
+
+/** ADC lookup sum: Σ_s table[s][codes[s]] over a PQ code row and a
+  * per-query distance table (`array<bigint>` codes × `array<array<bigint>>`
+  * table, result `bigint`). THE hot loop of asymmetric-distance search —
+  * it runs once per (query, corpus-vector) pair, and the
+  * `aggregate(zip_with(sequence, codes, (s, c) -> t[s][c]))` HOF form it
+  * replaces is interpreted per evaluation. Codegen'd counted loop with the
+  * same null-free fixture contract as the fold (codes and tables are
+  * constructed, never null). Out-of-range codes sum as 0 (the fold's
+  * null-element behavior is never reachable for valid codebooks — both
+  * sides derive their code range from the same PqK).
+  */
+case class AdcLookupSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc expects (array<bigint>, array<array<bigint>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), table.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val row = table.getArray(i)
+      val c = codes.getLong(i).toInt
+      if (c >= 0 && c < row.numElements()) s += row.getLong(c)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |  int $c = (int) $a.getLong($i);
+         |  if ($c >= 0 && $c < $row.numElements()) $s += $row.getLong($c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcLookupSum {
+  val info = new ExpressionInfo(classOf[AdcLookupSum].getName, "graft_adc")
+}
+
 /** Integer-quantized dot product: Σ round(a[i]·1e6) · w[i] over
   * (`array<double>`, `array<bigint>`), result `bigint`.
   *

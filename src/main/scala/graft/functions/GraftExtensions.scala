@@ -25,6 +25,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_lldot"), LongDot.info,
         (children: Seq[Expression]) => LongDot(children(0), children(1))))
     ext.injectFunction(
+      (FunctionIdentifier("graft_lld2"), LongSqDist.info,
+        (children: Seq[Expression]) => LongSqDist(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_adc"), AdcLookupSum.info,
+        (children: Seq[Expression]) => AdcLookupSum(children(0), children(1))))
+    ext.injectFunction(
       (FunctionIdentifier("graft_lsh_bands"), LshBandBuckets.info,
         GraftExtensions.buildLshBands _))
   }
@@ -60,6 +66,16 @@ object GraftExtensions {
     if (!reg.functionExists(llId)) {
       reg.registerFunction(llId, LongDot.info,
         (children: Seq[Expression]) => LongDot(children(0), children(1)))
+    }
+    val d2Id = FunctionIdentifier("graft_lld2")
+    if (!reg.functionExists(d2Id)) {
+      reg.registerFunction(d2Id, LongSqDist.info,
+        (children: Seq[Expression]) => LongSqDist(children(0), children(1)))
+    }
+    val adcId = FunctionIdentifier("graft_adc")
+    if (!reg.functionExists(adcId)) {
+      reg.registerFunction(adcId, AdcLookupSum.info,
+        (children: Seq[Expression]) => AdcLookupSum(children(0), children(1)))
     }
     val lshId = FunctionIdentifier("graft_lsh_bands")
     if (!reg.functionExists(lshId)) {

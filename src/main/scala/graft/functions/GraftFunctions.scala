@@ -86,6 +86,19 @@ object GraftFunctions {
     * cross-engine exact. Requires [[GraftExtensions.install]]. */
   def lldot(a: Column, b: Column): Column = call_function("graft_lldot", a, b)
 
+  /** Exact squared L2 distance over two `array<bigint>` columns — the
+    * native [[LongSqDist]] expression: the IVF/SemDeDup assignment inner
+    * loop (n×cells evaluations per pass), codegen'd where the HOF fold is
+    * interpreted. Requires [[GraftExtensions.install]]. */
+  def lld2(a: Column, b: Column): Column = call_function("graft_lld2", a, b)
+
+  /** ADC lookup sum over PQ codes and a per-query distance table — the
+    * native [[AdcLookupSum]] expression replacing the interpreted
+    * lookup fold that runs once per (query, vector) pair. Requires
+    * [[GraftExtensions.install]]. */
+  def adcSum(codes: Column, table: Column): Column =
+    call_function("graft_adc", codes.cast("array<bigint>"), table)
+
   /** Cosine similarity of two float vectors (double math, ordered folds). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

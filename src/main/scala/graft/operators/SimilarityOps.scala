@@ -143,9 +143,10 @@ object SimilarityOps {
           carry.map(col)): _*)
       .repartition(col("nid"))
       .crossJoin(broadcast(seedRows))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      // native codegen'd squared distance (graft_lld2): this expression IS
+      // the O(n·cells·d) assignment term the cells-sizing tables measured,
+      // and the HOF fold it replaces is interpreted per evaluation
+      .withColumn("d2", lld2(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nid")).orderBy(col("d2"), col("cid"))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -191,9 +192,7 @@ object SimilarityOps {
     val nSupers = math.ceil(math.sqrt(nSeeds.toDouble)).toLong
     val supers = seeds.orderBy(col(idCol)).limit(nSupers.toInt)
       .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sv"))
-    def d2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, t) => acc + t)
+    def d2(a: Column, b: Column): Column = lld2(a, b)
     // level 1: seed -> nearest super (tiny; both sides broadcastable)
     val seedSuper = seedRows.crossJoin(broadcast(supers))
       .withColumn("sd2", d2(col("cv"), col("sv")))
@@ -260,9 +259,7 @@ object SimilarityOps {
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         quantize(col(vecCol)).as("qq"))
       .crossJoin(broadcast(seedRows))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
@@ -299,9 +296,7 @@ object SimilarityOps {
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         quantize(col(vecCol)).as("qq"))
       .crossJoin(broadcast(seedRows))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
@@ -342,9 +337,7 @@ object SimilarityOps {
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         quantize(col(vecCol)).as("qq"))
       .crossJoin(broadcast(seedRows))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
@@ -617,9 +610,7 @@ object SimilarityOps {
     val adc = codesWide.crossJoin(broadcast(qtable))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
-        expr("aggregate(zip_with(sequence(0, " + (PqSub - 1) + "), codes, " +
-          "(s, c) -> qd2s[s][c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-          .as("adc_micro"))
+        adcSum(col("codes"), col("qd2s")).as("adc_micro"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_micro").asc, col("nid").asc)
     adc.withColumn("rank", row_number().over(w).cast("int"))
@@ -702,9 +693,7 @@ object SimilarityOps {
     val qprobe = embs.filter(queryPred)
       .select(col(idCol).cast("long").as("qid"), quantize(col(vecCol)).as("qq"))
       .crossJoin(broadcast(seedRows))
-      .withColumn("d2", aggregate(
-        zip_with(col("qq"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
       .filter(col("rk") <= nprobe)
@@ -715,9 +704,7 @@ object SimilarityOps {
       .filter(col("qid") =!= col("vec_id"))
       .join(broadcast(qtable), "qid")
       .select(col("qid"), col("vec_id").as("nid"),
-        expr("aggregate(zip_with(sequence(0, " + (PqSub - 1) + "), codes, " +
-          "(s, c) -> qd2s[s][c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-          .as("adc_micro"))
+        adcSum(col("codes"), col("qd2s")).as("adc_micro"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_micro").asc, col("nid").asc)
     adc.withColumn("rank", row_number().over(w).cast("int"))
