@@ -773,7 +773,7 @@ object DedupOps {
   private def semanticPrunePass(assigned: DataFrame, tauPct: Int): DataFrame = {
     val q = assigned.select(col("nid"), col("cell"),
         quantize(col("v")).as("qv"))
-      .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", lldot(col("qv"), col("qv")))
       // one narrow stage feeds both self-join sides; without this each side
       // replays the quantize + n2 fold over the whole corpus
       .localCheckpoint()
@@ -782,8 +782,9 @@ object DedupOps {
     val b = q.select(col("nid").as("bid"), col("cell"),
       col("qv").as("bq"), col("n2").as("bn2"))
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val dotq = aggregate(zip_with(col("aq"), col("bq"), (x, y) => x * y),
-      lit(0L), (acc, t) => acc + t)
+    // native codegen'd long dot: this fold runs once per within-cell pair
+    // (the SemDeDup candidate-volume term) and the HOF form is interpreted
+    val dotq = lldot(col("aq"), col("bq"))
     val tau2 = lit(tauPct.toLong * tauPct).cast(dec)
     val dups = a.join(b, Seq("cell"))
       .filter(col("aid") < col("bid"))
@@ -844,7 +845,7 @@ object DedupOps {
     def prep(side: DataFrame): DataFrame =
       SimilarityOps.ivfAssign(side, seeds, vecCol, idCol)
         .select(col("nid"), col("cell"), quantize(col("v")).as("qv"))
-        .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+        .withColumn("n2", lldot(col("qv"), col("qv")))
         .localCheckpoint()
     val newQ = prep(incoming)
     val storedQ = prep(stored)
@@ -855,8 +856,9 @@ object DedupOps {
         col("qv").as("bq"), col("n2").as("bn2"), lit(true).as("is_stored"))
       .unionByName(newQ.select(col("nid").as("bid"), col("cell"),
         col("qv").as("bq"), col("n2").as("bn2"), lit(false).as("is_stored")))
-    val dotq = aggregate(zip_with(col("aq"), col("bq"), (x, y) => x * y),
-      lit(0L), (acc, t) => acc + t)
+    // native codegen'd long dot: this fold runs once per within-cell pair
+    // (the SemDeDup candidate-volume term) and the HOF form is interpreted
+    val dotq = lldot(col("aq"), col("bq"))
     val tau2 = lit(tauPct.toLong * tauPct).cast(dec)
     val dups = a.join(partners, Seq("cell"))
       .filter(col("is_stored") || col("bid") < col("aid"))
