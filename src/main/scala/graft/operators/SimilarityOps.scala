@@ -1072,4 +1072,127 @@ object SimilarityOps {
       .groupBy(col("label"), col("dim"))
       .agg(round(sum(col("x")).cast("double") / count(lit(1)) / 1000000.0, 6)
         .as("centroid"))
+
+  // ---- scalar quantization (SQ8) ANN ---------------------------------------
+
+  /** L2-normalize + scale-and-floor codes as `array<bigint>` for the native
+    * integer-dot kernel: code_i = floor(x_i / ‖x‖ · scale) (all-zero for the
+    * zero vector). floor — not round — keeps codes bit-identical across
+    * engines (the [[normalizeQuantize]] convention); `scale = 127` is the
+    * int8 storage grid, `scale = 1e6` the micro-cosine grid. */
+  private def scaledCodes(vec: Column, scale: Int): Column = {
+    val ad = vec.cast("array<double>")
+    val nrm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    when(nrm > 0,
+        transform(ad, x => floor(x / nrm * scale).cast("long")))
+      .otherwise(transform(ad, _ => lit(0L)))
+  }
+
+  /** SQ8 ANN: the search-side use of the [[normalizeQuantize]] storage
+    * shrink. The corpus index is int8 codes (floor(x/‖x‖·127) — 8× smaller
+    * than the double payload), the shortlist score is the exact integer dot
+    * of codes (≈ cos·127², monotone in cosine up to the quantization grid),
+    * and the top-`m` survivors get an exact full-precision rerank to
+    * top-`k` — the SQ-then-rerank ladder every quantized index ships.
+    *
+    * Scale shape = [[topKProjected]]'s: SLIM rows through the top-m window
+    * (qid, nid, iscore only — the sf10 disk-fill lesson), the pair dot on
+    * the native codegen'd `graft_lldot` kernel, vectors re-attached only for
+    * the q·m-row survivor set. The corpus never shuffles; the queries
+    * broadcast. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+              m: Int = 10, vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && m >= k, s"invalid sq8 shape: k=$k m=$m")
+    val c = corpus.select(col(idCol).as("nid"),
+        scaledCodes(col(vecCol), 127).as("cc"))
+      .repartition(col("nid"))
+    val qs = queries.select(col(idCol).as("qid"),
+      scaledCodes(col(vecCol), 127).as("qc"))
+    val cand = c.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), lldot(col("qc"), col("cc")).as("iscore"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("iscore").desc, col("nid"))))
+      .filter(col("prank") <= m)
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    cand.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), col("iscore"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  // ---- k-NN graph -----------------------------------------------------------
+
+  /** Blocked k-NN graph construction — the precursor of graph-ANN indexes
+    * (NN-Descent / HNSW ground layers) and of semantic clustering: every
+    * vector gets its `k` nearest same-LSH-bucket neighbors, plus the
+    * `mutual` flag (both endpoints pick each other) that k-NN clustering
+    * keys on. Bucketing (band 0, `bits` sign bits) bounds the pair scan to
+    * ~n²/2^bits — the corpus is never all-pairs — and the per-pair score is
+    * the exact integer dot of micro-normalized codes (floor(x/‖x‖·1e6),
+    * icos ≈ cos·1e12) on the native `graft_lldot` kernel, so ranking is
+    * engine-exact with no float fold anywhere.
+    *
+    * Shape at scale: one exchange of slim (id, bucket, codes) rows per
+    * side on `bucket`, the pair window sees only (src, dst, icos), and the
+    * mutual flag is one more hash join of the k·n edge list against its own
+    * reversal — all stages O(edges), nothing corpus-quadratic. */
+  def knnGraph(embs: DataFrame, k: Int = 3, bits: Int = 4,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && bits >= 1 && bits <= 16,
+      s"invalid knn-graph shape: k=$k bits=$bits")
+    val coded = embs.select(col(idCol).as("id"),
+      lshBucketBand(col(vecCol), 0, bits).as("bucket"),
+      scaledCodes(col(vecCol), 1000000).as("nc"))
+    val a = coded.toDF("src", "bucket", "anc").repartition(col("bucket"))
+    val b = coded.toDF("dst", "bucket", "bnc").repartition(col("bucket"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), lldot(col("anc"), col("bnc")).as("icos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("icos").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("rflag"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank").cast("int").as("rank"),
+        col("icos"), col("rflag").isNotNull.as("mutual"))
+  }
+
+  /** Mutual-k-NN semantic clusters: connected components over the
+    * [[knnGraph]] edges that are MUTUAL and at least `minIcos` similar —
+    * the standard robustification (one-directional edges chain unrelated
+    * regions through hubs; mutual edges don't). Every vector appears,
+    * singletons as their own cluster; labels are the component's min id,
+    * with the size alongside — the [[graft.operators.DedupOps.dedupClusters]]
+    * contract on the embedding side. The CC supersteps run at a partition
+    * count sized to the edge graph (O(k·n) edges, not corpus-sized). */
+  def knnClusters(embs: DataFrame, k: Int = 3, bits: Int = 4,
+                  minIcos: Long = 0L, vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val mutual = knnGraph(embs, k, bits, vecCol, idCol)
+      .filter(col("mutual") && col("icos") >= minIcos && col("src") < col("dst"))
+      .select(col("src"), col("dst")).localCheckpoint()
+    val spark = embs.sparkSession
+    val cc = PartitionOps.withShufflePartitions(spark, 8) {
+      graft.graph.GraphAlgorithms.connectedComponentsFast(
+          graft.graph.Graph(embs.select(col(idCol).as("vid")), mutual))
+        .localCheckpoint()
+    }
+    cc.withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("comp"))))
+      .select(col("vid").as(idCol), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
 }

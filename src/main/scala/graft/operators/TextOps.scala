@@ -598,6 +598,78 @@ object TextOps {
     (state, merges.toSeq)
   }
 
+  /** Per-source quality calibration: raw [[qualityScore]]s are comparable
+    * only WITHIN a source (a forum and an encyclopedia score on different
+    * scales), so cross-source gates must act on the per-source PERCENTILE.
+    * Each doc gets `cal_bp` = basis points of its source strictly below its
+    * score — floor(below·10000 / (n_src−1)), ties share a rank (no id
+    * tie-break: equal text quality must calibrate equally) — plus the
+    * cross-source `keep` gate at `keepBp`. Single-doc sources calibrate
+    * to 0 (no evidence either way; they pass only if keepBp ≤ 0).
+    *
+    * Shape at scale — deliberately NOT a per-source sort window (one task
+    * per source serializes a 100 TB source through one core): scores are
+    * quantized to the micro grid, counted per (source, q_micro), and the
+    * rank-below running sum runs over THAT grouped table — rows = distinct
+    * scores per source, bounded by the grid, orders smaller than the
+    * corpus — then broadcast-joins back. One corpus shuffle total. */
+  def calibrateQuality(docs: DataFrame, keepBp: Int = 2000,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       srcCol: String = "source"): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000, s"keepBp out of range: $keepBp")
+    val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      qualityScore(col(textCol)).as("q"))
+      .withColumn("q_micro", round(col("q") * 1e6).cast("long"))
+    val grid = scored.groupBy(col("source"), col("q_micro"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("q_micro"),
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("q_micro"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("below"),
+        sum(col("cnt")).over(Window.partitionBy(col("source"))).as("n_src"))
+      .withColumn("cal_bp",
+        expr("below * 10000 DIV greatest(n_src - 1, 1)"))
+    // no broadcast HINT on the grid: it is usually tiny (distinct scores
+    // per source), but adversarial data (all-unique scores) makes it
+    // corpus-sized — AQE broadcasts the common case and degrades to a
+    // shuffle join instead of an OOM on the pathological one
+    scored.join(grid.select(col("source"), col("q_micro"),
+        col("cal_bp")), Seq("source", "q_micro"))
+      .select(col("doc_id"), col("source"), col("q"), col("cal_bp"),
+        (col("cal_bp") >= keepBp).as("keep"))
+  }
+
+  /** Incoming-batch novelty vs the stored corpus: per batch doc, the share
+    * of its distinct k-gram hashes NOT present in the stored corpus's gram
+    * index — the continuous-ingest triage signal (novelty ≈ 0 → the batch
+    * re-crawls known content, spend dedup effort; novelty ≈ 1 → genuinely
+    * new text, spend quality effort). `novel_bp` is exact basis points
+    * (floor(novel·10000/total)). Docs shorter than k tokens carry no grams
+    * and are absent — the [[tokenGrams]] family convention (no evidence,
+    * not zero novelty).
+    *
+    * Shape: the stored side participates only as its distinct gram-hash
+    * index (stored once, probed per batch — the winnowing-incremental
+    * convention); the batch is tokenized once; one hash exchange on the
+    * gram hash for the LEFT JOIN probe, grouped counts ride the same
+    * clustering on doc_id. O(|batch grams| + probe hits), never
+    * corpus-rescanning. */
+  def batchNovelty(stored: DataFrame, batch: DataFrame, k: Int = 6,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val idx = tokenGrams(stored, textCol, idCol, k)
+      .select(stableHash(col("gram")).as("gh")).distinct()
+      .withColumn("known", lit(1))
+    val bg = tokenGrams(batch, textCol, idCol, k)
+      .select(col("doc_id"), stableHash(col("gram")).as("gh")).distinct()
+    bg.join(idx, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_bp", expr("n_novel * 10000 DIV n_grams"))
+  }
+
   /** Convenience: annotate a documents frame with the full signal set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -128,6 +128,26 @@ object Similarity extends QuerySet {
       SimilarityOps.topKProjected(all, all.filter(col("vec_id") % 100 === 0))
     }),
 
+    // the SEARCH-side use of the int8 storage shrink: integer-dot shortlist
+    // over SQ8 codes (native lldot kernel), exact full-precision rerank —
+    // the scalar-quantization rung of the approximation ladder next to the
+    // JL projection (dim shrink) and PQ (codebook shrink)
+    "sim_sq8_topk" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.sq8TopK(all, all.filter(col("vec_id") % 100 === 0))
+    }),
+
+    // blocked k-NN graph with mutual flags — the graph-ANN / semantic-
+    // clustering precursor; pair scan bounded by 4-bit LSH buckets, scores
+    // exact integer dots (no float fold anywhere in the ranking)
+    "sim_knn_graph" -> ((s, dir) =>
+      SimilarityOps.knnGraph(embs(s, dir), k = 3, bits = 4)),
+
+    // mutual-k-NN semantic clusters: connected components over the mutual,
+    // positively-similar knn edges; every vector labeled (singletons kept)
+    "sim_knn_clusters" -> ((s, dir) =>
+      SimilarityOps.knnClusters(embs(s, dir), k = 3, bits = 4, minIcos = 0L)),
+
     // product quantization: 4-byte codes per 64-dim vector (the standard
     // ANN compression — the corpus index stores codes, not floats)
     "sim_pq_encode" -> ((s, dir) =>
@@ -233,6 +253,42 @@ object Similarity extends QuerySet {
 
   private val VNorm =
     s"sqrt(list_aggregate(list_transform(range(64), i -> $E[i+1] * $E[i+1]), 'sum'))"
+
+  /** Mirror of SimilarityOps.scaledCodes: floor(x/‖x‖·scale) as BIGINTs,
+    * all-zero for the zero vector. */
+  private def CodesSql(scale: String) =
+    s"""CASE WHEN $VNorm > 0
+       |  THEN list_transform($E, x ->
+       |    CAST(floor(x / ($VNorm) * $scale) AS BIGINT))
+       |  ELSE list_transform($E, x -> CAST(0 AS BIGINT)) END""".stripMargin
+
+  /** [[Bucket]] generalized to `bits` sign planes (band 0 of the same
+    * md5-derived hyperplane family). */
+  private def BucketBits(bits: Int) =
+    s"""CAST(list_aggregate(list_transform(range($bits), p ->
+       |  CASE WHEN list_aggregate(list_transform(range(64), d ->
+       |    (${H("p || '_' || d")} % 2001 - 1000)
+       |      * CAST(round($E[d+1] * 1000000) AS BIGINT)), 'sum') > 0
+       |  THEN (CAST(1 AS BIGINT) << CAST(${bits - 1} - p AS INT)) ELSE 0 END),
+       |  'sum') AS BIGINT)""".stripMargin
+
+  /** Shared CTE chain for the k-NN graph family: bucket-bounded pair scan
+    * on micro-normalized integer codes, per-source top-k (`t`). */
+  private def KnnCtes(k: Int, bits: Int) =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, ${BucketBits(bits)} AS b,
+       |    ${CodesSql("1000000")} AS nc
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.id AS src, c.id AS dst,
+       |    CAST(list_aggregate(list_transform(range(64),
+       |      i -> a.nc[i+1] * c.nc[i+1]), 'sum') AS BIGINT) AS icos
+       |  FROM v a JOIN v c ON a.b = c.b AND a.id <> c.id),
+       |t AS (
+       |  SELECT src, dst, icos, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY icos DESC, dst) AS rank FROM p)
+       |  WHERE rank <= $k)""".stripMargin
 
   /** The MMR oracle is the greedy loop UNROLLED to k CTE rounds — same
     * integer scores (λ·relq − (1−λ)·maxsim over micro-cosine BIGINTs),
@@ -751,6 +807,63 @@ object Similarity extends QuerySet {
          |        i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) DESC, nid)
          |      AS rank
          |  FROM cand) WHERE rank <= 3""".stripMargin,
+
+    // SQ8 shortlist (integer code dots, floor grid), exact rerank — same
+    // rerank tail as sim_topk_projected
+    "sim_sq8_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e, $VNorm AS nrm,
+         |    ${CodesSql("127")} AS c
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.e AS qe, q.nrm AS qn,
+         |    c.e AS ce, c.nrm AS cn,
+         |    list_aggregate(list_transform(range(64),
+         |      i -> q.c[i+1] * c.c[i+1]), 'sum') AS iscore
+         |  FROM v q JOIN v c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+         |cand AS (
+         |  SELECT qid, nid, qe, qn, ce, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY iscore DESC, nid) AS prank FROM scored)
+         |  WHERE prank <= 10)
+         |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT qid, nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) AS cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) DESC, nid)
+         |      AS rank
+         |  FROM cand) WHERE rank <= 3""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""${KnnCtes(3, 4)}
+         |SELECT t.src, t.dst, CAST(t.rank AS INT) AS rank, t.icos,
+         |  (r.src IS NOT NULL) AS mutual
+         |FROM t LEFT JOIN (SELECT src, dst FROM t) r
+         |  ON r.src = t.dst AND r.dst = t.src""".stripMargin,
+
+    // mutual positive edges → symmetric closure → recursive reach → min-id
+    // label (the dedup-clusters oracle recursion on the embedding side)
+    "sim_knn_clusters" ->
+      s"""${KnnCtes(3, 4).replaceFirst("WITH v", "WITH RECURSIVE v")},
+         |me AS (
+         |  SELECT t.src, t.dst FROM t
+         |  JOIN (SELECT src, dst FROM t) r
+         |    ON r.src = t.dst AND r.dst = t.src
+         |  WHERE t.icos >= 0 AND t.src < t.dst),
+         |edges AS (
+         |  SELECT src AS a, dst AS b FROM me
+         |  UNION SELECT dst, src FROM me),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM v
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labeled AS (
+         |  SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT vec_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM labeled""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH n AS (

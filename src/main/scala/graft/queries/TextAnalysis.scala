@@ -207,6 +207,22 @@ object TextAnalysis extends QuerySet {
     "text_lexical_diversity" -> ((s, dir) =>
       TextOps.lexicalDiversity(docs(s, dir))),
 
+    // per-source quality percentile (basis points, ties share a rank) +
+    // the cross-source keep gate — raw quality scores are only comparable
+    // within a source; the rank-below sum runs over the grouped
+    // (source, score) grid, never a per-source sort of the corpus
+    "corpus_quality_calibrate" -> ((s, dir) =>
+      TextOps.calibrateQuality(docs(s, dir), keepBp = 2000)),
+
+    // continuous-ingest triage: per incoming-batch doc (doc_id % 10 = 0),
+    // the share of its distinct 6-gram hashes unseen in the stored corpus
+    // — the stored side participates only as its gram-hash index
+    "corpus_batch_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.batchNovelty(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    }),
+
     // per-domain cap (RefinedWeb-style source balancing): at most 10 docs
     // per source survive, chosen by md5 lottery; output labels every doc
     // so kept/dropped counts per domain fall out of one groupBy
@@ -266,7 +282,57 @@ object TextAnalysis extends QuerySet {
        |    WHERE c.pos IS NULL))""".stripMargin
   }
 
+  /** Mirror of TextOps.qualityScore (same expression the text_quality
+    * oracle inlines). */
+  private val QSql =
+    s"""round((
+       |    least(CAST(len($T) AS DOUBLE) / 50.0, 1.0) +
+       |    least(CAST(len(list_filter($T, x -> list_contains($StopList, x)))
+       |      AS DOUBLE) * 10.0 / len($T), 1.0) +
+       |    (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+       |      '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text),
+       |      1.0))) / 3.0, 6)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "corpus_quality_calibrate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, $QSql AS q,
+         |    CAST(round($QSql * 1000000) AS BIGINT) AS qm
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, qm, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM s GROUP BY source, qm),
+         |r AS (
+         |  SELECT source, qm,
+         |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY qm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |    SUM(cnt) OVER (PARTITION BY source) AS n_src
+         |  FROM g)
+         |SELECT s.doc_id, s.source, s.q,
+         |  CAST(below * 10000 // greatest(n_src - 1, 1) AS BIGINT) AS cal_bp,
+         |  (below * 10000 // greatest(n_src - 1, 1)) >= 2000 AS keep
+         |FROM s JOIN r ON s.source = r.source AND s.qm = r.qm""".stripMargin,
+
+    // grams/hashes exactly like the substring-dedup oracle (k=6, single-
+    // space joins, 60-bit md5-prefix hash); stored index = distinct hashes
+    // of the doc_id % 10 <> 0 side
+    "corpus_batch_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(
+         |    array_to_string(t[i+1:i+6], ' ')), 1, 15)) AS BIGINT) AS gh
+         |  FROM toks, unnest(range(len(t) - 5)) AS u(i)
+         |  WHERE len(t) >= 6),
+         |idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 <> 0),
+         |bg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 10 = 0)
+         |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN idx.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(CAST(SUM(CASE WHEN idx.gh IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 10000 // COUNT(*) AS BIGINT) AS novel_bp
+         |FROM bg LEFT JOIN idx ON bg.gh = idx.gh
+         |GROUP BY bg.doc_id""".stripMargin,
+
     // `//` = Spark's DIV: both engines integer-divide BIGINTs exactly
     "text_lexical_diversity" ->
       s"""WITH tf AS (

@@ -287,6 +287,49 @@ class PipelineOpsSpec extends SparkSpecBase {
     ld.unpersist()
   }
 
+  test("quality calibration: brute-force per-source percentile agreement, ties share ranks") {
+    val cal = TextOps.calibrateQuality(docs, keepBp = 2000).cache()
+    assert(cal.count() == docs.count(), "every doc labeled")
+    val rows = cal.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    rows.foreach { case (_, _, _, bp, keep) =>
+      assert(bp >= 0 && bp <= 10000 && keep == (bp >= 2000))
+    }
+    // brute force: basis points of the source strictly below the doc's score
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val qs = grp.map(r => math.round(r._3 * 1e6))
+      val n = qs.length.toLong
+      grp.foreach { case (id, src, q, bp, _) =>
+        val below = qs.count(_ < math.round(q * 1e6)).toLong
+        assert(bp == below * 10000 / math.max(n - 1, 1),
+          s"cal_bp mismatch for doc $id in $src")
+      }
+      // ties share: equal micro-score ⇒ equal cal_bp
+      grp.groupBy(r => math.round(r._3 * 1e6)).values.foreach(ties =>
+        assert(ties.map(_._4).distinct.length == 1))
+    }
+    cal.unpersist()
+  }
+
+  test("batch novelty: full copy scores 0, fresh text scores 10000, bounds hold") {
+    import spark.implicits._
+    val storedTexts = docs.orderBy(col("doc_id")).limit(5)
+      .collect().map(_.getAs[String]("text"))
+    val stored = storedTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val fresh = (0 until 12).map(i => s"zq$i").mkString(" ")
+    val batch = Seq((100L, storedTexts.head), (101L, fresh),
+      (102L, storedTexts.head + " " + fresh)).toDF("doc_id", "text")
+    val nv = TextOps.batchNovelty(stored, batch, k = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(nv(100L)._2 == 0 && nv(100L)._3 == 0, "verbatim copy must be 0-novel")
+    assert(nv(101L)._2 == nv(101L)._1 && nv(101L)._3 == 10000,
+      "fresh tokens must be fully novel")
+    val (g, n, bp) = nv(102L)
+    assert(n > 0 && n < g && bp == n * 10000 / g, "mixed doc is partially novel")
+  }
+
   test("projected topk with an exhaustive prefilter equals brute force") {
     // m >= corpus size means no candidate is pruned, so the exact rerank
     // must reproduce brute force row for row — the prefilter is then pure
@@ -299,6 +342,74 @@ class PipelineOpsSpec extends SparkSpecBase {
     val bf = SimilarityOps.topKBruteForce(embs, qs, 3)
       .select(col("qid"), col("nid"), col("rank"), col("cos"))
     assert(proj.exceptAll(bf).isEmpty && bf.exceptAll(proj).isEmpty)
+  }
+
+  test("sq8 topk with an exhaustive shortlist equals brute force") {
+    // m >= corpus size: no candidate pruned by the integer-code shortlist,
+    // so the exact rerank must reproduce brute force row for row
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val sq = SimilarityOps.sq8TopK(embs, qs, k = 3, m = embs.count().toInt)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val bf = SimilarityOps.topKBruteForce(embs, qs, 3)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("cos"))
+    assert(sq.exceptAll(bf).isEmpty && bf.exceptAll(sq).isEmpty)
+  }
+
+  test("knn graph: ranks bounded, mutual flag = reversed edge present, local icos mirror") {
+    val g = SimilarityOps.knnGraph(embs, k = 3, bits = 1).cache()
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.forall { case (s, d, rk, _, _) =>
+      s != d && rk >= 1 && rk <= 3 })
+    // at most k edges per src, ranks distinct within src
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.length <= 3 && es.map(_._3).distinct.length == es.length)
+    }
+    val edgeSet = rows.map(e => (e._1, e._2)).toSet
+    rows.foreach { case (s, d, _, _, m) =>
+      assert(m == edgeSet.contains((d, s)), s"mutual flag wrong for ($s,$d)")
+    }
+    // icos mirrors the local floor(x/nrm*1e6) integer dot for one edge
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def codes(v: Seq[Double]): Seq[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(x => math.floor(x / n * 1000000).toLong)
+      else v.map(_ => 0L)
+    }
+    val (s0, d0, _, icos0, _) = rows.minBy(e => (e._1, e._2))
+    val exp = codes(vecs(s0)).zip(codes(vecs(d0))).map { case (a, b) => a * b }.sum
+    assert(icos0 == exp, s"icos mismatch on ($s0,$d0)")
+    g.unpersist()
+  }
+
+  test("knn clusters: every vector labeled once, labels = union-find over mutual positive edges") {
+    val cl = SimilarityOps.knnClusters(embs, k = 3, bits = 1, minIcos = 0L)
+      .cache()
+    val n = embs.count()
+    assert(cl.count() == n && cl.select(col("vec_id")).distinct().count() == n)
+    // local union-find over the same mutual, icos>=0, src<dst edge set
+    val me = SimilarityOps.knnGraph(embs, k = 3, bits = 1)
+      .filter(col("mutual") && col("icos") >= 0 && col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    embs.select(col("vec_id")).collect().foreach(r =>
+      parent(r.getLong(0)) = r.getLong(0))
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    me.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expComp = parent.keys.map(v => v -> find(v)).toMap
+    val expSize = expComp.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    cl.collect().foreach { r =>
+      val (v, c, sz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(c == expComp(v), s"cluster label wrong for $v")
+      assert(sz == expSize(c), s"cluster size wrong for $v")
+    }
+    cl.unpersist()
   }
 
   test("random projection: layout-independent and exact against a local mirror") {
