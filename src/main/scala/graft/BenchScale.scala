@@ -48,7 +48,12 @@ object BenchScale {
     // flat-ADC baseline: the sf10 IVF-PQ comparison row
     "sim_pq_adc_topk",
     "dedup_paragraph_incremental", "corpus_curation_pipeline",
-    "sim_ivf_pq_pruned", "sim_random_projection", "sim_topk_projected")
+    "sim_ivf_pq_pruned", "sim_random_projection", "sim_topk_projected",
+    // round-10 continuation: SQ8 search, knn graph family, calibration,
+    // ingest novelty
+    "sim_sq8_topk", "sim_knn_graph", "sim_knn_clusters",
+    "corpus_quality_calibrate", "corpus_batch_novelty",
+    "text_keywords", "corpus_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -14,6 +14,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterate {
 
+  /** localCheckpoint cuts LINEAGE but PRESERVES the optimizer's
+    * size-in-bytes estimate of the plan it replaced — and a step whose plan
+    * joins `cur` against itself k times raises that estimate to the ^k
+    * every round. The estimate is an unbounded BigInt: after r rounds it
+    * has ~k^r digits, and around r ≈ 6–8 the DRIVER disappears into
+    * BigInteger.multiply inside plan estimation (observed: the knn-clusters
+    * CC at jump depth 2 hung the driver in ToomCook multiplication on
+    * ~10⁵-digit "row counts" while every executor sat idle; depth 1 loops
+    * merely converge before the melt-down). Stats carry no information
+    * here — the frame is already materialized — so once the estimate
+    * leaves any physically-possible range (2^96 bytes), rebuild the frame
+    * from its checkpointed RDD, which resets stats to the engine default.
+    * The guard keeps the common case free: the Row round-trip only ever
+    * runs after compounding is detected. */
+  private def statsSane(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 96) df
+    else df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Bulk iteration: repeat `step` until `maxIter` or until `converged`
     * (old, new) returns true. The convergence predicate launches extra jobs,
     * so it is only evaluated at checkpoint strides — a few overshoot rounds
@@ -26,7 +44,8 @@ object Iterate {
     var done = false
     while (i < maxIter && !done) {
       val atStride = (i + 1) % checkpointEvery == 0
-      val next = if (atStride) step(cur).localCheckpoint() else step(cur)
+      val next =
+        if (atStride) statsSane(step(cur).localCheckpoint()) else step(cur)
       if (atStride && converged(cur, next)) done = true
       cur = next
       i += 1

@@ -757,6 +757,46 @@ object SimilarityOps {
         expr(s"(tf * $scale) div df").as("w"))
   }
 
+  /** Per-document keyword extraction: the top-`k` most DISTINCTIVE bigram
+    * terms by tf-idf weight (weight desc, term asc — integer weights, so
+    * the ranking is engine-exact). The metadata-enrichment pass a corpus
+    * pipeline runs for topic routing / faceting; derives entirely from
+    * [[tfidfWeights]], so a run that already staged the weighted postings
+    * (the tfidf/bm25 convention) pays only one window here. Docs whose
+    * every term is df-capped (pure boilerplate) have no keywords — absent,
+    * the no-evidence convention. */
+  def keywords(docs: DataFrame, k: Int = 3, maxDfPct: Int = 18,
+               scale: Long = 10000,
+               precomputedWeights: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"keyword count must be >= 1: $k")
+    val w = precomputedWeights.getOrElse(tfidfWeights(docs, maxDfPct, scale))
+    w.withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("w").desc, col("tok").asc)).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding distribution drift between the stored corpus and an
+    * incoming batch — the ingest-monitoring counterpart of
+    * [[graft.operators.TextOps.batchNovelty]] on the vector side (an
+    * upstream encoder change shows up as per-dimension mean shift long
+    * before any downstream metric moves). Exact integer surface: per-dim
+    * micro-quantized means (Σ round(x·1e6) div n) for both sides plus the
+    * signed delta. One partial+final aggregation per side over the
+    * exploded (dim, value) stream — linear, no joins beyond the 64-row
+    * result merge. */
+  def embeddingDrift(stored: DataFrame, batch: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def dimMeans(df: DataFrame, as: String) = df
+      .select(posexplode(quantize(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(expr("CAST(SUM(x) AS BIGINT) DIV COUNT(1)").as(as))
+    dimMeans(stored, "stored_mean_micro")
+      .join(dimMeans(batch, "batch_mean_micro"), "dim")
+      .withColumn("drift_micro",
+        col("batch_mean_micro") - col("stored_mean_micro"))
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
                 scale: Long = 10000, queryMod: Long = 97,
                 precomputedWeights: Option[DataFrame] = None): DataFrame = {
@@ -1180,19 +1220,33 @@ object SimilarityOps {
     * count sized to the edge graph (O(k·n) edges, not corpus-sized). */
   def knnClusters(embs: DataFrame, k: Int = 3, bits: Int = 4,
                   minIcos: Long = 0L, vecCol: String = "embedding",
-                  idCol: String = "vec_id"): DataFrame = {
-    val mutual = knnGraph(embs, k, bits, vecCol, idCol)
+                  idCol: String = "vec_id",
+                  precomputedGraph: Option[DataFrame] = None): DataFrame = {
+    // the k-NN edge list is the expensive stage and is EXACTLY what
+    // [[knnGraph]] computes — a pipeline that materialized the graph
+    // passes it in instead of paying the bucket scan twice (the staged
+    // dedup-pairs convention)
+    val mutual = precomputedGraph.getOrElse(knnGraph(embs, k, bits, vecCol, idCol))
       .filter(col("mutual") && col("icos") >= minIcos && col("src") < col("dst"))
       .select(col("src"), col("dst")).localCheckpoint()
     val spark = embs.sparkSession
+    // CC iterates over PAIRED vertices only — mutual-kNN graphs are mostly
+    // singletons (every unpaired vector would otherwise ride every
+    // superstep's three joins for nothing; measured 9.3 s → the dominant
+    // term at sf0.1 before this cut). Singletons rejoin as their own
+    // cluster afterwards via one left join.
+    val paired = mutual.select(col("src").as("vid"))
+      .union(mutual.select(col("dst").as("vid"))).distinct()
     val cc = PartitionOps.withShufflePartitions(spark, 8) {
       graft.graph.GraphAlgorithms.connectedComponentsFast(
-          graft.graph.Graph(embs.select(col(idCol).as("vid")), mutual))
+          graft.graph.Graph(paired, mutual))
         .localCheckpoint()
     }
-    cc.withColumn("cluster_size", count(lit(1)).over(
-        Window.partitionBy(col("comp"))))
-      .select(col("vid").as(idCol), col("comp").as("cluster_id"),
-        col("cluster_size"))
+    embs.select(col(idCol).as("vid"))
+      .join(cc, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("comp"), col("vid")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+      .select(col("vid").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 }

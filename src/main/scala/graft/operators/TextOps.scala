@@ -618,9 +618,14 @@ object TextOps {
                        idCol: String = "doc_id",
                        srcCol: String = "source"): DataFrame = {
     require(keepBp >= 0 && keepBp <= 10000, s"keepBp out of range: $keepBp")
+    // scored feeds BOTH the grid aggregation and the probe side of the
+    // join — checkpoint the SLIM (id, source, q) rows so the regex-heavy
+    // quality pass runs once, not once per consumer (measured 2× the row
+    // cost when recomputed; the checkpoint carries no text)
     val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       qualityScore(col(textCol)).as("q"))
       .withColumn("q_micro", round(col("q") * 1e6).cast("long"))
+      .localCheckpoint()
     val grid = scored.groupBy(col("source"), col("q_micro"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("source"), col("q_micro"),

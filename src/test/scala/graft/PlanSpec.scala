@@ -331,6 +331,49 @@ class PlanSpec extends SparkSpecBase {
       s"group-rate table must broadcast:\n${pt.take(2000)}")
   }
 
+  test("sq8 topk: broadcast pair scan, keyed rerank joins, no cartesian") {
+    val p = plan("sim_sq8_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the n×q shortlist scan is the ONE nested loop (queries broadcast);
+    // the rerank re-attaches vectors through keyed/broadcast hash joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"exactly one broadcast pair scan expected:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"keyed rerank joins:\n${p.take(2000)}")
+  }
+
+  test("knn graph: bucket self-join and mutual probe are keyed, no cartesian or nested loop") {
+    // the query row reads the staged edge list (a scan); lock the BUILD
+    val p = operators.SimilarityOps.knnGraph(
+        Tables.load(spark, sfDir, "embeddings"), k = 3, bits = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph must never pair-scan unkeyed:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("quality calibration: rank runs over the grouped grid, probe join keyed") {
+    val p = plan("corpus_quality_calibrate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the percentile machinery aggregates the (source, score) grid BEFORE
+    // any window — a per-source sort of raw docs would show Window directly
+    // over the scan with no HashAggregate beneath it
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"grid aggregation (partial+final) expected:\n${p.take(2000)}")
+    assert("Window".r.findAllIn(p).length >= 1, p.take(2000))
+  }
+
+  test("batch novelty: gram-index probe is a keyed left join, no cartesian") {
+    val p = plan("corpus_batch_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen spans cover the TPC-H spine") {
     // AQE shows codegen spans only in the FINAL plan of THIS query
     // execution — collect() (count() would plan a different tree)
