@@ -53,7 +53,8 @@ object BenchScale {
     // ingest novelty
     "sim_sq8_topk", "sim_knn_graph", "sim_knn_clusters",
     "corpus_quality_calibrate", "corpus_batch_novelty",
-    "text_keywords", "corpus_embedding_drift")
+    "text_keywords", "corpus_embedding_drift",
+    "dedup_winnowing_containment")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -604,6 +604,33 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** MOSS-style containment report over the winnowing candidate pairs:
+    * each pair additionally carries, per side, shared fingerprints as
+    * basis points of that side's FULL sketch size — the asymmetric metric
+    * that separates "A is contained in B" (c1 high, c2 low: A is an
+    * excerpt of B) from mutual near-duplication (both high), which the
+    * symmetric n_shared count cannot. Shared counts are df-capped like
+    * the pair detector (boilerplate fingerprints don't vouch for
+    * containment); sketch sizes are the doc's full distinct-fp counts.
+    * Cost past the shared pair graph: one grouped count over the sketch +
+    * two candidate-bounded joins. */
+  def winnowingContainment(docs: DataFrame, k: Int = 4, w: Int = 4,
+                           minShared: Int = 2, maxDfPct: Int = 10,
+                           precomputedFps: Option[DataFrame] = None)
+      : DataFrame = {
+    val fps = precomputedFps
+      .getOrElse(TextOps.winnowFingerprints(docs, k, w))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    winnowingPairs(docs, k, w, minShared, maxDfPct,
+        precomputedFps = precomputedFps)
+      .join(sizes.select(col("doc_id").as("id1"), col("nf").as("nf1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("nf").as("nf2")), "id2")
+      .select(col("id1"), col("id2"), col("n_shared"),
+        expr("n_shared * 10000 DIV nf1").as("c1_bp"),
+        expr("n_shared * 10000 DIV nf2").as("c2_bp"))
+  }
+
   /** Incremental winnowing (continuous-ingest member of the winnowing
     * family, completing the incremental set next to minhash / semantic /
     * substring): ONLY the incoming batch is tokenized and sketched; the

@@ -223,6 +223,15 @@ object Dedup extends QuerySet {
           precomputedFps = Some(winnowFps(s, dir)))
       }),
 
+    // MOSS containment report: per candidate pair, shared fps as basis
+    // points of EACH side's sketch — excerpt-of vs mutual near-dup; same
+    // staged sketch as the pair detector
+    "dedup_winnowing_containment" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.winnowingContainment(docs(s, dir),
+          precomputedFps = Some(winnowFps(s, dir)))
+      }),
+
     // continuous-ingest winnowing: only the doc_id % 3 == 0 batch is
     // tokenized; the stored corpus is probed as its fingerprint index
     // (winnowing is doc-local, so the staged sketch filtered to the
@@ -972,6 +981,42 @@ object Dedup extends QuerySet {
          |  CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // pairs CTEs + per-doc sketch sizes; `//` mirrors Spark's DIV on the
+    // non-negative counts
+    "dedup_winnowing_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 15) ||
+         |      lpad(CAST(99999999 - i AS VARCHAR), 8, '0') AS hk
+         |  FROM toks, unnest(range(len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |wsel AS (
+         |  SELECT doc_id, COUNT(*) OVER fr AS n_in, MIN(hk) OVER fr AS sel
+         |  FROM g WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(concat('0x', substr(sel, 1, 15)) AS BIGINT) AS fp
+         |  FROM wsel WHERE n_in = 4),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+         |       FROM fps GROUP BY doc_id),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |kept AS (
+         |  SELECT fp FROM fps, n GROUP BY fp, n.n
+         |  HAVING COUNT(*) * 100 <= n.n * 10),
+         |p AS (SELECT doc_id, fp FROM fps JOIN kept USING (fp)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT id1, id2, n_shared,
+         |  CAST(n_shared * 10000 // s1.nf AS BIGINT) AS c1_bp,
+         |  CAST(n_shared * 10000 // s2.nf AS BIGINT) AS c2_bp
+         |FROM pairs JOIN sz s1 ON s1.doc_id = id1
+         |           JOIN sz s2 ON s2.doc_id = id2""".stripMargin,
 
     // same winnowing CTEs split by side: new (id%3=0) probes old
     // (id%3<>0); df cap over the STORED corpus only

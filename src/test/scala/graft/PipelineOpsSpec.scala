@@ -330,6 +330,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(n > 0 && n < g && bp == n * 10000 / g, "mixed doc is partially novel")
   }
 
+  test("winnowing containment: excerpt is asymmetric, bounds hold, full dup symmetric") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val excerpt = (0 until 30).map(i => s"w$i").mkString(" ")
+    val full = excerpt + " " + (100 until 160).map(i => s"w$i").mkString(" ")
+    val corpus = (Seq((1L, excerpt), (2L, full), (3L, excerpt)) ++
+      (10L until 40L).map(i => i -> (0 until 25).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ct = DedupOps.winnowingContainment(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    ct.values.foreach { case (_, c1, c2) =>
+      assert(c1 >= 0 && c1 <= 10000 && c2 >= 0 && c2 <= 10000)
+    }
+    // excerpt (1) inside full (2): side-1 containment strictly larger
+    // (not exactly 10000 — windows crossing the excerpt boundary may
+    // select differently in the longer doc; asymmetry is the claim)
+    val (_, c1, c2) = ct((1L, 2L))
+    assert(c1 > c2, s"excerpt side must contain more: $c1 vs $c2")
+    // verbatim duplicate (1,3): symmetric and total
+    val (_, d1, d2) = ct((1L, 3L))
+    assert(d1 == 10000 && d2 == 10000)
+  }
+
   test("projected topk with an exhaustive prefilter equals brute force") {
     // m >= corpus size means no candidate is pruned, so the exact rerank
     // must reproduce brute force row for row — the prefilter is then pure
