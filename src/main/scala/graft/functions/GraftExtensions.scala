@@ -33,6 +33,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_lsh_bands"), LshBandBuckets.info,
         GraftExtensions.buildLshBands _))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_sqcodes"), SqCodes.info,
+        GraftExtensions.buildSqCodes _))
   }
 }
 
@@ -49,6 +52,16 @@ object GraftExtensions {
     LshBandBuckets(children(0), intLit(children(1), "bands"),
       intLit(children(2), "bits"), intLit(children(3), "dim"))
   }
+
+  /** graft_sqcodes(vec, scale) — scale must be an int literal (baked into
+    * the generated loop). */
+  private[functions] def buildSqCodes(children: Seq[Expression]): SqCodes =
+    children(1) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        SqCodes(children(0), v)
+      case other => throw new IllegalArgumentException(
+        s"graft_sqcodes: scale must be an int literal, got $other")
+    }
 
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -80,6 +93,10 @@ object GraftExtensions {
     val lshId = FunctionIdentifier("graft_lsh_bands")
     if (!reg.functionExists(lshId)) {
       reg.registerFunction(lshId, LshBandBuckets.info, buildLshBands _)
+    }
+    val sqId = FunctionIdentifier("graft_sqcodes")
+    if (!reg.functionExists(sqId)) {
+      reg.registerFunction(sqId, SqCodes.info, buildSqCodes _)
     }
   }
 }

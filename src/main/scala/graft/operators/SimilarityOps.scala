@@ -1119,14 +1119,12 @@ object SimilarityOps {
     * integer-dot kernel: code_i = floor(x_i / ‖x‖ · scale) (all-zero for the
     * zero vector). floor — not round — keeps codes bit-identical across
     * engines (the [[normalizeQuantize]] convention); `scale = 127` is the
-    * int8 storage grid, `scale = 1e6` the micro-cosine grid. */
-  private def scaledCodes(vec: Column, scale: Int): Column = {
-    val ad = vec.cast("array<double>")
-    val nrm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    when(nrm > 0,
-        transform(ad, x => floor(x / nrm * scale).cast("long")))
-      .otherwise(transform(ad, _ => lit(0L)))
-  }
+    * int8 storage grid, `scale = 1e6` the micro-cosine grid. Computed by
+    * the native [[graft.functions.SqCodes]] expression — the HOF form
+    * (aggregate norm fold + transform) is interpreted and measured
+    * ~200 µs/vector, 40 s of pure per-row overhead on the sf10 knn build. */
+  private def scaledCodes(vec: Column, scale: Int): Column =
+    call_function("graft_sqcodes", vec.cast("array<double>"), lit(scale))
 
   /** SQ8 ANN: the search-side use of the [[normalizeQuantize]] storage
     * shrink. The corpus index is int8 codes (floor(x/‖x‖·127) — 8× smaller
@@ -1169,6 +1167,57 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** IVF-composed SQ8 search (FAISS IVF-SQ shape) — the scale path for
+    * [[sq8TopK]], whose flat scan is O(corpus) per query by definition:
+    * the coarse quantizer bounds WHICH vectors are scored (nprobe of
+    * `cells`), the int8 codes bound what a score COSTS (one integer dot on
+    * the native kernel, 8× less memory traffic than doubles), and the
+    * top-`m` survivors get the exact rerank. Same two approximation knobs
+    * as IVF-PQ, trading the codebook for the scalar grid — simpler codes,
+    * exact shortlist ordering within the probed cells. */
+  def ivfSq8TopK(embs: DataFrame, queryPred: Column, k: Int = 3, m: Int = 10,
+                 cells: Int = 16, nprobe: Int = 4,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && m >= k && cells >= 1 && nprobe >= 1 && nprobe <= cells,
+      s"invalid ivf-sq8 shape: k=$k m=$m cells=$cells nprobe=$nprobe")
+    val seeds = embs.filter(col(idCol) < cells)
+    val c = ivfAssign(embs, seeds, vecCol, idCol)
+      .select(col("nid"), col("cell"), scaledCodes(col("v"), 127).as("cc"))
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qcells = embs.filter(queryPred)
+      .select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"),
+        scaledCodes(col(vecCol), 127).as("qc"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qc"), col("cid").as("qcell"))
+    // slim integer shortlist within the probed cells, exact rerank tail —
+    // the sq8TopK shape with the candidate set cell-bounded
+    val cand = c.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), lldot(col("qc"), col("cc")).as("iscore"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid"))))
+      .filter(col("prank") <= m)
+    val cv = embs.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val qv = embs.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        l2norm(col(vecCol)).as("qn"))
+    cand.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   // ---- k-NN graph -----------------------------------------------------------
 
   /** Blocked k-NN graph construction — the precursor of graph-ANN indexes
@@ -1190,11 +1239,27 @@ object SimilarityOps {
                idCol: String = "vec_id"): DataFrame = {
     require(k >= 1 && bits >= 1 && bits <= 16,
       s"invalid knn-graph shape: k=$k bits=$bits")
+    // materialize the coded rows ONCE (both join sides read them; the
+    // bucket + code expressions are interpreted HOF folds), and pin the
+    // bucket exchange to an EXPLICIT partition count: a bare
+    // repartition(col) on the slim checkpointed input lets AQE coalesce it
+    // to ~1 partition by INPUT size — but this join's output is
+    // input²/2^bits, so the coalesce serializes the pair scan and the
+    // top-k window behind it (sf10 measured: builds flat at 130–300 s for
+    // ANY bits; with the pinned count the window scales with pair volume —
+    // 90.7 s at bits=8, 8.6 s at bits=10). Join fan-out is invisible to
+    // input-sized coalescing; the explicit count is load-bearing.
+    val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
+    // bucket via the native graft_lsh_bands kernel (bands=1 ≡ band 0 of
+    // the same family): the per-plane literal-array form runs interpreted
+    // at this width — sf10 coded pass measured 43 s before, per-vector
+    // work, all of it avoidable
     val coded = embs.select(col(idCol).as("id"),
-      lshBucketBand(col(vecCol), 0, bits).as("bucket"),
+      lshBandBucketsAll(col(vecCol), 1, bits).getItem(0).as("bucket"),
       scaledCodes(col(vecCol), 1000000).as("nc"))
-    val a = coded.toDF("src", "bucket", "anc").repartition(col("bucket"))
-    val b = coded.toDF("dst", "bucket", "bnc").repartition(col("bucket"))
+      .localCheckpoint()
+    val a = coded.toDF("src", "bucket", "anc").repartition(parts, col("bucket"))
+    val b = coded.toDF("dst", "bucket", "bnc").repartition(parts, col("bucket"))
     val edges = a.join(b, Seq("bucket"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), lldot(col("anc"), col("bnc")).as("icos"))

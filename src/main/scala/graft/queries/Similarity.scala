@@ -127,6 +127,13 @@ object Similarity extends QuerySet {
         .select(col("qid"), col("nid"), col("label"), col("rank"), col("cos"))
     }),
 
+    // IVF-composed SQ8 (FAISS IVF-SQ shape): the scale path for the flat
+    // sq8 scan — cells bound WHICH vectors are scored, int8 codes bound
+    // what a score costs, exact rerank on the top-m
+    "sim_ivf_sq8_topk" -> ((s, dir) =>
+      SimilarityOps.ivfSq8TopK(embs(s, dir), col("vec_id") % 100 === 0,
+        k = 3, m = 10, cells = 16, nprobe = 4)),
+
     // cluster-balanced resampling: cap each IVF cell at 25 vectors by md5
     // lottery — dominant embedding-space modes shrink, rare modes survive
     // (the coverage-preserving curation companion of SemDeDup)
@@ -716,6 +723,51 @@ object Similarity extends QuerySet {
          |  SELECT qid, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // same assignment CTEs as sim_topk_ivf_probe, carrying the SQ8 codes;
+    // integer-dot shortlist (m=10) within the probed cells, exact rerank
+    "sim_ivf_sq8_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm, ${CodesSql("127")} AS c
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, v.e, v.nrm, v.c, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rk FROM assign),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, c, cid AS cell FROM ranked WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, c, cid AS cell FROM ranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |sl AS (
+         |  SELECT q.vec_id AS qid, cc.vec_id AS nid,
+         |    list_aggregate(list_transform(range(64),
+         |      i -> q.c[i+1] * cc.c[i+1]), 'sum') AS iscore
+         |  FROM qcells q JOIN cells cc
+         |    ON q.vec_id <> cc.vec_id AND q.cell = cc.cell),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY iscore DESC, nid) AS pr FROM sl) WHERE pr <= 10)
+         |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT d.qid, d.nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> qv.e[i+1] * cv.e[i+1]), 'sum') / (qv.nrm * cv.nrm), 6)
+         |      AS cos,
+         |    row_number() OVER (PARTITION BY d.qid ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> qv.e[i+1] * cv.e[i+1]), 'sum') / (qv.nrm * cv.nrm), 6)
+         |      DESC, d.nid) AS rank
+         |  FROM cand d JOIN v qv ON qv.vec_id = d.qid
+         |              JOIN v cv ON cv.vec_id = d.nid) WHERE rank <= 3""".stripMargin,
 
     // pruned-index mirror: corpus cells via the two-level assignment
     // (supers = 4 smallest-id seeds; per-vector 2-super shortlist; exact

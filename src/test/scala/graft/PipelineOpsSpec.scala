@@ -380,6 +380,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sq.exceptAll(bf).isEmpty && bf.exceptAll(sq).isEmpty)
   }
 
+  test("ivf-sq8 with one cell and an exhaustive shortlist equals brute force") {
+    // cells=1: every vector lands in the lone cell, so the probe sees the
+    // full corpus; m=corpus removes the shortlist prune — the composed
+    // index must then reproduce brute force row for row
+    val pred = col("vec_id") % 100 === 0
+    val ivf = SimilarityOps.ivfSq8TopK(embs, pred, k = 3,
+      m = embs.count().toInt, cells = 1, nprobe = 1)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val bf = SimilarityOps.topKBruteForce(embs, embs.filter(pred), 3)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("cos"))
+    assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
+  }
+
   test("knn graph: ranks bounded, mutual flag = reversed edge present, local icos mirror") {
     val g = SimilarityOps.knnGraph(embs, k = 3, bits = 1).cache()
     val rows = g.collect().map(r => (r.getLong(0), r.getLong(1),

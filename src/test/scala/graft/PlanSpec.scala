@@ -331,6 +331,15 @@ class PlanSpec extends SparkSpecBase {
       s"group-rate table must broadcast:\n${pt.take(2000)}")
   }
 
+  test("ivf-sq8: cell join keyed via broadcast probe, no cartesian") {
+    val p = plan("sim_ivf_sq8_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested loops are the one-row/seed-table broadcast attaches
+    // (query × seeds shortlist); candidate scoring joins on cell equality
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"keyed cell join expected:\n${p.take(2000)}")
+  }
+
   test("sq8 topk: broadcast pair scan, keyed rerank joins, no cartesian") {
     val p = plan("sim_sq8_topk")
     assert(!p.contains("CartesianProduct"), p.take(2000))
