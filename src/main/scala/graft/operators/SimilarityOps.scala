@@ -903,11 +903,10 @@ object SimilarityOps {
     * (flink-libraries/flink-table/src/main/scala/org/apache/flink/table/
     * functions/utils/UserDefinedFunctionUtils.scala pattern); BM25 itself
     * per Robertson et al., TREC-3. */
-  def bm25TopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
-               queryMod: Long = 97,
-               precomputedTf: Option[DataFrame] = None): DataFrame = {
-    require(k >= 1 && maxDfPct >= 1 && maxDfPct <= 100 && queryMod >= 2,
-      s"invalid bm25 shape: k=$k maxDfPct=$maxDfPct queryMod=$queryMod")
+  /** The BM25-weighted postings (doc_id, tok, w) — factored so the
+    * ranker and the pseudo-relevance-feedback pass share one build. */
+  private def bm25Postings(docs: DataFrame, maxDfPct: Int,
+                           precomputedTf: Option[DataFrame]): DataFrame = {
     // tf feeds doc-lengths, document frequencies AND the postings join —
     // materialize (or accept the caller's staged copy) so the
     // tokenize+explode scan runs once
@@ -922,12 +921,20 @@ object SimilarityOps {
       .filter(col("df") * 100 <= col("n") * maxDfPct)
       .select(col("tok"),
         expr("least(((n - df) * 1000) div df, 1000000000L)").as("idf_i"))
-    val post = tf.join(dfreq, "tok").join(dl, "doc_id")
+    tf.join(dfreq, "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats.select(col("avg_q"))))
       .select(col("doc_id"), col("tok"),
         (col("idf_i") *
           expr("(22 * avg_q * tf * 10000) div " +
                "(10 * avg_q * tf + 3 * avg_q + 9000 * dl)")).as("w"))
+  }
+
+  def bm25TopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
+               queryMod: Long = 97,
+               precomputedTf: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && maxDfPct >= 1 && maxDfPct <= 100 && queryMod >= 2,
+      s"invalid bm25 shape: k=$k maxDfPct=$maxDfPct queryMod=$queryMod")
+    val post = bm25Postings(docs, maxDfPct, precomputedTf)
     val q = post.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
     val scores = q
@@ -939,6 +946,104 @@ object SimilarityOps {
       .orderBy(col("score_i").desc, col("nid").asc)
     scores.withColumn("rank", row_number().over(win).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** BM25 with pseudo-relevance feedback (RM3-style query expansion,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel RM3): run BM25, treat the top-f
+    * results as relevant, harvest the top-e terms of those feedback docs
+    * (by summed BM25 weight, excluding terms the query already has), then
+    * re-score with the expanded term set — original terms weighted
+    * `lambdaPct`, expansion terms `100 − lambdaPct`. Recovers relevant
+    * docs sharing NO term with the query (the vocabulary-mismatch fix
+    * every lexical stack ships).
+    *
+    * Exactness: weights are the bm25 BIGINTs, mixing weights integers,
+    * expansion selection tie-broken (Σw desc, term asc) — both engines
+    * pick identical expansions and scores. Shape: one more
+    * candidate-bounded postings probe than plain BM25 (feedback docs are
+    * f·q rows; expansion terms e·q rows); the postings build is shared
+    * via [[bm25Postings]] and the staged tf. */
+  def bm25Prf(docs: DataFrame, k: Int = 5, feedbackDocs: Int = 3,
+              expandTerms: Int = 5, lambdaPct: Int = 70,
+              maxDfPct: Int = 18, queryMod: Long = 97,
+              precomputedTf: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && feedbackDocs >= 1 && expandTerms >= 1 &&
+        lambdaPct >= 1 && lambdaPct <= 99 && queryMod >= 2,
+      s"invalid prf shape: k=$k f=$feedbackDocs e=$expandTerms λ=$lambdaPct")
+    val mu = 100 - lambdaPct
+    // postings feed 4 consumers (query terms, pass-1 scoring, feedback
+    // harvest, pass-2 scoring) — materialize once
+    val post = bm25Postings(docs, maxDfPct, precomputedTf).localCheckpoint()
+    val qTerms = post.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
+    // pass 1: plain bm25 over the shared postings
+    val pass1 = qTerms
+      .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("w")).as("score_i"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_i").desc, col("nid"))))
+    val feedback = pass1.filter(col("rank") <= feedbackDocs)
+      .select(col("qid"), col("nid"))
+    // expansion terms: top-e by summed weight across the feedback docs,
+    // excluding terms the query already carries
+    val expansion = feedback
+      .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "nid")
+      .join(qTerms, Seq("qid", "tok"), "left_anti")
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(col("w")).as("fw"))
+      .withColumn("erank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("fw").desc, col("tok"))))
+      .filter(col("erank") <= expandTerms)
+      .select(col("qid"), col("tok"), lit(mu.toLong).as("mixw"))
+    val terms = qTerms.select(col("qid"), col("tok"),
+      lit(lambdaPct.toLong).as("mixw")).unionByName(expansion)
+    // pass 2: expanded scoring
+    terms
+      .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("mixw") * col("w")).as("score_i"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_i").desc, col("nid"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hybrid lexical + dense retrieval with reciprocal-rank fusion
+    * (Cormack et al. 2009): BM25 top-k over the documents and cosine
+    * top-k over their embeddings (row i of `embeddings` is the embedding
+    * of document i — the fixture's parallel-table convention), fused per
+    * (query, candidate) by Σ 10⁶ div (rrfK + rank) — exact integers, a
+    * side that didn't return the candidate contributes 0. The standard
+    * production retrieval shape: lexical recall catches what the encoder
+    * misses and vice versa, and RRF needs no score calibration between
+    * the two systems (only ranks cross the boundary — which is also why
+    * it composes with ANY of the ANN paths here unchanged).
+    *
+    * Scale: both rankers are the existing staged/bounded shapes; the
+    * fusion itself is a full-outer join of two k·q-row lists + one
+    * window — candidate-bounded, never corpus-sized. */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, k: Int = 5,
+                queryMod: Long = 100, rrfK: Int = 60,
+                precomputedTf: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && rrfK >= 1 && queryMod >= 2,
+      s"invalid rrf shape: k=$k rrfK=$rrfK queryMod=$queryMod")
+    val lex = bm25TopK(docs, k, queryMod = queryMod,
+        precomputedTf = precomputedTf)
+      .select(col("qid"), col("nid"), col("rank").as("lex_rank"))
+    val den = topKBruteForce(embs, embs.filter(col("vec_id") % queryMod === 0), k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("dense_rank"))
+    lex.join(den, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"), col("lex_rank"), col("dense_rank"),
+        (coalesce(expr(s"1000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($rrfK + dense_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_micro").desc, col("nid"))).cast("int"))
   }
 
   /** Contrastive pair mining over the embedding corpus: for each query

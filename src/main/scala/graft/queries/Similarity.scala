@@ -264,6 +264,26 @@ object Similarity extends QuerySet {
           precomputedTf = Some(bigramTf(s, dir)))
       }),
 
+    // BM25 + pseudo-relevance feedback (RM3 expansion): top-3 feedback
+    // docs donate their top-5 terms (Σw desc, term asc — engine-exact),
+    // second pass mixes original 70 / expansion 30; shared staged postings
+    "sim_bm25_prf" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        SimilarityOps.bm25Prf(Tables.load(s, dir, "documents"),
+          precomputedTf = Some(bigramTf(s, dir)))
+      }),
+
+    // hybrid retrieval: BM25 over documents + dense cosine over their
+    // embeddings (row i of embeddings embeds document i), fused by
+    // reciprocal-rank fusion — only RANKS cross the system boundary, so
+    // no score calibration; reuses the staged bigram postings
+    "sim_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        SimilarityOps.hybridRrf(Tables.load(s, dir, "documents"),
+          embs(s, dir), k = 5, queryMod = 100,
+          precomputedTf = Some(bigramTf(s, dir)))
+      }),
+
     // contrastive pair mining: per query, top-k same-label positives AND
     // top-k different-label hard negatives — broadcast query set × one
     // corpus scan, the label test rides inside the join
@@ -529,6 +549,144 @@ object Similarity extends QuerySet {
            |SELECT qid, nid, score_i, CAST(row_number() OVER (
            |  PARTITION BY qid ORDER BY score_i DESC, nid) AS INT) AS rank
            |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // bm25 CTEs + RM3 steps: pass-1 topf feedback, top-e expansion terms
+    // (Σw desc, tok asc), 70/30 mixed second pass
+    "sim_bm25_prf" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, unnest(
+           |      CASE WHEN len(t) >= 2
+           |        THEN list_transform(range(len(t) - 1),
+           |          i -> t[i+1] || ' ' || t[i+2])
+           |        ELSE [array_to_string(t, ' ')] END) AS tok
+           |    FROM toks) GROUP BY 1, 2),
+           |dl AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           |  FROM tf GROUP BY doc_id),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST((SUM(dl) * 1000) // COUNT(*) AS BIGINT) AS avg_q
+           |  FROM dl),
+           |dfreq AS (
+           |  SELECT tok,
+           |    CAST(LEAST(((n - df) * 1000) // df, 1000000000) AS BIGINT)
+           |      AS idf_i
+           |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           |        FROM tf GROUP BY tok) CROSS JOIN stats
+           |  WHERE df * 100 <= n * 18),
+           |post AS (
+           |  SELECT t.doc_id, t.tok,
+           |    CAST(f.idf_i * ((22 * s.avg_q * t.tf * 10000) //
+           |      (10 * s.avg_q * t.tf + 3 * s.avg_q + 9000 * d.dl))
+           |      AS BIGINT) AS w
+           |  FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id)
+           |  CROSS JOIN stats s),
+           |qt AS (SELECT doc_id AS qid, tok FROM post WHERE doc_id % 97 = 0),
+           |p1 AS (
+           |  SELECT qt.qid, p.doc_id AS nid, CAST(SUM(p.w) AS BIGINT)
+           |    AS score_i
+           |  FROM qt JOIN post p USING (tok) WHERE qt.qid <> p.doc_id
+           |  GROUP BY 1, 2),
+           |fb AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score_i DESC, nid) AS r FROM p1) WHERE r <= 3),
+           |exp0 AS (
+           |  SELECT fb.qid, p.tok, CAST(SUM(p.w) AS BIGINT) AS fw
+           |  FROM fb JOIN post p ON p.doc_id = fb.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM qt
+           |    WHERE qt.qid = fb.qid AND qt.tok = p.tok)
+           |  GROUP BY 1, 2),
+           |expn AS (
+           |  SELECT qid, tok, CAST(30 AS BIGINT) AS mixw FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY fw DESC, tok) AS er FROM exp0) WHERE er <= 5),
+           |terms AS (
+           |  SELECT qid, tok, CAST(70 AS BIGINT) AS mixw FROM qt
+           |  UNION ALL SELECT qid, tok, mixw FROM expn),
+           |p2 AS (
+           |  SELECT t.qid, p.doc_id AS nid,
+           |    CAST(SUM(t.mixw * p.w) AS BIGINT) AS score_i
+           |  FROM terms t JOIN post p USING (tok) WHERE t.qid <> p.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT qid, nid, score_i, CAST(row_number() OVER (
+           |  PARTITION BY qid ORDER BY score_i DESC, nid) AS INT) AS rank
+           |FROM p2 QUALIFY rank <= 5""".stripMargin,
+
+    // bm25 CTEs at queryMod=100 + brute-force dense CTEs, full-outer
+    // fused by Σ 10^6 // (60 + rank); absent side contributes 0
+    "sim_hybrid_rrf" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, unnest(
+           |      CASE WHEN len(t) >= 2
+           |        THEN list_transform(range(len(t) - 1),
+           |          i -> t[i+1] || ' ' || t[i+2])
+           |        ELSE [array_to_string(t, ' ')] END) AS tok
+           |    FROM toks) GROUP BY 1, 2),
+           |dl AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           |  FROM tf GROUP BY doc_id),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST((SUM(dl) * 1000) // COUNT(*) AS BIGINT) AS avg_q
+           |  FROM dl),
+           |dfreq AS (
+           |  SELECT tok,
+           |    CAST(LEAST(((n - df) * 1000) // df, 1000000000) AS BIGINT)
+           |      AS idf_i
+           |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           |        FROM tf GROUP BY tok) CROSS JOIN stats
+           |  WHERE df * 100 <= n * 18),
+           |post AS (
+           |  SELECT t.doc_id, t.tok,
+           |    CAST(f.idf_i * ((22 * s.avg_q * t.tf * 10000) //
+           |      (10 * s.avg_q * t.tf + 3 * s.avg_q + 9000 * d.dl))
+           |      AS BIGINT) AS w
+           |  FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id)
+           |  CROSS JOIN stats s),
+           |bq AS (SELECT doc_id AS qid, tok FROM post WHERE doc_id % 100 = 0),
+           |sc AS (
+           |  SELECT bq.qid, p.doc_id AS nid, CAST(SUM(p.w) AS BIGINT) AS score_i
+           |  FROM bq JOIN post p USING (tok) WHERE bq.qid <> p.doc_id
+           |  GROUP BY 1, 2),
+           |lex AS (
+           |  SELECT qid, nid, CAST(rank AS INT) AS lex_rank FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score_i DESC, nid) AS rank FROM sc)
+           |  WHERE rank <= 5),
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> x * x), 'sum')) AS nrm
+           |  FROM embeddings),
+           |den AS (
+           |  SELECT qid, nid, CAST(rank AS INT) AS dense_rank FROM (
+           |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(list_aggregate(list_transform(range(64),
+           |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+           |        DESC, c.vec_id) AS rank
+           |    FROM v q JOIN v c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5)
+           |SELECT COALESCE(l.qid, d.qid) AS qid, COALESCE(l.nid, d.nid) AS nid,
+           |  l.lex_rank, d.dense_rank,
+           |  CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
+           |       COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT)
+           |    AS rrf_micro,
+           |  CAST(row_number() OVER (PARTITION BY COALESCE(l.qid, d.qid)
+           |    ORDER BY COALESCE(1000000 // (60 + l.lex_rank), 0) +
+           |             COALESCE(1000000 // (60 + d.dense_rank), 0) DESC,
+           |             COALESCE(l.nid, d.nid)) AS INT) AS rank
+           |FROM lex l FULL OUTER JOIN den d
+           |  ON l.qid = d.qid AND l.nid = d.nid""".stripMargin,
 
     "sim_contrastive_pairs" ->
       s"""WITH v AS (

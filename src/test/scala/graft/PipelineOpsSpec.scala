@@ -380,6 +380,58 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sq.exceptAll(bf).isEmpty && bf.exceptAll(sq).isEmpty)
   }
 
+  test("bm25 prf: expansion recovers a doc sharing no term with the query") {
+    import spark.implicits._
+    // query (id 0 ≡ 0 mod 97) shares "x y" with the bridge doc; the target
+    // doc has ONLY the bridge's other vocabulary — invisible to plain
+    // bm25, reachable through the feedback expansion
+    val corpus = (Seq(
+      0L -> "x y x y x y",
+      1L -> "x y q r q r",
+      2L -> "q r q r q r") ++
+      (10L until 40L).map(i => i -> s"f$i g$i f$i g$i")).toDF("doc_id", "text")
+    val plain = SimilarityOps.bm25TopK(corpus, k = 5)
+      .filter(col("qid") === 0).collect().map(_.getLong(1)).toSet
+    val prf = SimilarityOps.bm25Prf(corpus, k = 5)
+      .filter(col("qid") === 0).collect()
+    assert(!plain.contains(2L), "plain bm25 cannot see the no-shared-term doc")
+    assert(prf.map(_.getLong(1)).contains(2L),
+      s"prf must recover doc 2 via expansion: ${prf.mkString(",")}")
+    // ranks contiguous from 1, scores non-increasing
+    val ranks = prf.map(_.getInt(3)).sorted
+    assert(ranks.head == 1 && ranks.sameElements(1 to ranks.length))
+    assert(prf.sortBy(_.getInt(3)).map(_.getLong(2)).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("hybrid rrf: fusion equals the integer rank formula over the two lists") {
+    val out = SimilarityOps.hybridRrf(docs, embs, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(3)).map(_.asInstanceOf[Int]),
+          r.getLong(4), r.getInt(5))).toMap
+    val lex = SimilarityOps.bm25TopK(docs, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val den = SimilarityOps.topKBruteForce(embs,
+        embs.filter(col("vec_id") % 100 === 0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getInt(r.fieldIndex("rank"))).toMap
+    assert(out.keySet == lex.keySet ++ den.keySet, "union of both lists")
+    out.foreach { case (key, (lr, dr, micro, _)) =>
+      assert(lr == lex.get(key) && dr == den.get(key))
+      val exp = lr.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        dr.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(micro == exp, s"rrf_micro mismatch at $key")
+    }
+    // fused ranks are a permutation of 1..n per query, ordered by score
+    out.groupBy(_._1._1).foreach { case (_, g) =>
+      val byRank = g.values.toSeq.sortBy(_._4)
+      assert(byRank.map(_._4) == (1 to g.size))
+      assert(byRank.map(_._3).sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("ivf-sq8 with one cell and an exhaustive shortlist equals brute force") {
     // cells=1: every vector lands in the lone cell, so the probe sees the
     // full corpus; m=corpus removes the shortlist prune — the composed
