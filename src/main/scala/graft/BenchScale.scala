@@ -54,7 +54,7 @@ object BenchScale {
     "sim_sq8_topk", "sim_knn_graph", "sim_knn_clusters",
     "corpus_quality_calibrate", "corpus_batch_novelty",
     "text_keywords", "corpus_embedding_drift",
-    "dedup_winnowing_containment", "sim_ivf_sq8_topk", "sim_hybrid_rrf", "sim_bm25_prf")
+    "dedup_winnowing_containment", "sim_ivf_sq8_topk", "sim_hybrid_rrf", "sim_bm25_prf", "sim_recall_ivf")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

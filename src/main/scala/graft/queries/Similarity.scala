@@ -81,6 +81,18 @@ object Similarity extends QuerySet {
         SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
     }),
 
+    // recall audit for the IVF probe (nprobe=4 of 16) — the index-quality
+    // row next to sim_recall_lsh: exact per-query hit counts against the
+    // brute-force ground truth
+    "sim_recall_ivf" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKIvfProbe(all, q, 3, cells = 16, nprobe = 4)
+          .select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
     "sim_lsh_bucket_stats" -> ((s, dir) =>
       SimilarityOps.lshBuckets(embs(s, dir))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
@@ -847,6 +859,56 @@ object Similarity extends QuerySet {
          |  SELECT qid, cell, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // ivf-probe CTEs for the approx side, brute force for the truth side,
+    // the recall-join tail of sim_recall_lsh
+    "sim_recall_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT v.vec_id, v.e, v.nrm, s.cid,
+         |    CAST(list_aggregate(list_transform(range(64), i ->
+         |      (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |      AS BIGINT) AS d2
+         |  FROM v CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rk FROM assign),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0),
+         |ivf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_aggregate(list_transform(range(64),
+         |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |        DESC, c.vec_id) AS rank
+         |    FROM qcells q JOIN cells c
+         |      ON q.vec_id <> c.vec_id AND q.cell = c.cell)
+         |  WHERE rank <= 3),
+         |bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_aggregate(list_transform(range(64),
+         |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |          DESC, c.vec_id) AS rank
+         |    FROM v q JOIN v c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 3)
+         |SELECT qid, n_exact, n_hit, n_hit * 1000000 // n_exact AS recall_micro
+         |FROM (
+         |  SELECT bf.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM bf LEFT JOIN ivf l ON bf.qid = l.qid AND bf.nid = l.nid
+         |  GROUP BY bf.qid)""".stripMargin,
 
     // same assignment CTEs as sim_topk_ivf; queries keep their 4 nearest
     // cells (rk <= 4) before the exact-cosine rerank
