@@ -186,6 +186,76 @@ object MLOps {
           .as("centroid"))
   }
 
+  /** T bounded Lloyd iterations in EXACT integer arithmetic — the trained
+    * centroid source for the IVF/PQ index family ([[kmeansStepExact]]
+    * iterated, with the centroid update kept in the quantized-integer
+    * grid so every iteration stays cross-engine exact).
+    *
+    *  - iteration 0: the k lowest-id vectors, renumbered 0..k-1;
+    *  - assign: argmin of the exact integer squared distance over
+    *    ×1e6-quantized coordinates (native `graft_lld2` kernel; ties →
+    *    lowest centroid id) — a groupBy argmin (`min(struct(d2, cid))`),
+    *    NOT a window, so there is no serial-window hazard and the map-side
+    *    partial aggregation keeps the shuffle k-sized;
+    *  - update: per-dimension `floor(sum / n)` back onto the integer grid.
+    *    The sum is an exact long (|q| ≤ ~2e6, so corpora to ~4e9 rows fit
+    *    2^53 for the double division, whose result is ≥ 1/n away from the
+    *    nearest integer when fractional — floor is engine-exact);
+    *  - empty clusters keep their previous centroid (k is tiny; the k×64
+    *    update rows collect driver-side like [[graft.operators.
+    *    SimilarityOps.pqCodebook]]'s PqK rows and re-broadcast next pass).
+    *
+    * Cost: `iters` corpus scans, each one broadcast crossJoin (k rows) +
+    * one k×64-group aggregation — no corpus shuffle anywhere, so the loop
+    * scales to 100 TB as `iters` × (scan + map-side combine). Output
+    * (`idCol` = 0..k-1, `vecCol` = centroid/1e6 as array<double>) plugs
+    * into every seeds-taking IVF operator; re-quantizing the doubles
+    * recovers the integer grid exactly (|c| < 2^31 ≪ 2^52).
+    *
+    * Trained cells are what make IVF cost models honest at scale: smallest-
+    * id seeding inherits the data's id-order quirks and yields arbitrarily
+    * unbalanced cells, and max-cell/mean-cell balance is the variance term
+    * in every IVF probe cost (see the DESIGN.md balance table). */
+  def kmeansCentroidsExact(embs: DataFrame, k: Int = 16, iters: Int = 2,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    import graft.functions.GraftFunctions.{quantize, lld2}
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val q = embs.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy(col("id")).limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cid", "cq")
+      val assigned = q.crossJoin(broadcast(cdf))
+        .withColumn("d2", lld2(col("qv"), col("cq")))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cluster"))
+      val upd = assigned.join(q, "id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .collect()
+      val byCluster: Map[Long, Seq[Long]] = upd
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) =>
+        (cid, byCluster.getOrElse(cid, old))
+      }
+    }
+    cents.toDF("cid", "cq")
+      .select(col("cid").as(idCol),
+        transform(col("cq"), x => x.cast("double") / 1000000.0).as(vecCol))
+  }
+
   def kmeansAssign(df: DataFrame, vecCol: String, k: Int,
                    seed: Long = 42L): DataFrame = {
     val feat = df.withColumn("features",

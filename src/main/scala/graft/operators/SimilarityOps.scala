@@ -227,8 +227,19 @@ object SimilarityOps {
   /** IVF top-k: probe the query's own cell only. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
               vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < cells)
+              idCol: String = "vec_id"): DataFrame =
+    topKIvfSeeds(corpus, queries, k, corpus.filter(col(idCol) < cells),
+      vecCol, idCol)
+
+  /** [[topKIvf]] over a CALLER-SUPPLIED centroid set — the trained-index
+    * form: pass [[graft.ml.MLOps.kmeansCentroidsExact]] output (or any
+    * (idCol, vecCol) frame) as `seeds` and the cells are k-means cells
+    * instead of smallest-id Voronoi seeds. Probe shape is unchanged; only
+    * cell QUALITY moves (balance — the variance term in the IVF cost
+    * model; see the DESIGN.md seeded-vs-trained balance table). */
+  def topKIvfSeeds(corpus: DataFrame, queries: DataFrame, k: Int,
+                   seeds: DataFrame, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
     val c = ivfAssign(corpus, seeds, vecCol, idCol)
     val q = ivfAssign(queries, seeds, vecCol, idCol)
       .select(col("nid").as("qid"), col("v").as("qv"),
@@ -310,6 +321,68 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Projection-inside-IVF top-k — [[topKIvfPruned]] with the JL shortlist
+    * of [[topKProjected]] applied WITHIN the probed cells (project-then-
+    * probe). Completes the ANN family lattice's IVF×JL member: IVF bounds
+    * WHICH vectors are candidates (nprobe/cells of the corpus), the 16-dim
+    * projected dot bounds what scoring a candidate COSTS (¼ the memory
+    * traffic of the 64-dim exact cosine — the same 4× the flat projected
+    * scan measured), and only the m shortlist survivors pay the full-space
+    * rerank. At 100 TB both knobs compound: candidate volume shrinks with
+    * cells, per-candidate cost with outDims/dims.
+    *
+    * Determinism: cells and shortlist ranks are exact-integer (quantized
+    * d2 / BIGINT projected dots with 6-dp rounded projected cosine,
+    * (pcos desc, nid) ties), rerank is the usual 6-dp cosine. With
+    * m ≥ every probed candidate count the shortlist passes everything
+    * through and the result degenerates to [[topKIvfPruned]] with the same
+    * (cells, nprobe, sprobe) — the spec pins that. Rows through the
+    * shortlist window are SLIM (qid, nid, pcos) — the topKProjected sf10
+    * lesson: sort-input row width is the scale knob. */
+  def ivfProjectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                       cells: Int, nprobe: Int, sprobe: Int = 2,
+                       m: Int = 10, outDims: Int = 16,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val seeds = corpus.filter(col(idCol) < cells)
+    val c = ivfAssignPruned(corpus, seeds, sprobe, vecCol, idCol)
+    val cSlim = c.select(col("nid"), col("cell"),
+        array(projectComps(quantize(col("v")), outDims): _*).as("pc"))
+      .withColumn("pcn", sqrt(lldot(col("pc"), col("pc")).cast("double")))
+    val seedRows = seeds.select(col(idCol).as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val qcells = queries
+      .select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))
+      .crossJoin(broadcast(seedRows))
+      .withColumn("d2", lld2(col("qq"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"),
+        array(projectComps(col("qq"), outDims): _*).as("pq"),
+        col("cid").as("qcell"))
+      .withColumn("pqn", sqrt(lldot(col("pq"), col("pq")).cast("double")))
+    val cand = cSlim.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        round(lldot(col("pq"), col("pc")).cast("double") /
+          (col("pqn") * col("pcn")), 6))
+      .select(col("qid"), col("nid"), col("pcos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("nid"))))
+      .filter(col("prank") <= m)
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    cand.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
   }
 
   /** Metadata-FILTERED IVF top-k — the filtered-vector-search shape every

@@ -126,6 +126,29 @@ object Similarity extends QuerySet {
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
     }),
 
+    // TRAINED-index IVF (round 11): centroids from 2 exact integer Lloyd
+    // iterations (kmeansCentroidsExact) instead of the smallest-id seeds —
+    // same probe shape, k-means cell quality (balance is the variance term
+    // of the IVF cost model; see the DESIGN.md seeded-vs-trained table)
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16, iters = 2)
+      SimilarityOps.topKIvfSeeds(all, all.filter(col("vec_id") % 100 === 0),
+          k = 3, seeds = trained)
+        .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    }),
+
+    // projection INSIDE the probed cells (round 11): IVF bounds which
+    // vectors are candidates, the JL 16-dim dot bounds what each costs,
+    // exact rerank on the top-m — the IVF×JL member closing the ANN
+    // family lattice ({bucketing, partitioning, projection, quantization})
+    "sim_topk_ivf_projected" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.ivfProjectedTopK(all,
+        all.filter(col("vec_id") % 100 === 0),
+        k = 3, cells = 16, nprobe = 4, sprobe = 2, m = 10)
+    }),
+
     // metadata-FILTERED IVF probe: search restricted to even-label
     // candidates, predicate applied BEFORE the per-query top-k (the
     // pre-filter form — k qualifying neighbors guaranteed while the
@@ -1044,6 +1067,164 @@ object Similarity extends QuerySet {
          |  SELECT qid, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // two unrolled exact-integer Lloyd iterations (assign = integer-d2
+    // argmin, update = floor(sum/n) back onto the 1e6 grid, empty cells
+    // keep the previous centroid), then the sim_topk_ivf tail over the
+    // trained cells
+    "sim_topk_ivf_trained" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+         |    $VNorm AS nrm
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT cid, cq FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cid, q AS cq FROM v) WHERE cid < 16),
+         |a1 AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT v.vec_id AS id, c.cid AS cluster, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+         |n1 AS (
+         |  SELECT cluster AS cid, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a.cluster, CAST(unnest(range(64)) AS INT) AS dim,
+         |      unnest(v.q) AS x
+         |    FROM a1 a JOIN v ON v.vec_id = a.id)
+         |  GROUP BY cluster, dim),
+         |c1 AS (
+         |  SELECT c0.cid,
+         |    CASE WHEN COUNT(n1.cx) = 0 THEN first(c0.cq)
+         |         ELSE list(n1.cx ORDER BY n1.dim) END AS cq
+         |  FROM c0 LEFT JOIN n1 ON n1.cid = c0.cid
+         |  GROUP BY c0.cid),
+         |a2 AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT v.vec_id AS id, c.cid AS cluster, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM v CROSS JOIN c1 c) WHERE rk = 1),
+         |n2 AS (
+         |  SELECT cluster AS cid, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a.cluster, CAST(unnest(range(64)) AS INT) AS dim,
+         |      unnest(v.q) AS x
+         |    FROM a2 a JOIN v ON v.vec_id = a.id)
+         |  GROUP BY cluster, dim),
+         |c2 AS (
+         |  SELECT c1.cid,
+         |    CASE WHEN COUNT(n2.cx) = 0 THEN first(c1.cq)
+         |         ELSE list(n2.cx ORDER BY n2.dim) END AS cq
+         |  FROM c1 LEFT JOIN n2 ON n2.cid = c1.cid
+         |  GROUP BY c1.cid),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM v CROSS JOIN c2 c) WHERE rk = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.cell AS cell, c.vec_id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos
+         |  FROM cells q JOIN cells c
+         |    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |   AND q.cell = c.cell)
+         |SELECT qid, cell, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT qid, cell, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // pruned-assigner CTEs as sim_topk_ivf_pruned; candidate shortlist by
+    // 16-dim projected cosine (the sim_topk_projected sign matrix) WITHIN
+    // the probed cells, exact rerank tail
+    "sim_topk_ivf_projected" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e, $VNorm AS nrm,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, e, nrm, q, list_transform(range(16), j ->
+         |    list_aggregate(list_transform(range(64), i ->
+         |      CASE WHEN strpos('02468ace',
+         |          substr(md5(CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)),
+         |            1, 1)) > 0
+         |        THEN q[i+1] ELSE -q[i+1] END), 'sum')) AS pv
+         |  FROM v),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |supers AS (SELECT cid AS sid, cq AS sq FROM seeds
+         |           ORDER BY cid LIMIT 4),
+         |seedsup AS (
+         |  SELECT cid, cq, sid FROM (
+         |    SELECT s.cid, s.cq, sp.sid, row_number() OVER (PARTITION BY s.cid
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (s.cq[i+1] - sp.sq[i+1]) * (s.cq[i+1] - sp.sq[i+1])), 'sum')
+         |        AS BIGINT), sp.sid) AS rk
+         |    FROM seeds s CROSS JOIN supers sp) WHERE rk = 1),
+         |short AS (
+         |  SELECT vec_id, q, sid FROM (
+         |    SELECT v.vec_id, v.q, sp.sid, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (v.q[i+1] - sp.sq[i+1]) * (v.q[i+1] - sp.sq[i+1])), 'sum')
+         |        AS BIGINT), sp.sid) AS rk
+         |    FROM v CROSS JOIN supers sp) WHERE rk <= 2),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT sh.vec_id, ss.cid, row_number() OVER (
+         |      PARTITION BY sh.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (sh.q[i+1] - ss.cq[i+1]) * (sh.q[i+1] - ss.cq[i+1])), 'sum')
+         |        AS BIGINT), ss.cid) AS rk
+         |    FROM short sh JOIN seedsup ss ON sh.sid = ss.sid) WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT v.vec_id, s.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY CAST(list_aggregate(list_transform(range(64), i ->
+         |        (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |        AS BIGINT), s.cid) AS rk
+         |    FROM v CROSS JOIN seeds s WHERE v.vec_id % 100 = 0)
+         |  WHERE rk <= 4),
+         |pscored AS (
+         |  SELECT qc.vec_id AS qid, cc.vec_id AS nid,
+         |    round(CAST(list_aggregate(list_transform(range(16),
+         |        i -> qp.pv[i+1] * cp.pv[i+1]), 'sum') AS DOUBLE) /
+         |      (sqrt(CAST(list_aggregate(list_transform(range(16),
+         |        i -> qp.pv[i+1] * qp.pv[i+1]), 'sum') AS DOUBLE)) *
+         |       sqrt(CAST(list_aggregate(list_transform(range(16),
+         |        i -> cp.pv[i+1] * cp.pv[i+1]), 'sum') AS DOUBLE))), 6) AS pcos
+         |  FROM qcells qc JOIN cells cc ON qc.cell = cc.cell
+         |    AND qc.vec_id <> cc.vec_id
+         |  JOIN p qp ON qp.vec_id = qc.vec_id
+         |  JOIN p cp ON cp.vec_id = cc.vec_id),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY pcos DESC, nid) AS prank FROM pscored)
+         |  WHERE prank <= 10)
+         |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> qv.e[i+1] * cv.e[i+1]), 'sum') / (qv.nrm * cv.nrm), 6)
+         |      AS cos,
+         |    row_number() OVER (PARTITION BY cand.qid ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> qv.e[i+1] * cv.e[i+1]), 'sum') / (qv.nrm * cv.nrm), 6)
+         |        DESC, cand.nid) AS rank
+         |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
+         |    JOIN v cv ON cv.vec_id = cand.nid) WHERE rank <= 3""".stripMargin,
 
     // probe CTEs as in sim_topk_ivf_probe, label carried through the
     // assignment; the even-label predicate cuts candidates BEFORE the

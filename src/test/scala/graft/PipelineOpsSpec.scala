@@ -207,6 +207,63 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(noop.exceptAll(plain).isEmpty && plain.exceptAll(noop).isEmpty)
   }
 
+  test("kmeans centroids at iters=0 equal the k lowest-id vectors (and the double round-trip is exact)") {
+    import graft.functions.GraftFunctions.quantize
+    // iters = 0 must reproduce the seed set exactly — and because the
+    // operator surfaces centroids as doubles (centroid/1e6), re-quantizing
+    // them must recover the integer grid bit-for-bit (the round-trip every
+    // seeds-taking IVF operator relies on)
+    val c0 = graft.ml.MLOps.kmeansCentroidsExact(embs, k = 16, iters = 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("cq"))
+    // compare in id order (ids renumbered 0..15 follow the source id order)
+    val got = c0.orderBy(col("vec_id")).collect().map(_.getSeq[Long](1))
+    val want = embs.orderBy(col("vec_id")).limit(16)
+      .select(quantize(col("embedding"))).collect().map(_.getSeq[Long](0))
+    assert(got.length == 16 && got.sameElements(want))
+  }
+
+  test("trained ivf at iters=0 with dense low ids equals the seeded ivf row-for-row") {
+    // iters = 0 trained centroids ARE the lowest-16 vectors renumbered; on
+    // the fixture (dense vec_ids from 0) the renumbering is the identity,
+    // so topKIvfSeeds over them must reproduce topKIvf(cells=16) exactly —
+    // including the cell column. This pins the trained path's plumbing AND
+    // the centroid double round-trip end-to-end.
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val trained0 = graft.ml.MLOps.kmeansCentroidsExact(embs, k = 16, iters = 0)
+    val viaTrained = SimilarityOps.topKIvfSeeds(embs, qs, k = 3, trained0)
+      .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    val seeded = SimilarityOps.topKIvf(embs, qs, k = 3, cells = 16)
+      .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    assert(viaTrained.exceptAll(seeded).isEmpty &&
+      seeded.exceptAll(viaTrained).isEmpty)
+  }
+
+  test("trained kmeans centroids: k rows survive every iteration and all are on the 1e6 grid") {
+    import graft.functions.GraftFunctions.quantize
+    val trained = graft.ml.MLOps.kmeansCentroidsExact(embs, k = 8, iters = 2)
+    val rows = trained.select(col("vec_id"),
+      quantize(col("embedding")).as("cq")).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(0)).sorted.sameElements(0L until 8L))
+    rows.foreach(r => assert(r.getSeq[Long](1).length == 64))
+  }
+
+  test("ivf-projected with m >= corpus size equals the pruned ivf probe exactly") {
+    // the projected shortlist passes every candidate through when m is the
+    // corpus size, so the exact rerank must reproduce topKIvfPruned with
+    // the same (cells, nprobe, sprobe) row for row — the m degeneracy that
+    // pins the composed operator to its parent
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val n = embs.count().toInt
+    val proj = SimilarityOps.ivfProjectedTopK(embs, qs, k = 3, cells = 16,
+        nprobe = 4, sprobe = 2, m = n)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val pruned = SimilarityOps.topKIvfPruned(embs, qs, k = 3, cells = 16,
+        nprobe = 4, sprobe = 2)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    assert(proj.exceptAll(pruned).isEmpty && pruned.exceptAll(proj).isEmpty)
+  }
+
   test("paragraph dedup: survivors equal distinct blocks; apply reconstructs kept tokens") {
     val flagged = DedupOps.paragraphDedup(docs)
     val blocks = TextOps.tokenBlocks(docs).withColumn("bh", md5(col("btxt")))
