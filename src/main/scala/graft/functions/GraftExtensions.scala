@@ -53,15 +53,23 @@ object GraftExtensions {
       intLit(children(2), "bits"), intLit(children(3), "dim"))
   }
 
-  /** graft_sqcodes(vec, scale) — scale must be an int literal (baked into
-    * the generated loop). */
-  private[functions] def buildSqCodes(children: Seq[Expression]): SqCodes =
+  /** graft_sqcodes(vec, scale) — scale must be a POSITIVE int literal
+    * (baked into the generated loop; scale <= 0 would silently yield
+    * all-zero or order-inverted codes). */
+  private[functions] def buildSqCodes(children: Seq[Expression]): SqCodes = {
+    if (children.size != 2) throw new IllegalArgumentException(
+      s"graft_sqcodes expects (array<double> vec, int scale), got " +
+        s"${children.size} argument(s)")
     children(1) match {
-      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) if v > 0 =>
         SqCodes(children(0), v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        throw new IllegalArgumentException(
+          s"graft_sqcodes: scale must be > 0, got $v")
       case other => throw new IllegalArgumentException(
         s"graft_sqcodes: scale must be an int literal, got $other")
     }
+  }
 
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

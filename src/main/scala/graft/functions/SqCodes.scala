@@ -22,11 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Determinism: ascending-index norm fold (IEEE-identical to the HOF fold
   * and DuckDB's list_aggregate), and the same (x / nrm) * scale evaluation
   * order before floor. Null elements are not supported (embedding columns
-  * carry none); a null ARRAY is null like any unary expression.
+  * carry none) and FAIL LOUDLY if encountered — never silently read as
+  * 0.0; a null ARRAY is null like any unary expression.
   */
 case class SqCodes(child: Expression, scale: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull = true is accepted (parquet float-list schemas declare
+    // nullable elements even when none occur), but an ACTUAL null element
+    // fails loudly at eval instead of silently reading as 0.0 — see the
+    // isNullAt guard in both eval paths
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_sqcodes expects array<double>, got ${other.sql}")
@@ -39,7 +44,11 @@ case class SqCodes(child: Expression, scale: Int) extends UnaryExpression {
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_sqcodes: null element at index $i (null elements unsupported)")
+      val v = x.getDouble(i); s += v * v; i += 1
+    }
     val nrm = math.sqrt(s)
     val out = new Array[Long](n)
     if (nrm > 0) {
@@ -63,6 +72,11 @@ case class SqCodes(child: Expression, scale: Int) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_sqcodes: null element at index " + $i +
+         |      " (null elements unsupported)");
+         |  }
          |  double v = $a.getDouble($i);
          |  $s += v * v;
          |}

@@ -309,9 +309,17 @@ object GraphAlgorithms {
     // join-check at ~0.4 s/round pure overhead). decimal(38,0): exact and
     // overflow-free to Σ comp < 10^38, which n·maxId never reaches.
     var prevSum: java.math.BigDecimal = null
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    // count travels with the sum so emptiness is EXPLICIT: sum(decimal)
+    // also returns null on overflow (ANSI off), and conflating the two
+    // would silently stop iteration early with wrong labels — an empty
+    // vertex set is (null, 0); an overflow is (null, n > 0) and fails
+    // loudly (unreachable while Σ comp < 10^38 holds, but the assumption
+    // is now checked instead of encoded invisibly)
+    def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1)))
+        .head()
+      (r.getDecimal(0), r.getLong(1))
+    }
     // checkpointEvery = 1: the step references `cur` THREE times (neighbor
     // join, own labels, jump self-join), so an un-checkpointed plan grows
     // 3^stride between cuts — stride-5 compiles a 243-reference tree before
@@ -320,9 +328,11 @@ object GraphAlgorithms {
     // round.
     Iterate.bulk(init, maxIter, checkpointEvery = 1,
       converged = (_, next) => {
-        val s = labelSum(next)
-        // null = empty vertex set (sum over zero rows): nothing to move
-        val done = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+        val (s, n) = labelSum(next)
+        if (s == null && n > 0) throw new IllegalStateException(
+          s"connectedComponentsFast: label sum overflowed decimal(38,0) " +
+            s"over $n vertices — labels exceed the 10^38 sum bound")
+        val done = n == 0 || (prevSum != null && s.compareTo(prevSum) == 0)
         prevSum = s
         done
       }) { cur =>

@@ -75,6 +75,25 @@ class GraphSpec extends SparkSpecBase {
     assert((0L to 15L).forall(v => fast(v) == 0L) && fast(16L) == 16L)
   }
 
+  test("multi-jump CC (jumps 2..4) equals single-jump labels on a path-heavy graph") {
+    import spark.implicits._
+    // 24-vertex path + isolated vertex: deep enough that the multi-jump
+    // foldLeft (re-aliasing + null coalescing) actually chases pointers
+    // across rounds; the converged fixpoint must be identical at any depth
+    val vs = (0L to 24L).toDF("vid")
+    val es = (0L until 23L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "weight")
+    val g = Graph(vs, es)
+    val base = GraphAlgorithms.connectedComponentsFast(g, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (j <- 2 to 4) {
+      val multi = GraphAlgorithms.connectedComponentsFast(g, maxIter = 10,
+          jumps = j)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(multi == base, s"jumps=$j diverged: $multi vs $base")
+    }
+    assert((0L to 23L).forall(v => base(v) == 0L) && base(24L) == 24L)
+  }
+
   test("summarize contracts same-valued vertices and groups edges by value pair") {
     import spark.implicits._
     val verts = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("vid", "value")
