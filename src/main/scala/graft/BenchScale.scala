@@ -54,7 +54,9 @@ object BenchScale {
     "sim_sq8_topk", "sim_knn_graph", "sim_knn_clusters",
     "corpus_quality_calibrate", "corpus_batch_novelty",
     "text_keywords", "corpus_embedding_drift",
-    "dedup_winnowing_containment", "sim_ivf_sq8_topk", "sim_hybrid_rrf", "sim_bm25_prf", "sim_recall_ivf")
+    "dedup_winnowing_containment", "sim_ivf_sq8_topk", "sim_hybrid_rrf", "sim_bm25_prf", "sim_recall_ivf",
+    // round-11 additions: trained-centroid IVF + projection-inside-IVF
+    "sim_topk_ivf_trained", "sim_topk_ivf_projected")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -599,6 +599,33 @@ object SimilarityOps {
     seeds.toSeq.toDF("cid", "s", "cv")
   }
 
+  /** TRAINED PQ codebook: `iters` exact integer Lloyd iterations per
+    * subspace ([[graft.ml.MLOps.kmeansCentroidsExact]] over the PqDims-dim
+    * subvectors), replacing the smallest-id seeding — the FAISS-style
+    * codebook whose codewords sit at subspace cluster means instead of
+    * arbitrary data points, shrinking ADC quantization error. Same output
+    * shape as [[pqCodebook]] ((cid, s, cv)), so every consumer swaps in
+    * via the `codebook` parameter with encode/ADC unchanged (exactly the
+    * swap the pqCodebook scaladoc promised). Cost: PqSub × iters corpus
+    * scans over PqDims-wide slices, each one broadcast crossJoin + one
+    * k×PqDims aggregation — no corpus shuffle. Codeword values land on
+    * the 1e-6 grid (the k-means integer arithmetic), which is why the
+    * iters = 0 form is NOT bit-identical to the raw-double [[pqCodebook]];
+    * the spec pins shape + rank validity and DESIGN.md records the recall
+    * comparison. */
+  private[graft] def pqCodebookTrained(embs: DataFrame, vecCol: String,
+                                       idCol: String,
+                                       iters: Int = 2): DataFrame =
+    (0 until PqSub).map { s =>
+      val part = embs.select(col(idCol),
+        expr(s"slice(CAST($vecCol AS array<double>), ${s * PqDims + 1}, " +
+          s"$PqDims)").as(vecCol))
+      graft.ml.MLOps.kmeansCentroidsExact(part, k = PqK, iters = iters,
+          vecCol = vecCol, idCol = idCol)
+        .select(col(idCol).cast("int").as("cid"), lit(s).as("s"),
+          col(vecCol).as("cv"))
+    }.reduce(_ unionByName _)
+
   /** Ordered-fold squared L2 distance between two equal-length arrays —
     * sequential index-order fold, so the double is bit-identical on any
     * engine that folds in list order (the [[dot]] determinism contract). */
@@ -666,12 +693,13 @@ object SimilarityOps {
     * addition order. */
   def pqAdcTopK(embs: DataFrame, k: Int, queryPred: Column,
                 vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame = {
+                idCol: String = "vec_id",
+                codebook: Option[DataFrame] = None): DataFrame = {
     // codebook computed ONCE for both consumers (corpus encode + query
     // distance table); it is PqK*PqSub tiny rows but building it costs a
     // driver-side orderBy+limit collect over the corpus — not worth paying
-    // twice
-    val cb = pqCodebook(embs, vecCol, idCol)
+    // twice. `codebook` swaps in a trained one ([[pqCodebookTrained]]).
+    val cb = codebook.getOrElse(pqCodebook(embs, vecCol, idCol))
     // wide codes: one row per corpus vector, codes[s] = winning codeword —
     // narrow all the way (pqMins)
     val codesWide = pqMins(embs, vecCol, idCol, Some(cb))
@@ -740,7 +768,8 @@ object SimilarityOps {
   def ivfPqTopK(embs: DataFrame, k: Int, cells: Int, nprobe: Int,
                 queryPred: Column, vecCol: String = "embedding",
                 idCol: String = "vec_id",
-                assignSprobe: Option[Int] = None): DataFrame = {
+                assignSprobe: Option[Int] = None,
+                codebook: Option[DataFrame] = None): DataFrame = {
     val seeds = embs.filter(col(idCol) < cells)
     // corpus side: cell placement + PQ codes, joined on the vector id —
     // both sides are corpus-keyed, so at scale this is a co-partitioned
@@ -755,7 +784,7 @@ object SimilarityOps {
       .map(sp => ivfAssignPruned(embs, seeds, sp, vecCol, idCol))
       .getOrElse(ivfAssign(embs, seeds, vecCol, idCol))
       .select(col("nid").cast("long").as("vec_id"), col("cell"))
-    val cb = pqCodebook(embs, vecCol, idCol)
+    val cb = codebook.getOrElse(pqCodebook(embs, vecCol, idCol))
     val codesWide = pqMins(embs, vecCol, idCol, Some(cb))
       .select(col("vec_id"), expr("transform(mins, m -> m.cid)").as("codes"))
       .join(assigned, "vec_id")

@@ -436,8 +436,17 @@ object EventStream {
     *   `_statecommit` Σ state-store commit ms across operators/batches
     *   `_overhead`    Σ (triggerExecution − addBatch) — offset/commit log,
     *                  source listing, trigger bookkeeping
-    * recordMin semantics match the bench's best-of-2: the split describes
-    * the best pass. */
+    * SCOPE (bench-JSON reader contract): each phase prefix is recorded by
+    * exactly ONE query row — `interval_mb` = stream_interval_join_multibatch
+    * only (the other four interval rows pass no phase), `cep_mb` =
+    * cep_stream_multibatch, `cep_to` = cep_stream_timeout. And
+    * `_statecommit` SUMS commitTimeMs over every state-store INSTANCE
+    * (operators × partitions × batches), instances that run in parallel —
+    * so it is a CPU-seconds-like figure that can legitimately EXCEED the
+    * row's wall time (4 stores × 4 partitions × 5 batches ≈ 80 commits
+    * for the interval row); divide by instances for per-commit cost, don't
+    * read it as elapsed time. recordMin semantics match the bench's
+    * best-of-2: the split describes the best pass. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
                  statePartitions: Int = 4,
                  phase: Option[String] = None): DataFrame = {

@@ -248,6 +248,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getSeq[Long](1).length == 64))
   }
 
+  test("trained pq codebook: full shape, and ivf-pq at nprobe=cells degenerates to flat ADC under the SAME trained codebook") {
+    val cb = SimilarityOps.pqCodebookTrained(embs, "embedding", "vec_id",
+      iters = 1).localCheckpoint()
+    assert(cb.count() == SimilarityOps.PqSub * SimilarityOps.PqK)
+    cb.collect().foreach { r =>
+      assert(r.getSeq[Double](2).length == SimilarityOps.PqDims)
+      assert(r.getInt(0) >= 0 && r.getInt(0) < SimilarityOps.PqK)
+    }
+    val pred = col("vec_id") % 100 === 0
+    val flat = SimilarityOps.pqAdcTopK(embs, k = 5, pred,
+      codebook = Some(cb))
+    flat.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+      .foreach(r => assert(r.getLong(1) <= 5 && r.getInt(2) <= 5))
+    // the composed-index degeneracy must hold for ANY codebook — run it
+    // under the trained one
+    val ivfpq = SimilarityOps.ivfPqTopK(embs, k = 5, cells = 16,
+      nprobe = 16, pred, codebook = Some(cb))
+    assert(ivfpq.exceptAll(flat).isEmpty && flat.exceptAll(ivfpq).isEmpty)
+  }
+
   test("ivf-projected with m >= corpus size equals the pruned ivf probe exactly") {
     // the projected shortlist passes every candidate through when m is the
     // corpus size, so the exact rerank must reproduce topKIvfPruned with
