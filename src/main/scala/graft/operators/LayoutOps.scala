@@ -64,4 +64,56 @@ object LayoutOps {
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
     nFiles
   }
+
+  /** IVF-BUCKETED lake layout: the corpus written `partitionBy(cell)` —
+    * the materialized form of the claim every IVF scaladoc here makes
+    * ("at 100 TB the corpus is written bucketed by cell; a probe touches
+    * 1/cells of the data"). Cell placement is [[SimilarityOps.ivfAssign]]
+    * over the smallest-id seeds (swap trained centroids or the pruned
+    * assigner upstream — layout is placement-agnostic); the norm is
+    * precomputed into the lake so a probe never re-folds it. One
+    * assignment pass + one partitioned write — the index BUILD a real
+    * deployment runs once and probes forever. */
+  def writeIvfBucketed(embs: DataFrame, cells: Int, path: String,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): Unit = {
+    val seeds = embs.filter(col(idCol) < cells)
+    SimilarityOps.ivfAssign(embs, seeds, vecCol, idCol)
+      .select(col("nid"), col("v"), col("nrm"), col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+  }
+
+  /** Top-k probe over the [[writeIvfBucketed]] lake that READS ONLY the
+    * probed cells: query cells resolve in memory (queries are the
+    * broadcast-small side by the family contract), the distinct probed
+    * cell ids — bounded by min(queries, cells) — collect into a LITERAL
+    * `isin` filter on the partition column, and Catalyst turns that into
+    * static partition pruning: the scan's `PartitionFilters` keeps every
+    * unprobed cell's files unopened (PlanSpec pins this). Values are
+    * identical to [[SimilarityOps.topKIvf]] (same oracle); only the I/O
+    * shape changes — which is the whole point at 100 TB, where a probe
+    * of 4 cells of 1024 reads ~0.4 % of the corpus instead of all of it. */
+  def ivfLakeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, seeds: DataFrame, k: Int,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    import org.apache.spark.sql.expressions.Window
+    val q = SimilarityOps.ivfAssign(queries, seeds, vecCol, idCol)
+      .select(col("nid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+      .localCheckpoint()
+    val probed = q.select(col("qcell")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val lake = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+    val scored = lake.join(broadcast(q),
+        col("cell") === col("qcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("cell").cast("long").as("cell"), col("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+  }
 }

@@ -149,6 +149,24 @@ object Similarity extends QuerySet {
         k = 3, cells = 16, nprobe = 4, sprobe = 2, m = 10)
     }),
 
+    // IVF-BUCKETED LAKE probe (round 11): the corpus staged ONCE as a
+    // partitionBy(cell) parquet lake, then probed reading ONLY the
+    // queries' cells (literal isin on the partition column → static
+    // partition pruning; PlanSpec pins unprobed cells stay unopened).
+    // Values identical to sim_topk_ivf — only the I/O shape changes,
+    // which is the point at 100 TB (a probe reads nprobe/cells of disk)
+    "sim_topk_ivf_lake" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val path = graft.sources.StagingFs.stageOnce(s,
+        s.sparkContext.applicationId + "#" + dir + "#graft-ivf-lake",
+        "graft-ivf-lake") { p =>
+        graft.operators.LayoutOps.writeIvfBucketed(all, cells = 16, p)
+      }
+      graft.operators.LayoutOps.ivfLakeTopK(s, path,
+        all.filter(col("vec_id") % 100 === 0),
+        all.filter(col("vec_id") < 16), k = 3)
+    }),
+
     // metadata-FILTERED IVF probe: search restricted to even-label
     // candidates, predicate applied BEFORE the per-query top-k (the
     // pre-filter form — k qualifying neighbors guaranteed while the
@@ -443,7 +461,13 @@ object Similarity extends QuerySet {
     head + rounds + unions
   }
 
-  override def oracle: Map[String, String] = Map(
+  // the lake probe is value-identical to the in-memory IVF probe by
+  // construction (same assignment, same rerank; only the I/O shape
+  // differs), so it shares sim_topk_ivf's oracle SQL verbatim
+  override def oracle: Map[String, String] = oracleBase +
+    ("sim_topk_ivf_lake" -> oracleBase("sim_topk_ivf"))
+
+  private def oracleBase: Map[String, String] = Map(
     // same tokenize → tf → df-capped rational weights → inverted-index
     // join → cosine; sums cast back from DuckDB's HUGEINT
     "sim_tfidf_topk" ->

@@ -58,6 +58,42 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("ivf lake probe: unprobed cells are partition-pruned out of the scan") {
+    // one-query probe over the bucketed lake: exactly one cell may be
+    // read. PartitionFilters must carry the cell predicate, and the
+    // post-pruning partition count must be 1 of 16 — the I/O claim the
+    // lake layout exists for.
+    val all = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-spec").toString
+    graft.operators.LayoutOps.writeIvfBucketed(all, cells = 16, dir)
+    val one = all.filter(col("vec_id") === 77)
+    val probe = graft.operators.LayoutOps.ivfLakeTopK(spark, dir, one,
+      all.filter(col("vec_id") < 16), k = 3)
+    probe.collect() // finalize AQE so the real scan is reachable
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val lakeScans = scans(probe.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft-lake-spec")))
+    assert(lakeScans.nonEmpty, "expected a parquet scan over the lake")
+    val scan = lakeScans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"partition filter on cell missing: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 16 cells read, got ${scan.selectedPartitions.partitionCount}")
+    // and the values still match the in-memory probe
+    val mem = graft.operators.SimilarityOps.topKIvf(all, one, k = 3, cells = 16)
+      .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    val got = probe.select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
+    assert(got.exceptAll(mem).isEmpty && mem.exceptAll(got).isEmpty)
+  }
+
   test("bpe pairs: partial+final aggregate, no UDF, pair build stays in codegen") {
     val p = plan("corpus_bpe_pairs")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
