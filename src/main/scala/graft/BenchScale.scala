@@ -55,8 +55,11 @@ object BenchScale {
     "corpus_quality_calibrate", "corpus_batch_novelty",
     "text_keywords", "corpus_embedding_drift",
     "dedup_winnowing_containment", "sim_ivf_sq8_topk", "sim_hybrid_rrf", "sim_bm25_prf", "sim_recall_ivf",
-    // round-11 additions: trained-centroid IVF + projection-inside-IVF
-    "sim_topk_ivf_trained", "sim_topk_ivf_projected")
+    // round-11 additions: trained-centroid IVF, projection-inside-IVF,
+    // bucketed-lake probe, prefix/MRL shortlist, hard negatives,
+    // curriculum ordering
+    "sim_topk_ivf_trained", "sim_topk_ivf_projected", "sim_topk_ivf_lake",
+    "sim_topk_prefix", "sim_hard_negatives", "corpus_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

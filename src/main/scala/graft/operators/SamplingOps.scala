@@ -101,4 +101,52 @@ object SamplingOps {
       .withColumn("kept",
         stableHash(col(keyCol).cast("string")) % Denom < col("w_micro"))
   }
+
+  /** Curriculum ordering for training (easy→hard scheduling): assign every
+    * row a difficulty PHASE by exact quantile over an integer difficulty
+    * measure, a deterministic SHARD, and a within-(phase, shard) order —
+    * the write layout a curriculum-scheduled training run consumes
+    * phase-by-phase with shards interleaved.
+    *
+    * Scale shape: the quantile boundaries come from the exact grouped
+    * histogram of the difficulty value — a DISTINCT-VALUES-sized table
+    * (thousands of rows for token counts, never corpus-sized), cumulated
+    * under one tiny unpartitioned window and broadcast back, so the corpus
+    * itself never sorts globally. Every row with the SAME difficulty value
+    * lands in the same phase (boundaries are on values, not row ranks), so
+    * the assignment is layout- and engine-independent. The within-shard
+    * order is a window partitioned by (phase, shard) — parallelism =
+    * phases × shards; pick `shards` ≈ cluster cores / phases at 100 TB,
+    * where a single global training order would be the bottleneck a
+    * sharded interleave exists to avoid.
+    *
+    * phase(v) = min(phases−1, (C(v)−1)·phases / N) with C(v) the cumulative
+    * row count through value v — pure non-negative integer arithmetic,
+    * identical in any engine. */
+  def curriculumOrder(df: DataFrame, difficulty: Column, keyCol: String,
+                      phases: Int = 4, shards: Int = 8): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1: $phases")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val spread = df.withColumn("_d", difficulty.cast("long"))
+      .repartition(col(keyCol))
+    val hist = spread.groupBy(col("_d")).agg(count(lit(1)).as("_c"))
+    // cumulative over the value histogram — distinct-values-sized, the
+    // single-partition window is deliberate (same reasoning as the
+    // temperatureSample total)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(lit(1)).orderBy(col("_d"))))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(lit(1))))
+      .select(col("_d"),
+        least(lit(phases - 1).cast("long"),
+          expr(s"((_cum - 1) * $phases) div _n"))
+          .cast("int").as("phase"))
+    spread.join(broadcast(cum), "_d")
+      .withColumn("shard",
+        (stableHash(col(keyCol).cast("string")) % shards).cast("int"))
+      .withColumn("phase_order", row_number().over(
+        Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
+      .withColumnRenamed("_d", "difficulty")
+  }
 }

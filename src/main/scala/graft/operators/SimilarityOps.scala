@@ -551,6 +551,85 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Matryoshka / PREFIX-dimension ANN (MRL-style: embeddings trained so
+    * leading dimensions carry the coarse signal — Kusupati et al. 2022):
+    * shortlist by the exact integer dot of the FIRST `prefixDims`
+    * quantized coordinates, exact full-space rerank on the m survivors.
+    * The third member of the cheap-shortlist family next to the JL
+    * projection (random mixing, works on any embedding) and SQ8 (full-dim,
+    * narrower ints): a prefix slice costs NO transform at all — at 100 TB
+    * the index stores the prefix column and the shortlist reads ¼ of the
+    * bytes, with recall tracking how front-loaded the embedding actually
+    * is. Same slim-row/window shape as [[topKProjected]] (the sf10
+    * row-width lesson); deterministic: BIGINT prefix dots, 6-dp rounded
+    * prefix cosine, (pcos desc, nid) ties. */
+  def topKPrefix(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                 m: Int = 10, prefixDims: Int = 16,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1: $prefixDims")
+    def slim(df: DataFrame, idAs: String, pAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs),
+          slice(quantize(col(vecCol)), 1, prefixDims).as(pAs))
+        .withColumn(nAs, sqrt(lldot(col(pAs), col(pAs)).cast("double")))
+    val c = slim(corpus, "nid", "pc", "pcn").repartition(col("nid"))
+    val qs = slim(queries, "qid", "pq", "pqn")
+    val cand = c.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        round(lldot(col("pq"), col("pc")).cast("double") /
+          (col("pqn") * col("pcn")), 6))
+      .select(col("qid"), col("nid"), col("pcos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("nid"))))
+      .filter(col("prank") <= m)
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    cand.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training: for each anchor, the
+    * top-k most-similar candidates with a DIFFERENT label — the negatives
+    * that actually move a contrastive loss (random negatives are trivially
+    * separable; the informative ones are the near-misses). Pre-filter
+    * semantics like [[topKIvfFiltered]]: the label-mismatch predicate cuts
+    * candidates BEFORE the per-anchor top-k, so every anchor gets k true
+    * negatives. Candidate generation is LSH-bucket blocked ([[lshBuckets]]):
+    * high-cosine pairs co-bucket with high probability, so the pair scan is
+    * ~n²/2^LshBits instead of all-pairs — the same blocking the dedup
+    * family rides at corpus scale. Complements [[contrastivePairs]] (which
+    * pairs by shared label); together they emit the (anchor, positive,
+    * hard-negative) triples a contrastive run trains on. */
+  def hardNegatives(embs: DataFrame, anchorPred: Column, k: Int = 3,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val c = embs.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("cv"),
+        l2norm(col(vecCol)).as("cn"), lshBucket(col(vecCol)).as("bucket"),
+        col(labelCol).as("neg_label"))
+      .repartition(col("bucket"))
+    val q = embs.filter(anchorPred).select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"),
+      l2norm(col(vecCol)).as("qn"), lshBucket(col(vecCol)).as("qbucket"),
+      col(labelCol).as("anchor_label"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("qid") =!= col("nid") &&
+          col("neg_label") =!= col("anchor_label"))
+      .select(col("qid"), col("anchor_label"), col("nid"), col("neg_label"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
   /** L2-normalize + int8-quantize an embedding column — the storage/compute
     * shrink before indexing at scale (4 B → 1 B per dimension; at 100 TB of
     * vectors that is the difference between an index that fits executor

@@ -211,6 +211,23 @@ object Similarity extends QuerySet {
       SimilarityOps.topKProjected(all, all.filter(col("vec_id") % 100 === 0))
     }),
 
+    // Matryoshka-style PREFIX-dimension shortlist (round 11): top-m by the
+    // exact integer dot of the first 16 quantized coordinates — zero
+    // transform cost, ¼ the shortlist bytes — exact full-space rerank;
+    // the third cheap-shortlist family member next to JL and SQ8
+    "sim_topk_prefix" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.topKPrefix(all, all.filter(col("vec_id") % 100 === 0))
+    }),
+
+    // hard-negative mining (round 11): per anchor, the top-3 most-similar
+    // DIFFERENT-label vectors — LSH-bucket blocked, label predicate cuts
+    // BEFORE the rank (pre-filter, every anchor gets k true negatives);
+    // the contrastive-training companion of sim_contrastive_pairs
+    "sim_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(embs(s, dir),
+        col("vec_id") % 100 === 0, k = 3)),
+
     // the SEARCH-side use of the int8 storage shrink: integer-dot shortlist
     // over SQ8 codes (native lldot kernel), exact full-precision rerank —
     // the scalar-quantization rung of the approximation ladder next to the
@@ -1375,6 +1392,63 @@ object Similarity extends QuerySet {
          |        i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) DESC, nid)
          |      AS rank
          |  FROM cand) WHERE rank <= 3""".stripMargin,
+
+    // prefix slice of the quantized vector as the shortlist space; same
+    // shortlist/rerank tail as sim_topk_projected
+    "sim_topk_prefix" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $E AS e, $VNorm AS nrm,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, e, nrm,
+         |    list_transform(range(16), i -> q[i+1]) AS pv
+         |  FROM v),
+         |scored AS (
+         |  SELECT qs.vec_id AS qid, c.vec_id AS nid, qs.e AS qe,
+         |    qs.nrm AS qn, c.e AS ce, c.nrm AS cn,
+         |    round(CAST(list_aggregate(list_transform(range(16),
+         |        i -> qs.pv[i+1] * c.pv[i+1]), 'sum') AS DOUBLE) /
+         |      (sqrt(CAST(list_aggregate(list_transform(range(16),
+         |        i -> qs.pv[i+1] * qs.pv[i+1]), 'sum') AS DOUBLE)) *
+         |       sqrt(CAST(list_aggregate(list_transform(range(16),
+         |        i -> c.pv[i+1] * c.pv[i+1]), 'sum') AS DOUBLE))), 6) AS pcos
+         |  FROM p qs JOIN p c
+         |    ON qs.vec_id % 100 = 0 AND qs.vec_id <> c.vec_id),
+         |cand AS (
+         |  SELECT qid, nid, qe, qn, ce, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY pcos DESC, nid) AS prank FROM scored)
+         |  WHERE prank <= 10)
+         |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT qid, nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) AS cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> qe[i+1] * ce[i+1]), 'sum') / (qn * cn), 6) DESC, nid)
+         |      AS rank
+         |  FROM cand) WHERE rank <= 3""".stripMargin,
+
+    // LSH-bucket-blocked candidates, label inequality BEFORE the rank
+    // (pre-filter), exact cosine rank per anchor
+    "sim_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, $E AS e, $VNorm AS nrm, $Bucket AS b
+         |  FROM embeddings)
+         |SELECT qid, anchor_label, nid, neg_label, cos,
+         |  CAST(rank AS INT) AS rank FROM (
+         |  SELECT q.vec_id AS qid, q.label AS anchor_label,
+         |    c.vec_id AS nid, c.label AS neg_label,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |        DESC, c.vec_id) AS rank
+         |  FROM v q JOIN v c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+         |    AND q.b = c.b AND q.label <> c.label)
+         |WHERE rank <= 3""".stripMargin,
 
     // SQ8 shortlist (integer code dots, floor grid), exact rerank — same
     // rerank tail as sim_topk_projected

@@ -232,6 +232,20 @@ object TextAnalysis extends QuerySet {
           groupCol = "source", keyCol = "doc_id", k = 10)
         .select(col("doc_id"), col("source"), col("kept"))),
 
+    // curriculum ordering (round 11): phases by exact token-count
+    // quantiles (value-level boundaries off the distinct-count histogram —
+    // the corpus never sorts globally), md5 shards, within-(phase, shard)
+    // md5 order — the easy→hard write layout a curriculum-scheduled
+    // training run consumes phase-by-phase with shards interleaved
+    "corpus_curriculum_order" -> ((s, dir) =>
+      graft.operators.SamplingOps.curriculumOrder(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          difficulty = size(graft.functions.GraftFunctions.tokens(col("text")))
+            .cast("long"),
+          keyCol = "doc_id", phases = 4, shards = 8)
+        .select(col("doc_id"), col("difficulty"), col("phase"),
+          col("shard"), col("phase_order"))),
+
     // temperature-flattened mixing (τ=2, XLM-R/mT5): per-source keep
     // probability = sqrt(corpus share) — smooth downsampling of dominant
     // sources; rolled up per source so the flattening is visible
@@ -353,6 +367,31 @@ object TextAnalysis extends QuerySet {
          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
          |  FROM documents)""".stripMargin,
+
+    // phase boundaries from the token-count value histogram (cum counts,
+    // non-negative integer div — identical in any engine); shard + order
+    // by the shared md5 idioms
+    "corpus_curriculum_order" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($T) AS BIGINT) AS d FROM documents),
+         |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY d),
+         |cum AS (
+         |  SELECT d, SUM(c) OVER (ORDER BY d) AS cum,
+         |    (SELECT SUM(c) FROM h) AS n
+         |  FROM h),
+         |ph AS (
+         |  SELECT d, CAST(least(CAST(3 AS BIGINT), (cum - 1) * 4 // n)
+         |    AS INT) AS phase FROM cum)
+         |SELECT doc_id, difficulty, phase, shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+         |    AS phase_order
+         |FROM (
+         |  SELECT t.doc_id, t.d AS difficulty, ph.phase,
+         |    CAST(CAST(concat('0x',
+         |      substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 8 AS INT) AS shard
+         |  FROM t JOIN ph ON t.d = ph.d)""".stripMargin,
 
     // rate = round(sqrt(n_g/N)*1e6): one IEEE division + correctly-rounded
     // sqrt on both engines, then the md5 lottery in exact integers

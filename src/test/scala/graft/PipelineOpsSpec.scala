@@ -285,6 +285,64 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(proj.exceptAll(pruned).isEmpty && pruned.exceptAll(proj).isEmpty)
   }
 
+  test("prefix topk with an exhaustive shortlist equals brute force") {
+    // m >= corpus size passes every candidate through the prefix
+    // shortlist, so the exact rerank must reproduce brute force
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val n = embs.count().toInt
+    val pre = SimilarityOps.topKPrefix(embs, qs, k = 3, m = n)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    val bf = SimilarityOps.topKBruteForce(embs, qs, 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+    assert(pre.exceptAll(bf).isEmpty && bf.exceptAll(pre).isEmpty)
+  }
+
+  test("hard negatives: labels always differ from the anchor's, ranks bounded, pairs co-bucketed") {
+    val out = SimilarityOps.hardNegatives(embs, col("vec_id") % 100 === 0,
+      k = 3).localCheckpoint()
+    assert(out.filter(col("neg_label") === col("anchor_label")).isEmpty,
+      "pre-filter must exclude same-label candidates")
+    out.groupBy(col("qid")).agg(max(col("rank")).as("mx"),
+        count(lit(1)).as("n")).collect()
+      .foreach(r => assert(r.getInt(1) <= 3 && r.getLong(2) <= 3))
+    // every (anchor, negative) pair shares an LSH bucket by construction
+    val b = SimilarityOps.lshBuckets(embs).select(col("nid"), col("bucket"))
+    val joined = out.select(col("qid"), col("nid"))
+      .join(b.withColumnRenamed("nid", "qid")
+        .withColumnRenamed("bucket", "qb"), "qid")
+      .join(b, "nid")
+    assert(joined.filter(col("qb") =!= col("bucket")).isEmpty)
+  }
+
+  test("curriculum order: value-level phase boundaries, total coverage, contiguous shard order") {
+    import graft.functions.GraftFunctions.tokens
+    val out = graft.operators.SamplingOps.curriculumOrder(
+        docs.select(col("doc_id"), col("text")),
+        difficulty = size(tokens(col("text"))).cast("long"),
+        keyCol = "doc_id", phases = 4, shards = 8)
+      .localCheckpoint()
+    assert(out.count() == docs.count(), "every doc gets a phase")
+    // phases are value-level: max difficulty of phase p <= min of p+1
+    val bounds = out.groupBy(col("phase"))
+      .agg(min(col("difficulty")).as("lo"), max(col("difficulty")).as("hi"))
+      .orderBy(col("phase")).collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"phase overlap: ${a} vs ${b}")
+      case _ =>
+    }
+    // same difficulty value => same phase (boundaries on values, not ranks)
+    assert(out.select(col("difficulty"), col("phase")).distinct()
+      .groupBy(col("difficulty")).count().filter(col("count") > 1).isEmpty)
+    // within (phase, shard) the order is contiguous 1..n
+    val byShard = out.groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("phase_order")).as("mx"),
+        min(col("phase_order")).as("mn")).collect()
+    byShard.foreach(r =>
+      assert(r.getInt(3) == r.getLong(2) && r.getInt(4) == 1,
+        s"phase_order must be 1..n within (phase, shard): $r"))
+  }
+
   test("paragraph dedup: survivors equal distinct blocks; apply reconstructs kept tokens") {
     val flagged = DedupOps.paragraphDedup(docs)
     val blocks = TextOps.tokenBlocks(docs).withColumn("bh", md5(col("btxt")))
