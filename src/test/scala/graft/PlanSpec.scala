@@ -387,6 +387,36 @@ class PlanSpec extends SparkSpecBase {
       p.contains("ShuffledHashJoin"), s"keyed rerank joins:\n${p.take(2000)}")
   }
 
+  test("prefix topk: one broadcast pair scan, keyed rerank, no cartesian") {
+    val p = plan("sim_topk_prefix")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"exactly one broadcast pair scan expected:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"keyed rerank joins:\n${p.take(2000)}")
+  }
+
+  test("hard negatives: bucket-keyed candidate join, no cartesian or nested loop") {
+    val p = plan("sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the label inequality rides the bucket-equality join as a secondary
+    // condition — candidates stay bucket-blocked, never all-pairs
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must stay keyed on the bucket:\n${p.take(2000)}")
+  }
+
+  test("curriculum order: corpus joins the broadcast value-histogram, no global sort") {
+    val p = plan("corpus_curriculum_order")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      s"phase table must broadcast back:\n${p.take(2000)}")
+    // no corpus-wide total-order exchange: the only rangepartitioning
+    // would come from a global sort, which the value-histogram design
+    // exists to avoid
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the corpus path:\n${p.take(2000)}")
+  }
+
   test("knn graph: bucket self-join and mutual probe are keyed, no cartesian or nested loop") {
     // the query row reads the staged edge list (a scan); lock the BUILD
     val p = operators.SimilarityOps.knnGraph(
