@@ -223,6 +223,9 @@ object MLOps {
     require(iters >= 0, s"iters must be >= 0: $iters")
     import graft.functions.GraftFunctions.{quantize, lld2}
     val spark = embs.sparkSession
+    // library operator: the native kernel must work on any session, not
+    // just ones that already went through Tables.load
+    graft.functions.GraftExtensions.install(spark)
     import spark.implicits._
     val q = embs.select(col(idCol).cast("long").as("id"),
         quantize(col(vecCol)).as("qv"))

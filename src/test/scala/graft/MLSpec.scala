@@ -32,6 +32,55 @@ class MLSpec extends SparkSpecBase {
       .exceptAll(again.select("vec_id", "cluster")).isEmpty)
   }
 
+  test("kmeans centroids: randomized differential vs a local integer mirror") {
+    import spark.implicits._
+    // seeded fixtures on the exact 1e-6 grid (values are k/1000.0, so the
+    // ×1e6 quantization is round-exact on every engine and in the mirror);
+    // small k over few points forces ties, empty clusters, and repeated
+    // values — the edge cases the fixture never exercises
+    val rng = new scala.util.Random(421L)
+    for (trial <- 1 to 5) {
+      val dims = 4
+      val n = 20 + rng.nextInt(20)
+      val k = 2 + rng.nextInt(4)
+      val iters = rng.nextInt(3)
+      val data: Seq[(Long, Seq[Double])] = (0L until n).map(i =>
+        (i, Seq.fill(dims)((rng.nextInt(2001) - 1000) / 1000.0)))
+      // local mirror: quantize, then `iters` Lloyd steps — argmin by
+      // (d2, cid), update floor(sum/n), empty clusters keep the previous
+      val q: Map[Long, Array[Long]] = data.map { case (id, v) =>
+        id -> v.map(x => math.round(x * 1000000.0)).toArray
+      }.toMap
+      var cents: Seq[(Long, Array[Long])] =
+        data.sortBy(_._1).take(k).zipWithIndex
+          .map { case ((id, _), ci) => (ci.toLong, q(id)) }
+      for (_ <- 1 to iters) {
+        val assign: Map[Long, Long] = q.map { case (id, v) =>
+          id -> cents.map { case (cid, c) =>
+            (c.zip(v).map { case (a, b) => val d = a - b; d * d }.sum, cid)
+          }.min._2
+        }
+        cents = cents.map { case (cid, old) =>
+          val members = q.filter { case (id, _) => assign(id) == cid }.values
+          if (members.isEmpty) (cid, old)
+          else (cid, (0 until dims).map { d =>
+            math.floor(members.map(_(d)).sum.toDouble / members.size).toLong
+          }.toArray)
+        }
+      }
+      val got = MLOps.kmeansCentroidsExact(
+          data.toDF("vec_id", "embedding"), k = k, iters = iters)
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.quantize(col("embedding")).as("cq"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      cents.foreach { case (cid, want) =>
+        assert(got(cid).sameElements(want),
+          s"trial $trial (n=$n k=$k iters=$iters) cid=$cid: " +
+            s"got ${got(cid).mkString(",")} want ${want.mkString(",")}")
+      }
+    }
+  }
+
   test("min-max scaling lands in [0,1] with both extremes present") {
     val out = MLOps.minMaxScale(Tables.load(spark, sfDir, "customer"),
       "c_acctbal", col("c_mktsegment"))
