@@ -59,7 +59,8 @@ object BenchScale {
     // bucketed-lake probe, prefix/MRL shortlist, hard negatives,
     // curriculum ordering
     "sim_topk_ivf_trained", "sim_topk_ivf_projected", "sim_topk_ivf_lake",
-    "sim_topk_prefix", "sim_hard_negatives", "corpus_curriculum_order")
+    "sim_topk_prefix", "sim_hard_negatives", "corpus_curriculum_order",
+    "sim_knn_label_smooth")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

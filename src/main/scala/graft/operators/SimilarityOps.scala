@@ -1561,6 +1561,44 @@ object SimilarityOps {
         col("icos"), col("rflag").isNotNull.as("mutual"))
   }
 
+  /** One LABEL-SPREADING step over the mutual-kNN graph (graph-based weak
+    * supervision — Zhu & Ghahramani 2002 label propagation, restricted to
+    * the robust mutual edges like [[knnClusters]]): every vector's
+    * smoothed label is the MAJORITY label of its mutual neighbors (ties →
+    * smallest label), vectors with no mutual edge keep their own. The
+    * training-data use: noisy per-document labels (source tags, weak
+    * classifiers) get denoised by embedding-neighborhood consensus before
+    * they gate curation.
+    *
+    * Cost shape: everything downstream of the (staged, shared) edge list
+    * is EDGE-sized — one keyed label join, one (src, label) count, one
+    * per-src argmax window, two bounded left joins back — so at 100 TB it
+    * rides the k·n edge volume, never n². */
+  def knnLabelSmooth(embs: DataFrame, k: Int = 3, bits: Int = 4,
+                     labelCol: String = "label",
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     precomputedGraph: Option[DataFrame] = None): DataFrame = {
+    val g = precomputedGraph.getOrElse(knnGraph(embs, k, bits, vecCol, idCol))
+    val mutual = g.filter(col("mutual")).select(col("src"), col("dst"))
+    val nb = mutual.join(
+      embs.select(col(idCol).as("dst"), col(labelCol).as("nlabel")), "dst")
+    val winner = nb.groupBy(col("src"), col("nlabel"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("n").desc, col("nlabel"))))
+      .filter(col("rk") === 1)
+      .select(col("src").as(idCol), col("nlabel"))
+    val degrees = nb.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .withColumnRenamed("src", idCol)
+    embs.select(col(idCol), col(labelCol))
+      .join(winner, Seq(idCol), "left")
+      .join(degrees, Seq(idCol), "left")
+      .select(col(idCol), col(labelCol),
+        coalesce(col("nlabel"), col(labelCol)).as("smoothed_label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+  }
+
   /** Mutual-k-NN semantic clusters: connected components over the
     * [[knnGraph]] edges that are MUTUAL and at least `minIcos` similar —
     * the standard robustification (one-directional edges chain unrelated

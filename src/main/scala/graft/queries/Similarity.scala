@@ -244,6 +244,14 @@ object Similarity extends QuerySet {
     // the clusters row
     "sim_knn_graph" -> ((s, dir) => knnStage(s, dir)),
 
+    // one label-spreading step over the mutual-kNN graph (round 11):
+    // majority neighbor label, ties to the smallest, isolates keep their
+    // own — graph-denoised weak labels before they gate curation; probes
+    // the staged edge list shared with the graph/clusters rows
+    "sim_knn_label_smooth" -> ((s, dir) =>
+      SimilarityOps.knnLabelSmooth(embs(s, dir), k = 3, bits = 4,
+        precomputedGraph = Some(knnStage(s, dir)))),
+
     // mutual-k-NN semantic clusters: connected components over the mutual,
     // positively-similar knn edges; every vector labeled (singletons kept);
     // probes the staged edge list, pays only CC + the label tail
@@ -1484,6 +1492,33 @@ object Similarity extends QuerySet {
          |  (r.src IS NOT NULL) AS mutual
          |FROM t LEFT JOIN (SELECT src, dst FROM t) r
          |  ON r.src = t.dst AND r.dst = t.src""".stripMargin,
+
+    // mutual edges from the knn CTEs; majority label per src with
+    // (count desc, label) tie-break; isolates coalesce to their own label
+    "sim_knn_label_smooth" ->
+      s"""${KnnCtes(3, 4)},
+         |me AS (
+         |  SELECT t.src, t.dst FROM t
+         |  JOIN (SELECT src, dst FROM t) r
+         |    ON r.src = t.dst AND r.dst = t.src),
+         |nb AS (
+         |  SELECT me.src AS vec_id, e.label AS nlabel
+         |  FROM me JOIN embeddings e ON e.vec_id = me.dst),
+         |maj AS (
+         |  SELECT vec_id, nlabel,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY COUNT(*) DESC, nlabel) AS rk
+         |  FROM nb GROUP BY vec_id, nlabel),
+         |deg AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nb
+         |  FROM nb GROUP BY vec_id)
+         |SELECT e.vec_id, e.label,
+         |  COALESCE(m.nlabel, e.label) AS smoothed_label,
+         |  COALESCE(deg.n_nb, 0) AS n_neighbors
+         |FROM embeddings e
+         |LEFT JOIN (SELECT vec_id, nlabel FROM maj WHERE rk = 1) m
+         |  ON m.vec_id = e.vec_id
+         |LEFT JOIN deg ON deg.vec_id = e.vec_id""".stripMargin,
 
     // mutual positive edges → symmetric closure → recursive reach → min-id
     // label (the dedup-clusters oracle recursion on the embedding side)

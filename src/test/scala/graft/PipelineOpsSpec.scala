@@ -343,6 +343,38 @@ class PipelineOpsSpec extends SparkSpecBase {
         s"phase_order must be 1..n within (phase, shard): $r"))
   }
 
+  test("knn label smoothing: local majority mirror, isolates keep their label") {
+    val g = SimilarityOps.knnGraph(embs, k = 3, bits = 4).localCheckpoint()
+    val out = SimilarityOps.knnLabelSmooth(embs, k = 3, bits = 4,
+      precomputedGraph = Some(g)).localCheckpoint()
+    assert(out.count() == embs.count(), "every vector gets a verdict")
+    assert(out.filter(col("n_neighbors") === 0 &&
+      col("smoothed_label") =!= col("label")).isEmpty,
+      "isolates must keep their own label")
+    // local mirror: majority of mutual neighbors' labels, ties -> smallest
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mutual = g.filter(col("mutual")).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = mutual.groupBy(_._1)
+    out.collect().foreach { r =>
+      val (id, lbl, sm, nn) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      bySrc.get(id) match {
+        case None => assert(nn == 0 && sm == lbl, s"isolate $id: $r")
+        case Some(es) =>
+          assert(nn == es.length, s"degree mismatch for $id")
+          // toSeq BEFORE the map: mapping a Map to (count, label) tuples
+          // re-keys by count and collapses tied labels
+          val maj = es.map(e => labels(e._2))
+            .groupBy(identity).toSeq
+            .map { case (l, xs) => (xs.length, l) }
+            .sortBy { case (n, l) => (-n, l) }.head._2
+          assert(sm == maj, s"majority mismatch for $id: got $sm want $maj")
+      }
+    }
+  }
+
   test("paragraph dedup: survivors equal distinct blocks; apply reconstructs kept tokens") {
     val flagged = DedupOps.paragraphDedup(docs)
     val blocks = TextOps.tokenBlocks(docs).withColumn("bh", md5(col("btxt")))
