@@ -264,6 +264,18 @@ object Similarity extends QuerySet {
     "sim_pq_encode" -> ((s, dir) =>
       SimilarityOps.pqEncode(embs(s, dir))),
 
+    // TRAINED-codebook ADC (round 11): per-subspace exact integer k-means
+    // (T=1) replaces the smallest-id codewords — the FAISS-style codebook
+    // at subspace cluster means, value-oracled end-to-end (the oracle
+    // unrolls the 4 per-subspace Lloyd iterations in SQL)
+    "sim_pq_adc_trained" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val cb = SimilarityOps.pqCodebookTrained(all, "embedding", "vec_id",
+        iters = 1)
+      SimilarityOps.pqAdcTopK(all, k = 10, col("vec_id") % 100 === 0,
+        codebook = Some(cb))
+    }),
+
     // asymmetric-distance top-k over the PQ codes: queries build a
     // distance table to the codebook; the corpus side is touched only
     // through its codes
@@ -1559,6 +1571,47 @@ object Similarity extends QuerySet {
          |  CAST(round(d2 * 1e6) AS BIGINT) AS d2_micro
          |FROM enc WHERE rn = 1""".stripMargin,
 
+    // per-subspace T=1 integer k-means codebooks (PqTrainSub ×4), then
+    // the sim_pq_adc_topk encode/distance-table/ADC tail over them
+    "sim_pq_adc_trained" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $E AS e FROM embeddings),
+         |${(0 until 4).map(PqTrainSub).mkString(",\n")},
+         |cbs AS (
+         |  SELECT * FROM cb0 UNION ALL SELECT * FROM cb1
+         |  UNION ALL SELECT * FROM cb2 UNION ALL SELECT * FROM cb3),
+         |sub AS (SELECT unnest(range(4)) AS s),
+         |vs AS (
+         |  SELECT id, s,
+         |    list_transform(range(16), i -> e[s * 16 + i + 1]) AS sv
+         |  FROM v CROSS JOIN sub),
+         |scored AS (
+         |  SELECT id, vs.s, cid,
+         |    list_aggregate(list_transform(range(16),
+         |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum') AS d2
+         |  FROM vs JOIN cbs ON vs.s = cbs.s),
+         |enc AS (
+         |  SELECT id, s, cid, d2,
+         |    row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn
+         |  FROM scored),
+         |codes AS (SELECT id, s, cid AS code FROM enc WHERE rn = 1),
+         |q AS (SELECT id AS qid, s, sv FROM vs WHERE id % 100 = 0),
+         |qd AS (
+         |  SELECT qid, q.s, cbs.cid, CAST(round(
+         |    list_aggregate(list_transform(range(16),
+         |      i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])), 'sum')
+         |    * 1e6) AS BIGINT) AS qd2
+         |  FROM q JOIN cbs ON q.s = cbs.s),
+         |adc AS (
+         |  SELECT qd.qid, codes.id AS nid, CAST(SUM(qd2) AS BIGINT) AS adc_micro
+         |  FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.code
+         |  WHERE qd.qid <> codes.id
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, CAST(rank AS INT) AS rank, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin,
+
     // subspace partials integer-quantized BEFORE summing → associative,
     // rank order engine-exact
     "sim_pq_adc_topk" ->
@@ -1698,6 +1751,49 @@ object Similarity extends QuerySet {
   /** Shared PQ CTE chain: codebook = the 16 smallest-id vectors split into
     * 4×16-dim subvectors; `enc` scores every (vector, subspace, codeword)
     * with the same index-order fold the Spark side uses. */
+  /** One unrolled exact-integer Lloyd iteration for PQ subspace `s`
+    * (mirrors pqCodebookTrained → kmeansCentroidsExact at iters = 1):
+    * quantized 16-dim slices, integer-d² argmin with (d2, cid) ties,
+    * floor(Σx/n) update on the grid, empty cells keep their seed; the
+    * codebook surfaces as grid DOUBLES (cx / 1e6) exactly like the Spark
+    * side. */
+  private def PqTrainSub(s: Int): String = {
+    val off = s * 16
+    s"""q$s AS (
+       |  SELECT id, list_transform(range(16), i ->
+       |    CAST(round(e[$off + i + 1] * 1000000) AS BIGINT)) AS qv
+       |  FROM v),
+       |c0_$s AS (
+       |  SELECT cid, cq FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+       |      AS cid, qv AS cq FROM q$s) WHERE cid < 16),
+       |a1_$s AS (
+       |  SELECT id, cluster FROM (
+       |    SELECT q.id, c.cid AS cluster, row_number() OVER (
+       |      PARTITION BY q.id ORDER BY
+       |        CAST(list_aggregate(list_transform(range(16), i ->
+       |          (q.qv[i+1] - c.cq[i+1]) * (q.qv[i+1] - c.cq[i+1])), 'sum')
+       |          AS BIGINT), c.cid) AS rk
+       |    FROM q$s q CROSS JOIN c0_$s c) WHERE rk = 1),
+       |n1_$s AS (
+       |  SELECT cluster AS cid, dim,
+       |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+       |  FROM (
+       |    SELECT a.cluster, CAST(unnest(range(16)) AS INT) AS dim,
+       |      unnest(q.qv) AS x
+       |    FROM a1_$s a JOIN q$s q ON q.id = a.id)
+       |  GROUP BY cluster, dim),
+       |cb$s AS (
+       |  SELECT c0.cid, $s AS s,
+       |    CASE WHEN COUNT(n.cx) = 0
+       |      THEN list_transform(first(c0.cq),
+       |        x -> CAST(x AS DOUBLE) / 1000000.0)
+       |      ELSE list_transform(list(n.cx ORDER BY n.dim),
+       |        x -> CAST(x AS DOUBLE) / 1000000.0) END AS cv
+       |  FROM c0_$s c0 LEFT JOIN n1_$s n ON n.cid = c0.cid
+       |  GROUP BY c0.cid)""".stripMargin
+  }
+
   private val PqCtes =
     s"""WITH v AS (
        |  SELECT vec_id AS id, $E AS e FROM embeddings),
