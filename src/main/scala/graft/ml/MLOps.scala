@@ -233,6 +233,8 @@ object MLOps {
     var cents: Seq[(Long, Seq[Long])] = q.orderBy(col("id")).limit(k)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+    require(cents.nonEmpty,
+      "kmeansCentroidsExact: empty input — no vectors to seed centroids from")
     for (_ <- 1 to iters) {
       val cdf = cents.toDF("cid", "cq")
       val assigned = q.crossJoin(broadcast(cdf))
