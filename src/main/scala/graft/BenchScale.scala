@@ -60,7 +60,7 @@ object BenchScale {
     // curriculum ordering
     "sim_topk_ivf_trained", "sim_topk_ivf_projected", "sim_topk_ivf_lake",
     "sim_topk_prefix", "sim_hard_negatives", "corpus_curriculum_order",
-    "sim_knn_label_smooth", "sim_pq_adc_trained")
+    "sim_knn_label_smooth", "sim_pq_adc_trained", "sim_ivf_incremental")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

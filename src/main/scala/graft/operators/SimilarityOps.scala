@@ -323,6 +323,47 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** INCREMENTAL IVF ingest — the index-maintenance half of the trained
+    * index: a new `batch` of vectors is placed into the EXISTING cells
+    * (centroids trained on `stored` only — the index is NOT rebuilt per
+    * batch), and each placement carries the post-ingest cell pressure:
+    * `needs_split` marks cells whose total occupancy exceeds 2× the mean
+    * (cell_n · cells > 2 · total in exact integers) — the re-shard signal
+    * a production index acts on asynchronously. This closes the
+    * incremental family on the ANN side the way the six dedup
+    * granularities were closed: batch cost is O(batch · cells · d)
+    * assignment + cells-sized bookkeeping; `stored` is scanned only for
+    * training and its one-time placement (a real deployment reads both
+    * from the persisted index — pass `storedIndex` to skip that scan). */
+  def ivfAssignIncremental(stored: DataFrame, batch: DataFrame, cells: Int,
+                           iters: Int = 1, vecCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           storedIndex: Option[DataFrame] = None): DataFrame = {
+    val cents = graft.ml.MLOps.kmeansCentroidsExact(stored, k = cells,
+      iters = iters, vecCol = vecCol, idCol = idCol)
+    val storedCells = storedIndex
+      .getOrElse(ivfAssign(stored, cents, vecCol, idCol))
+      .groupBy(col("cell")).agg(count(lit(1)).as("stored_n"))
+    val placed = ivfAssign(batch, cents, vecCol, idCol)
+      .select(col("nid").as(idCol), col("cell"))
+    val batchCells = placed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("batch_n"))
+    // cells-sized stats table: the unpartitioned total window is over at
+    // most `cells` rows (the temperatureSample convention)
+    val cellStats = storedCells.join(batchCells, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("stored_n"), lit(0L)).as("stored_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+      .withColumn("_tot", sum(col("stored_n") + col("batch_n")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("needs_split",
+        (col("stored_n") + col("batch_n")) * cells > lit(2L) * col("_tot"))
+      .drop("_tot")
+    placed.join(broadcast(cellStats), "cell")
+      .select(col(idCol), col("cell"), col("stored_n"), col("batch_n"),
+        col("needs_split"))
+  }
+
   /** Projection-inside-IVF top-k — [[topKIvfPruned]] with the JL shortlist
     * of [[topKProjected]] applied WITHIN the probed cells (project-then-
     * probe). Completes the ANN family lattice's IVF×JL member: IVF bounds

@@ -149,6 +149,18 @@ object Similarity extends QuerySet {
         k = 3, cells = 16, nprobe = 4, sprobe = 2, m = 10)
     }),
 
+    // INCREMENTAL IVF ingest (round 11): the vec_id%10==0 batch placed
+    // into cells trained (T=1) on the REST — no index rebuild per batch —
+    // with per-cell post-ingest pressure and the 2×-mean needs_split
+    // re-shard signal in exact integers; closes the incremental family
+    // on the ANN-index side
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.ivfAssignIncremental(
+        all.filter(col("vec_id") % 10 =!= 0),
+        all.filter(col("vec_id") % 10 === 0), cells = 16, iters = 1)
+    }),
+
     // IVF-BUCKETED LAKE probe (round 11): the corpus staged ONCE as a
     // partitionBy(cell) parquet lake, then probed reading ONLY the
     // queries' cells (literal isin on the partition column → static
@@ -1206,6 +1218,72 @@ object Similarity extends QuerySet {
          |  SELECT qid, cell, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // T=1 Lloyd over the STORED side only (lowest-16 stored ids seed,
+    // renumbered 0..15), both sides placed by integer-d2 argmin against
+    // the trained cells, exact-integer 2x-mean split rule
+    "sim_ivf_incremental" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |st AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+         |bt AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+         |c0 AS (
+         |  SELECT cid, cq FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cid, q AS cq FROM st) WHERE cid < 16),
+         |a1 AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT s.vec_id AS id, c.cid AS cluster, row_number() OVER (
+         |      PARTITION BY s.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (s.q[i+1] - c.cq[i+1]) * (s.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM st s CROSS JOIN c0 c) WHERE rk = 1),
+         |n1 AS (
+         |  SELECT cluster AS cid, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a.cluster, CAST(unnest(range(64)) AS INT) AS dim,
+         |      unnest(s.q) AS x
+         |    FROM a1 a JOIN st s ON s.vec_id = a.id)
+         |  GROUP BY cluster, dim),
+         |c1 AS (
+         |  SELECT c0.cid,
+         |    CASE WHEN COUNT(n1.cx) = 0 THEN first(c0.cq)
+         |         ELSE list(n1.cx ORDER BY n1.dim) END AS cq
+         |  FROM c0 LEFT JOIN n1 ON n1.cid = c0.cid
+         |  GROUP BY c0.cid),
+         |sa AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY s.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (s.q[i+1] - c.cq[i+1]) * (s.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM st s CROSS JOIN c1 c) WHERE rk = 1),
+         |ba AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY b.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (b.q[i+1] - c.cq[i+1]) * (b.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM bt b CROSS JOIN c1 c) WHERE rk = 1),
+         |sc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS stored_n
+         |       FROM sa GROUP BY cell),
+         |bc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS batch_n
+         |       FROM ba GROUP BY cell),
+         |cs AS (
+         |  SELECT COALESCE(sc.cell, bc.cell) AS cell,
+         |    COALESCE(stored_n, 0) AS stored_n,
+         |    COALESCE(batch_n, 0) AS batch_n
+         |  FROM sc FULL OUTER JOIN bc ON sc.cell = bc.cell),
+         |tot AS (SELECT CAST(SUM(stored_n + batch_n) AS BIGINT) AS t FROM cs)
+         |SELECT ba.vec_id, ba.cell, cs.stored_n, cs.batch_n,
+         |  (cs.stored_n + cs.batch_n) * 16 > 2 * tot.t AS needs_split
+         |FROM ba JOIN cs ON cs.cell = ba.cell, tot""".stripMargin,
 
     // pruned-assigner CTEs as sim_topk_ivf_pruned; candidate shortlist by
     // 16-dim projected cosine (the sim_topk_projected sign matrix) WITHIN

@@ -375,6 +375,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental ivf ingest: every batch vector placed once, split rule exact") {
+    val stored = embs.filter(col("vec_id") % 10 =!= 0)
+    val batch = embs.filter(col("vec_id") % 10 === 0)
+    val out = graft.operators.SimilarityOps.ivfAssignIncremental(
+      stored, batch, cells = 8, iters = 1).localCheckpoint()
+    assert(out.count() == batch.count(), "one placement per batch vector")
+    assert(out.select(col("vec_id")).distinct().count() == batch.count())
+    // the split flag must satisfy its own integer rule over the output
+    val cellRows = out.select(col("cell"), col("stored_n"), col("batch_n"),
+      col("needs_split")).distinct().collect()
+    // total includes cells with NO batch vector — recompute from stored
+    val total = stored.count() + batch.count()
+    cellRows.foreach { r =>
+      val expect = (r.getLong(1) + r.getLong(2)) * 8 > 2 * total
+      assert(r.getBoolean(3) == expect, s"split rule mismatch: $r total=$total")
+    }
+  }
+
   test("paragraph dedup: survivors equal distinct blocks; apply reconstructs kept tokens") {
     val flagged = DedupOps.paragraphDedup(docs)
     val blocks = TextOps.tokenBlocks(docs).withColumn("bh", md5(col("btxt")))
