@@ -36,6 +36,10 @@ object ProbeStreamScale {
   private def runMetered(spark: SparkSession, df: DataFrame, mode: String,
                          parts: Int): (Long, Double, String) = {
     val name = s"graft_ladder_${runId.incrementAndGet()}"
+    // recentProgress is a ring buffer capped at numRecentProgressUpdates
+    // (default 100): a 100× replay with more micro-batches than that would
+    // silently undercount batches=/addbatch/commit sums below
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     val t0 = System.nanoTime()
     var detail = ""
     graft.operators.PartitionOps.withShufflePartitions(spark, parts) {

@@ -116,18 +116,37 @@ object SamplingOps {
     * lands in the same phase (boundaries are on values, not row ranks), so
     * the assignment is layout- and engine-independent. The within-shard
     * order is a window partitioned by (phase, shard) — parallelism =
-    * phases × shards; pick `shards` ≈ cluster cores / phases at 100 TB,
-    * where a single global training order would be the bottleneck a
-    * sharded interleave exists to avoid.
+    * phases × shards. `shards = 0` (the default) DERIVES the shard count
+    * from the corpus: max(8, rows / 2M) — the r11 100× ladder showed the
+    * per-(phase, shard) window tails grow 8.3× when a fixed shards=8 rides
+    * a 100× corpus, and the scaladoc advice "raise shards with volume"
+    * belongs in code (the CC-parallelism precedent). The count is a
+    * parquet-metadata read; shard ids stay a pure hash of the key, so the
+    * ORDER within any given (phase, shard) is engine-exact for whatever
+    * shard count is chosen, and fixture-scale results (rows ≤ 16M) are
+    * byte-identical to the old shards=8 default.
+    *
+    * Null difficulty fails LOUD in-plan (raise_error with the offending
+    * key): the equi-join on `_d` would silently drop null-key rows,
+    * breaking the "every row gets a phase" contract — a null difficulty is
+    * upstream data corruption, not a schedulable value (the SqCodes
+    * fail-loud convention).
     *
     * phase(v) = min(phases−1, (C(v)−1)·phases / N) with C(v) the cumulative
     * row count through value v — pure non-negative integer arithmetic,
     * identical in any engine. */
   def curriculumOrder(df: DataFrame, difficulty: Column, keyCol: String,
-                      phases: Int = 4, shards: Int = 8): DataFrame = {
+                      phases: Int = 4, shards: Int = 0): DataFrame = {
     require(phases >= 1, s"phases must be >= 1: $phases")
-    require(shards >= 1, s"shards must be >= 1: $shards")
-    val spread = df.withColumn("_d", difficulty.cast("long"))
+    require(shards >= 0, s"shards must be >= 0 (0 = derive): $shards")
+    val nShards =
+      if (shards > 0) shards
+      else math.max(8L, df.count() / 2000000L).toInt
+    val spread = df.withColumn("_d",
+        when(difficulty.cast("long").isNotNull, difficulty.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("curriculumOrder: null difficulty for key "),
+            col(keyCol).cast("string")))))
       .repartition(col(keyCol))
     val hist = spread.groupBy(col("_d")).agg(count(lit(1)).as("_c"))
     // cumulative over the value histogram — distinct-values-sized, the
@@ -143,7 +162,7 @@ object SamplingOps {
           .cast("int").as("phase"))
     spread.join(broadcast(cum), "_d")
       .withColumn("shard",
-        (stableHash(col(keyCol).cast("string")) % shards).cast("int"))
+        (stableHash(col(keyCol).cast("string")) % nShards).cast("int"))
       .withColumn("phase_order", row_number().over(
         Window.partitionBy(col("phase"), col("shard"))
           .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))

@@ -261,8 +261,9 @@ object SimilarityOps {
     * needed. */
   def topKIvfProbe(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
                    nprobe: Int, vecCol: String = "embedding",
-                   idCol: String = "vec_id"): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < cells)
+                   idCol: String = "vec_id",
+                   centroids: Option[DataFrame] = None): DataFrame = {
+    val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
     val c = ivfAssign(corpus, seeds, vecCol, idCol)
     val seedRows = seeds.select(col(idCol).as("cid"),
       quantize(col(vecCol)).as("cv"))
@@ -298,8 +299,9 @@ object SimilarityOps {
   def topKIvfPruned(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
                     nprobe: Int, sprobe: Int = 2,
                     vecCol: String = "embedding",
-                    idCol: String = "vec_id"): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < cells)
+                    idCol: String = "vec_id",
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
     val c = ivfAssignPruned(corpus, seeds, sprobe, vecCol, idCol)
     val seedRows = seeds.select(col(idCol).as("cid"),
       quantize(col(vecCol)).as("cv"))
@@ -333,14 +335,22 @@ object SimilarityOps {
     * incremental family on the ANN side the way the six dedup
     * granularities were closed: batch cost is O(batch · cells · d)
     * assignment + cells-sized bookkeeping; `stored` is scanned only for
-    * training and its one-time placement (a real deployment reads both
-    * from the persisted index — pass `storedIndex` to skip that scan). */
+    * training and its one-time placement. A real deployment reads both
+    * from the persisted index: pass `centroids` (the trained centroid set
+    * the index was built with) AND `storedIndex` (the persisted
+    * assignment) together to skip the stored scan entirely. `storedIndex`
+    * alone still retrains from `stored` — it MUST be the
+    * kmeansCentroidsExact(stored, cells, iters) placement or the
+    * stored_n/needs_split stats misalign with the cells the batch lands
+    * in, which is why the pair travels together in a persisted index. */
   def ivfAssignIncremental(stored: DataFrame, batch: DataFrame, cells: Int,
                            iters: Int = 1, vecCol: String = "embedding",
                            idCol: String = "vec_id",
-                           storedIndex: Option[DataFrame] = None): DataFrame = {
-    val cents = graft.ml.MLOps.kmeansCentroidsExact(stored, k = cells,
-      iters = iters, vecCol = vecCol, idCol = idCol)
+                           storedIndex: Option[DataFrame] = None,
+                           centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      graft.ml.MLOps.kmeansCentroidsExact(stored, k = cells,
+        iters = iters, vecCol = vecCol, idCol = idCol))
     val storedCells = storedIndex
       .getOrElse(ivfAssign(stored, cents, vecCol, idCol))
       .groupBy(col("cell")).agg(count(lit(1)).as("stored_n"))
@@ -364,6 +374,91 @@ object SimilarityOps {
         col("needs_split"))
   }
 
+  /** Split executor for the `needs_split` pressure signal — the second
+    * half of incremental IVF maintenance ([[ivfAssignIncremental]] detects,
+    * this acts): every cell whose occupancy exceeds `splitThresholdPct`
+    * percent of the mean (default 200 = the detector's own 2×-mean rule;
+    * production indexes tune the pressure point, and a uniform corpus
+    * needs a tighter one before any cell concentrates) is
+    * re-sharded into two sub-cells by a bounded 2-means run over ITS OWN
+    * members (seeds = the cell's two smallest ids, `splitIters` exact
+    * integer Lloyd rounds with floor-mean updates — the
+    * kmeansCentroidsExact arithmetic, but fully DISTRIBUTED: all flagged
+    * cells train simultaneously through one grouped aggregation per round,
+    * no per-cell driver loop). Unflagged cells pass through untouched.
+    *
+    * Cell ids renumber deterministically — old cell c → 2c (unflagged, or
+    * flagged sub 0) / 2c+1 (flagged sub 1) — so consumers remap old → new
+    * without a lookup table and unflagged lake partitions need no rewrite.
+    *
+    * Scale shape: one base assignment (swap in [[ivfAssignPruned]] via the
+    * same seeds the index was built with when cells tracks √n), then per
+    * Lloyd round only the FLAGGED members pay 2 distance evals each; the
+    * sub-centroid table is ≤ 2·cells rows (broadcast), and by definition
+    * fewer than cells/2 cells can exceed 2× the mean — the split touches
+    * exactly the concentrated ingest pressure, never the whole index.
+    *
+    * Determinism (value-oracled): quantized integer d2, (d2, sub) ties,
+    * floor-mean on the integer grid, empty/degenerate subs keep their seed
+    * (a 1-member flagged cell trains 1 sub and maps wholly to 2c). Output:
+    * (idCol, cell, needs_split, new_cell) for EVERY corpus vector. */
+  def ivfSplitCells(corpus: DataFrame, cells: Int, splitIters: Int = 1,
+                    splitThresholdPct: Int = 200,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    require(splitIters >= 0, s"splitIters must be >= 0: $splitIters")
+    require(splitThresholdPct >= 1,
+      s"splitThresholdPct must be >= 1: $splitThresholdPct")
+    val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
+    val assigned = ivfAssign(corpus, seeds, vecCol, idCol)
+      .select(col("nid"), quantize(col("v")).as("qv"), col("cell"))
+    // exact integers: cell_n·cells·100 > pct·total  ⇔  cell_n > pct% of mean
+    val stats = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      .withColumn("_tot", sum(col("cell_n")).over(Window.partitionBy(lit(1))))
+      .withColumn("needs_split",
+        col("cell_n") * cells * 100 > lit(splitThresholdPct.toLong) * col("_tot"))
+      .select(col("cell"), col("needs_split"))
+    val flagged = assigned.join(
+      broadcast(stats.filter(col("needs_split")).select(col("cell"))), "cell")
+    var subs = flagged.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("nid"))))
+      .filter(col("rn") <= 2)
+      .select(col("cell"), (col("rn") - 1).cast("long").as("sub"),
+        col("qv").as("sq"))
+    for (_ <- 1 to splitIters) {
+      val a = flagged.join(broadcast(subs), "cell")
+        .withColumn("d2", lld2(col("qv"), col("sq")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nid")).orderBy(col("d2"), col("sub"))))
+        .filter(col("rk") === 1)
+      val upd = a.select(col("cell"), col("sub"),
+          posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("sub"), col("dim"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy(col("cell"), col("sub"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("nq"))
+      // bounded data (≤ 2·cells rows) — localCheckpoint caps the lineage
+      // across rounds, the kmeansCentroidsExact/BPE-trainer precedent
+      subs = subs.join(upd, Seq("cell", "sub"), "left")
+        .select(col("cell"), col("sub"),
+          coalesce(col("nq"), col("sq")).as("sq"))
+        .localCheckpoint()
+    }
+    val placed = flagged.join(broadcast(subs), "cell")
+      .withColumn("d2", lld2(col("qv"), col("sq")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nid")).orderBy(col("d2"), col("sub"))))
+      .filter(col("rk") === 1)
+      .select(col("nid"), (col("cell") * 2 + col("sub")).as("new_cell"))
+    assigned.join(broadcast(stats), "cell")
+      .join(placed, Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cell"), col("needs_split"),
+        coalesce(col("new_cell"), col("cell") * 2).cast("long").as("new_cell"))
+  }
+
   /** Projection-inside-IVF top-k — [[topKIvfPruned]] with the JL shortlist
     * of [[topKProjected]] applied WITHIN the probed cells (project-then-
     * probe). Completes the ANN family lattice's IVF×JL member: IVF bounds
@@ -381,13 +476,19 @@ object SimilarityOps {
     * through and the result degenerates to [[topKIvfPruned]] with the same
     * (cells, nprobe, sprobe) — the spec pins that. Rows through the
     * shortlist window are SLIM (qid, nid, pcos) — the topKProjected sf10
-    * lesson: sort-input row width is the scale knob. */
+    * lesson: sort-input row width is the scale knob.
+    *
+    * `centroids` (default None = smallest-id seeds) runs the composed
+    * member over a TRAINED centroid set ([[graft.ml.MLOps
+    * .kmeansCentroidsExact]]) — the production configuration: balanced
+    * cells bound the worst-case probed-candidate volume. */
   def ivfProjectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                        cells: Int, nprobe: Int, sprobe: Int = 2,
                        m: Int = 10, outDims: Int = 16,
                        vecCol: String = "embedding",
-                       idCol: String = "vec_id"): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < cells)
+                       idCol: String = "vec_id",
+                       centroids: Option[DataFrame] = None): DataFrame = {
+    val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
     val c = ivfAssignPruned(corpus, seeds, sprobe, vecCol, idCol)
     val cSlim = c.select(col("nid"), col("cell"),
         array(projectComps(quantize(col("v")), outDims): _*).as("pc"))
@@ -442,8 +543,9 @@ object SimilarityOps {
                       cells: Int, nprobe: Int, candPred: Column,
                       carry: Seq[String] = Seq("label"),
                       vecCol: String = "embedding",
-                      idCol: String = "vec_id"): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < cells)
+                      idCol: String = "vec_id",
+                      centroids: Option[DataFrame] = None): DataFrame = {
+    val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
     val c = ivfAssign(corpus, seeds, vecCol, idCol, carry).filter(candPred)
     val seedRows = seeds.select(col(idCol).as("cid"),
       quantize(col(vecCol)).as("cv"))

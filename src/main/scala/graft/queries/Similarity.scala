@@ -93,6 +93,69 @@ object Similarity extends QuerySet {
         SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
     }),
 
+    // recall audits for the round-11 shortlist/quantization members (r11
+    // verdict item 1): same exact per-query hit counts vs brute force as
+    // sim_recall_lsh/ivf, so every ANN family member's recall-vs-cost
+    // trade-off is MEASURED (DESIGN.md table), not scaladoc prose
+    "sim_recall_prefix" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKPrefix(all, q).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
+    "sim_recall_projected" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKProjected(all, q).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
+    "sim_recall_sq8" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.sq8TopK(all, q).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
+    // the composed IVF×JL member's recall — BOTH approximation knobs
+    // (pruned cells bound candidates, projected dots shortlist) measured
+    // against ground truth at once
+    "sim_recall_ivf_projected" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.ivfProjectedTopK(all, q, k = 3, cells = 16,
+          nprobe = 4, sprobe = 2, m = 10).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
+    // trained-vs-seeded recall PAIR (own-cell probe on both sides, so the
+    // centroid set is the only variable): what k-means training buys in
+    // recall, beyond the cell-balance win the r11 table showed
+    "sim_recall_ivf_seeded" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKIvf(all, q, 3, cells = 16)
+          .select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
+    "sim_recall_ivf_trained" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16,
+        iters = 2)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKIvfSeeds(all, q, 3, seeds = trained)
+          .select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
     "sim_lsh_bucket_stats" -> ((s, dir) =>
       SimilarityOps.lshBuckets(embs(s, dir))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
@@ -149,6 +212,21 @@ object Similarity extends QuerySet {
         k = 3, cells = 16, nprobe = 4, sprobe = 2, m = 10)
     }),
 
+    // the composed member in its PRODUCTION configuration (r11 verdict
+    // item 2): trained k-means centroids flow through the caller-supplied
+    // `centroids` parameter — balanced cells bound the worst-case probed
+    // candidate volume, both shortlist knobs unchanged (T=1 Lloyd keeps
+    // the oracle's unrolled-iteration SQL at one round)
+    "sim_topk_ivf_projected_trained" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16,
+        iters = 1)
+      SimilarityOps.ivfProjectedTopK(all,
+        all.filter(col("vec_id") % 100 === 0),
+        k = 3, cells = 16, nprobe = 4, sprobe = 2, m = 10,
+        centroids = Some(trained))
+    }),
+
     // INCREMENTAL IVF ingest (round 11): the vec_id%10==0 batch placed
     // into cells trained (T=1) on the REST — no index rebuild per batch —
     // with per-cell post-ingest pressure and the 2×-mean needs_split
@@ -160,6 +238,17 @@ object Similarity extends QuerySet {
         all.filter(col("vec_id") % 10 =!= 0),
         all.filter(col("vec_id") % 10 === 0), cells = 16, iters = 1)
     }),
+
+    // the CONSUMER of needs_split (r11 verdict item 3): flagged cells
+    // re-shard into two sub-cells by a distributed in-cell 2-means with
+    // deterministic 2c/2c+1 renumbering. Pressure point 115 % of mean —
+    // the synthetic embeddings are near-uniform (max/mean ≈ 1.3 at every
+    // SF), so the detector's 2× default never fires here; 115 flags the
+    // 4 densest cells at sf0.01 (and 1 at sf0.1), exercising the whole
+    // flag → train → reassign → renumber path under the value oracle
+    "sim_ivf_split" -> ((s, dir) =>
+      SimilarityOps.ivfSplitCells(embs(s, dir), cells = 16, splitIters = 1,
+        splitThresholdPct = 115)),
 
     // IVF-BUCKETED LAKE probe (round 11): the corpus staged ONCE as a
     // partitionBy(cell) parquet lake, then probed reading ONLY the
@@ -512,11 +601,93 @@ object Similarity extends QuerySet {
 
   // the lake probe is value-identical to the in-memory IVF probe by
   // construction (same assignment, same rerank; only the I/O shape
-  // differs), so it shares sim_topk_ivf's oracle SQL verbatim
-  override def oracle: Map[String, String] = oracleBase +
-    ("sim_topk_ivf_lake" -> oracleBase("sim_topk_ivf"))
+  // differs), so it shares sim_topk_ivf's oracle SQL verbatim.
+  // vals, not defs: the driver reads `oracle` repeatedly and the base map
+  // is multi-hundred lines of interpolated SQL — build it once.
+  // The sim_recall_* family composes each member's own oracle SQL (as a
+  // derived table) with the shared brute-force-top-3 + hit-count tail —
+  // the oracle recomputes the approximate index AND the ground truth from
+  // scratch, exactly like the Spark side does
+  override lazy val oracle: Map[String, String] = oracleBase +
+    ("sim_topk_ivf_lake" -> oracleBase("sim_topk_ivf")) +
+    ("sim_recall_prefix" -> recallOracle(oracleBase("sim_topk_prefix"))) +
+    ("sim_recall_projected" ->
+      recallOracle(oracleBase("sim_topk_projected"))) +
+    ("sim_recall_sq8" -> recallOracle(oracleBase("sim_sq8_topk"))) +
+    ("sim_recall_ivf_projected" ->
+      recallOracle(oracleBase("sim_topk_ivf_projected"))) +
+    ("sim_recall_ivf_seeded" -> recallOracle(oracleBase("sim_topk_ivf"))) +
+    ("sim_recall_ivf_trained" ->
+      recallOracle(oracleBase("sim_topk_ivf_trained"))) +
+    ("sim_topk_ivf_projected_trained" -> ivfProjectedTrainedSql)
 
-  private def oracleBase: Map[String, String] = Map(
+  /** Wraps a member's own top-3 oracle SQL (any final column set including
+    * (qid, nid)) with the brute-force ground truth and the per-query
+    * hit-count tail of sim_recall_lsh — one helper, six recall rows. */
+  private def recallOracle(approxSql: String): String =
+    s"""WITH approx AS (SELECT qid, nid FROM ($approxSql)),
+       |bfv AS (SELECT vec_id AS id, $E AS e, $VNorm AS nrm FROM embeddings),
+       |bf AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, c.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        round(list_aggregate(list_transform(range(64),
+       |          i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+       |          DESC, c.id) AS rank
+       |    FROM bfv q JOIN bfv c ON q.id % 100 = 0 AND q.id <> c.id)
+       |  WHERE rank <= 3)
+       |SELECT qid, n_exact, n_hit, n_hit * 1000000 // n_exact AS recall_micro
+       |FROM (
+       |  SELECT bf.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM bf LEFT JOIN approx a ON bf.qid = a.qid AND bf.nid = a.nid
+       |  GROUP BY bf.qid)""".stripMargin
+
+  /** sim_topk_ivf_projected's SQL with the smallest-id seed CTE swapped
+    * for the T=1 trained-centroid chain (the sim_topk_ivf_trained idiom:
+    * renumbered smallest-id seeding, one integer Lloyd round, floor-mean
+    * updates, empty cells keep their centroid) — everything downstream
+    * (supers, pruned placement, projected shortlist, exact rerank) is the
+    * member's own SQL verbatim. */
+  private lazy val ivfProjectedTrainedSql: String = {
+    val seedCte =
+      "seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),"
+    val base = oracleBase("sim_topk_ivf_projected")
+    require(base.contains(seedCte),
+      "sim_topk_ivf_projected seed CTE drifted — update the trained swap")
+    val trained =
+      s"""c0 AS (
+         |  SELECT cid, cq FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cid, q AS cq FROM v) WHERE cid < 16),
+         |a1 AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT v.vec_id AS id, c.cid AS cluster, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+         |n1 AS (
+         |  SELECT cluster AS cid, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a.cluster, CAST(unnest(range(64)) AS INT) AS dim,
+         |      unnest(v.q) AS x
+         |    FROM a1 a JOIN v ON v.vec_id = a.id)
+         |  GROUP BY cluster, dim),
+         |c1 AS (
+         |  SELECT c0.cid,
+         |    CASE WHEN COUNT(n1.cx) = 0 THEN first(c0.cq)
+         |         ELSE list(n1.cx ORDER BY n1.dim) END AS cq
+         |  FROM c0 LEFT JOIN n1 ON n1.cid = c0.cid
+         |  GROUP BY c0.cid),
+         |seeds AS (SELECT cid, cq FROM c1),""".stripMargin
+    base.replace(seedCte, trained)
+  }
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // same tokenize → tf → df-capped rational weights → inverted-index
     // join → cosine; sums cast back from DuckDB's HUGEINT
     "sim_tfidf_topk" ->
@@ -1284,6 +1455,76 @@ object Similarity extends QuerySet {
          |SELECT ba.vec_id, ba.cell, cs.stored_n, cs.batch_n,
          |  (cs.stored_n + cs.batch_n) * 16 > 2 * tot.t AS needs_split
          |FROM ba JOIN cs ON cs.cell = ba.cell, tot""".stripMargin,
+
+    // the split executor: seeded assignment + 115%-of-mean flags (exact
+    // integers: n·cells·100 > 115·total), then each flagged cell
+    // re-sharded by an in-cell 2-means (sub-seeds = two smallest member
+    // ids, one floor-mean Lloyd round, empty subs keep their seed), final
+    // placement against the updated sub-centroids; new_cell = 2c
+    // (unflagged / sub 0) or 2c+1 (sub 1)
+    "sim_ivf_split" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |cells AS (
+         |  SELECT vec_id, q, cid AS cell FROM (
+         |    SELECT v.vec_id, v.q, s.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |          AS BIGINT), s.cid) AS rk
+         |    FROM v CROSS JOIN seeds s) WHERE rk = 1),
+         |cn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n
+         |       FROM cells GROUP BY cell),
+         |tot AS (SELECT CAST(SUM(cell_n) AS BIGINT) AS t FROM cn),
+         |st AS (SELECT cn.cell, cn.cell_n * 16 * 100 > 115 * tot.t
+         |         AS needs_split
+         |       FROM cn, tot),
+         |fm AS (
+         |  SELECT c.vec_id, c.cell, c.q FROM cells c
+         |  JOIN st ON st.cell = c.cell AND st.needs_split),
+         |s0 AS (
+         |  SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, q AS sq FROM (
+         |    SELECT cell, vec_id, q, row_number() OVER (
+         |      PARTITION BY cell ORDER BY vec_id) AS rn
+         |    FROM fm) WHERE rn <= 2),
+         |a1 AS (
+         |  SELECT vec_id, cell, sub FROM (
+         |    SELECT f.vec_id, f.cell, s.sub, row_number() OVER (
+         |      PARTITION BY f.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (f.q[i+1] - s.sq[i+1]) * (f.q[i+1] - s.sq[i+1])), 'sum')
+         |          AS BIGINT), s.sub) AS rk
+         |    FROM fm f JOIN s0 s ON s.cell = f.cell) WHERE rk = 1),
+         |u1 AS (
+         |  SELECT cell, sub, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (
+         |    SELECT a.cell, a.sub, CAST(unnest(range(64)) AS INT) AS dim,
+         |      unnest(f.q) AS x
+         |    FROM a1 a JOIN fm f ON f.vec_id = a.vec_id)
+         |  GROUP BY cell, sub, dim),
+         |s1 AS (
+         |  SELECT s0.cell, s0.sub,
+         |    CASE WHEN COUNT(u1.cx) = 0 THEN first(s0.sq)
+         |         ELSE list(u1.cx ORDER BY u1.dim) END AS sq
+         |  FROM s0 LEFT JOIN u1 ON u1.cell = s0.cell AND u1.sub = s0.sub
+         |  GROUP BY s0.cell, s0.sub),
+         |fa AS (
+         |  SELECT vec_id, cell, sub FROM (
+         |    SELECT f.vec_id, f.cell, s.sub, row_number() OVER (
+         |      PARTITION BY f.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (f.q[i+1] - s.sq[i+1]) * (f.q[i+1] - s.sq[i+1])), 'sum')
+         |          AS BIGINT), s.sub) AS rk
+         |    FROM fm f JOIN s1 s ON s.cell = f.cell) WHERE rk = 1)
+         |SELECT c.vec_id, c.cell, st.needs_split,
+         |  CAST(COALESCE(c.cell * 2 + fa.sub, c.cell * 2) AS BIGINT)
+         |    AS new_cell
+         |FROM cells c JOIN st ON st.cell = c.cell
+         |LEFT JOIN fa ON fa.vec_id = c.vec_id""".stripMargin,
 
     // pruned-assigner CTEs as sim_topk_ivf_pruned; candidate shortlist by
     // 16-dim projected cosine (the sim_topk_projected sign matrix) WITHIN

@@ -285,6 +285,81 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(proj.exceptAll(pruned).isEmpty && pruned.exceptAll(proj).isEmpty)
   }
 
+  test("ivf split: members conserved, unflagged cells map to 2c, flagged cells shard into at most two sub-cells") {
+    val n = embs.count()
+    val out = SimilarityOps.ivfSplitCells(embs, cells = 16, splitIters = 1,
+      splitThresholdPct = 115).localCheckpoint()
+    assert(out.count() == n, "every corpus vector gets exactly one row")
+    assert(out.select(col("vec_id")).distinct().count() == n)
+    assert(out.filter(!col("needs_split") &&
+      col("new_cell") =!= col("cell") * 2).isEmpty,
+      "unflagged cells renumber to 2c untouched")
+    assert(out.filter(col("needs_split") &&
+      col("new_cell") =!= col("cell") * 2 &&
+      col("new_cell") =!= col("cell") * 2 + 1).isEmpty,
+      "flagged members land in 2c or 2c+1 only")
+    // the fixture flags ≥ 1 cell at 115 % and the split is non-degenerate
+    // (both sub-cells populated for the densest flagged cell)
+    val subCounts = out.filter(col("needs_split"))
+      .groupBy(col("cell"), col("new_cell")).count()
+      .groupBy(col("cell")).count().collect()
+    assert(subCounts.nonEmpty, "115 % threshold must flag on the fixture")
+    assert(subCounts.exists(_.getLong(1) == 2L),
+      "at least one flagged cell splits into two populated sub-cells")
+  }
+
+  test("ivf split at the 2x-mean default leaves the near-uniform fixture whole") {
+    // detector parity: the default threshold IS ivfAssignIncremental's
+    // 2x-mean rule, and this fixture never trips it — every cell passes
+    // through as 2c
+    val out = SimilarityOps.ivfSplitCells(embs, cells = 16)
+    assert(out.filter(col("needs_split")).isEmpty)
+    assert(out.filter(col("new_cell") =!= col("cell") * 2).isEmpty)
+  }
+
+  test("composed ivf members with iters=0 trained centroids equal their seeded defaults") {
+    // the r12 seeds plumbing: iters=0 trained centroids are the lowest-16
+    // vectors renumbered (identity on the dense fixture), so every
+    // centroid-taking composed member must reproduce its smallest-id-seed
+    // default row for row — pins the new parameter end to end
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val t0 = graft.ml.MLOps.kmeansCentroidsExact(embs, k = 16, iters = 0)
+      .localCheckpoint()
+    val projT = SimilarityOps.ivfProjectedTopK(embs, qs, k = 3, cells = 16,
+      nprobe = 4, sprobe = 2, m = 10, centroids = Some(t0))
+    val projS = SimilarityOps.ivfProjectedTopK(embs, qs, k = 3, cells = 16,
+      nprobe = 4, sprobe = 2, m = 10)
+    assert(projT.exceptAll(projS).isEmpty && projS.exceptAll(projT).isEmpty)
+    val prunedT = SimilarityOps.topKIvfPruned(embs, qs, k = 3, cells = 16,
+      nprobe = 4, sprobe = 2, centroids = Some(t0))
+    val prunedS = SimilarityOps.topKIvfPruned(embs, qs, k = 3, cells = 16,
+      nprobe = 4, sprobe = 2)
+    assert(prunedT.exceptAll(prunedS).isEmpty &&
+      prunedS.exceptAll(prunedT).isEmpty)
+    val filtT = SimilarityOps.topKIvfFiltered(embs, qs, k = 3, cells = 16,
+      nprobe = 4, candPred = col("label") % 2 === 0, centroids = Some(t0))
+    val filtS = SimilarityOps.topKIvfFiltered(embs, qs, k = 3, cells = 16,
+      nprobe = 4, candPred = col("label") % 2 === 0)
+    assert(filtT.exceptAll(filtS).isEmpty && filtS.exceptAll(filtT).isEmpty)
+  }
+
+  test("incremental ivf with explicit centroids equals the self-trained run") {
+    // the ADVICE contract: (centroids, storedIndex) travel together; the
+    // explicit pair must reproduce the self-training path exactly
+    val stored = embs.filter(col("vec_id") % 10 =!= 0)
+    val batch = embs.filter(col("vec_id") % 10 === 0)
+    val cents = graft.ml.MLOps.kmeansCentroidsExact(stored, k = 16,
+      iters = 1).localCheckpoint()
+    val idx = SimilarityOps.ivfAssign(stored, cents).localCheckpoint()
+    val explicit = SimilarityOps.ivfAssignIncremental(stored, batch,
+      cells = 16, iters = 1, storedIndex = Some(idx),
+      centroids = Some(cents))
+    val selfTrained = SimilarityOps.ivfAssignIncremental(stored, batch,
+      cells = 16, iters = 1)
+    assert(explicit.exceptAll(selfTrained).isEmpty &&
+      selfTrained.exceptAll(explicit).isEmpty)
+  }
+
   test("prefix topk with an exhaustive shortlist equals brute force") {
     // m >= corpus size passes every candidate through the prefix
     // shortlist, so the exact rerank must reproduce brute force
@@ -341,6 +416,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     byShard.foreach(r =>
       assert(r.getInt(3) == r.getLong(2) && r.getInt(4) == 1,
         s"phase_order must be 1..n within (phase, shard): $r"))
+  }
+
+  test("curriculum order: derived shard count equals shards=8 at fixture scale, and null difficulty fails loud") {
+    import graft.functions.GraftFunctions.tokens
+    // derived default: max(8, rows/2M) — fixture rows are far below 2M,
+    // so shards=0 (derive) must be byte-identical to the old shards=8
+    val in = docs.select(col("doc_id"), col("text"))
+    val diff = size(tokens(col("text"))).cast("long")
+    val derived = graft.operators.SamplingOps.curriculumOrder(
+      in, diff, "doc_id", phases = 4)
+    val fixed = graft.operators.SamplingOps.curriculumOrder(
+      in, diff, "doc_id", phases = 4, shards = 8)
+    assert(derived.exceptAll(fixed).isEmpty &&
+      fixed.exceptAll(derived).isEmpty)
+    // null difficulty: the _d equi-join would silently drop the row —
+    // the operator must raise instead (every-row-gets-a-phase contract)
+    val withNull = spark.range(20).select(
+      col("id").cast("string").as("k"),
+      when(col("id") === 7, lit(null)).otherwise(col("id"))
+        .cast("long").as("d"))
+    val e = intercept[Exception] {
+      graft.operators.SamplingOps.curriculumOrder(
+        withNull, col("d"), "k", phases = 2, shards = 2).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("null difficulty"),
+      s"expected the fail-loud null guard, got: ${chain(e)}")
   }
 
   test("knn label smoothing: local majority mirror, isolates keep their label") {
