@@ -24,6 +24,20 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // committed previous-round per-query detail, loaded ONCE — used both
+    // as the in-loop stall anchor (below) and for the qprev drift summary
+    val prevMap: Map[String, Double] = try {
+      val prevPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_PREV", "/root/repo/QCS_PREV.json"))
+      if (!java.nio.file.Files.exists(prevPath)) Map.empty else {
+        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r
+        entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench-qprev] prior load failed: $e"); Map.empty
+    }
     var idx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMs
@@ -58,8 +72,20 @@ object Bench {
       // 0.54→0.76...). The min of two passes is the steady-state per-pass
       // cost; at 0.25 s the re-run surcharge stays bounded while the qprev
       // comparison below becomes noise-robust.
-      val dt = if (firstSteady > 0.25) math.min(firstSteady, onePass())
-               else firstSteady
+      val dt2 = if (firstSteady > 0.25) math.min(firstSteady, onePass())
+                else firstSteady
+      // prior-anchored third pass (r11 verdict item 7): the box's
+      // intermittent I/O stalls can swallow BOTH passes of best-of-2
+      // (r10 correlate_explode, r11 dedup_incremental — 11.8x phantoms
+      // the warm probe later refuted). When the committed prior says this
+      // row is >3x faster, one more pass is cheap insurance; keep the min.
+      val dt = prevMap.get(name) match {
+        case Some(p) if p >= 0.1 && dt2 > 3 * p =>
+          val third = onePass()
+          System.err.println(f"[bench-stall] $name best-of-2 $dt2%.2fs > 3x prior $p%.2fs — third pass $third%.2fs")
+          math.min(dt2, third)
+        case _ => dt2
+      }
       val gd = gcMs - g0
       if (gd > 500) System.err.println(f"[bench-gc] $name ${dt}%.1fs gc=${gd}ms")
       // drop per-query residue (localCheckpoint RDDs, memory-sink tables) —
@@ -101,27 +127,17 @@ object Bench {
     // summarize — gt13/lt077 = rows that moved >1.3x either way (ignoring
     // sub-0.1 s rows, where a 1.3x swing is scheduler noise, not signal),
     // prev_s/now_s = subtotals over the common query set.
-    val qprev: Option[String] = try {
-      val prevPath = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_PREV", "/root/repo/QCS_PREV.json"))
-      if (!java.nio.file.Files.exists(prevPath)) None else {
-        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r
-        val prev = entry.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => results.contains(k) }.toMap
-        if (prev.isEmpty) None else {
-          val now = results.filter { case (k, _) => prev.contains(k) }
-          val moved = now.map { case (k, v) =>
-            val p = prev(k)
-            if (math.min(p, v) < 0.1) 0
-            else if (v > 1.3 * p) 1 else if (p > 1.3 * v) -1 else 0
-          }
-          Some(f""""qprev":{"n":${now.size},"gt13":${moved.count(_ > 0)},"lt077":${moved.count(_ < 0)},"prev_s":${prev.values.sum}%.1f,"now_s":${now.values.sum}%.1f}""")
+    val qprev: Option[String] = {
+      val prev = prevMap.filter { case (k, _) => results.contains(k) }
+      if (prev.isEmpty) None else {
+        val now = results.filter { case (k, _) => prev.contains(k) }
+        val moved = now.map { case (k, v) =>
+          val p = prev(k)
+          if (math.min(p, v) < 0.1) 0
+          else if (v > 1.3 * p) 1 else if (p > 1.3 * v) -1 else 0
         }
+        Some(f""""qprev":{"n":${now.size},"gt13":${moved.count(_ > 0)},"lt077":${moved.count(_ < 0)},"prev_s":${prev.values.sum}%.1f,"now_s":${now.values.sum}%.1f}""")
       }
-    } catch { case e: Exception =>
-      System.err.println(s"[bench-qprev] compare failed: $e"); None
     }
     val allQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

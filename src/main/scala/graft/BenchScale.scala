@@ -60,7 +60,13 @@ object BenchScale {
     // curriculum ordering
     "sim_topk_ivf_trained", "sim_topk_ivf_projected", "sim_topk_ivf_lake",
     "sim_topk_prefix", "sim_hard_negatives", "corpus_curriculum_order",
-    "sim_knn_label_smooth", "sim_pq_adc_trained", "sim_ivf_incremental")
+    "sim_knn_label_smooth", "sim_pq_adc_trained", "sim_ivf_incremental",
+    // round-12 additions: split executor, trained-composed member, and the
+    // recall audits for the whole shortlist/quantization family
+    "sim_ivf_split", "sim_topk_ivf_projected_trained",
+    "sim_recall_prefix", "sim_recall_projected", "sim_recall_sq8",
+    "sim_recall_ivf_projected", "sim_recall_ivf_seeded",
+    "sim_recall_ivf_trained")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -194,7 +194,13 @@ object CepQueries extends QuerySet {
         unboundedState = true) {
         (k, m) => (k, m.first("a").event_id, m.first("b").event_id)
       }.toDF("user_id", "a_id", "b_id")
+      // NFA family self-sizes from replay volume (r11 ladder rule:
+      // rows/125k clamped to [4, cores]) — 4 at fixture scale, the
+      // measured 8/16 optima at 1M/10M events
       graft.streaming.EventStream.runToTable(s, out, "append",
+        statePartitions =
+          graft.streaming.EventStream.derivedStatePartitions("cep",
+            graft.Tables.load(s, dir, "events").count()),
         phase = Some("cep_mb"))
     }),
 

@@ -160,7 +160,13 @@ object Streaming extends QuerySet {
         .select(col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"),
           col("user_id"), col("n"), col("sum_cents"))
-      EventStream.runToTable(s, agg, "append")
+      // session family sizes itself from replay volume (the r11 ladder
+      // rule as code: rows/62.5k clamped to [4, 2·cores]); at fixture
+      // scale this derives the same 4 the row was tuned to, at 1M/10M it
+      // derives the ladder optimum (16/32) instead of throttling at 4
+      EventStream.runToTable(s, agg, "append",
+        statePartitions = EventStream.derivedStatePartitions("session",
+          Tables.load(s, dir, "events").count()))
     }),
 
     // keyed side input (PROTEUS): stream–static equi join enrichment
@@ -416,11 +422,12 @@ object Streaming extends QuerySet {
       // advance the watermark for state EVICTION (and for outer-side
       // emission, which this query has none of), so skipping it drops one
       // of the 5 micro-batches' full state-commit round without touching
-      // values. statePartitions = 4: a stream-stream join commits FOUR
-      // state stores per partition per batch (left/right × keyToNumValues/
-      // keyWithIndexToValue), so partitions enter the fixed-cost product
-      // at 4× weight — the r10 phase split measured commit cost ∝
-      // partitions × batches at ~10.8 s for 8×5 (DESIGN.md).
+      // values. statePartitions = 4 = derivedStatePartitions("join", _):
+      // a stream-stream join commits FOUR state stores per partition per
+      // batch (left/right × keyToNumValues/keyWithIndexToValue), so
+      // partitions enter the fixed-cost product at 4× weight — the r11
+      // ladder holds p=4 optimal through 10M events/replay, hence the
+      // join family's CONSTANT derived default (no count scan needed).
       graft.operators.PartitionOps.withConf(s,
         "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
         EventStream.runToTable(s, joined, "append", statePartitions = 4,

@@ -26,6 +26,27 @@ class StreamingSpec extends SparkSpecBase {
     MemoryStream[EventRow]
   }
 
+  test("derived statePartitions reproduces the r11 ladder optima for all three families") {
+    // the ladder box: 16 cores, optima measured over {2,4,8,16,32} at
+    // 100k / 1M / 10M events per replay (DESIGN.md r11 table) — the
+    // derived rule must hit every hand-tuned cell exactly
+    for ((rows, want) <- Seq(100000L -> 4, 1000000L -> 4, 10000000L -> 4))
+      assert(EventStream.derivedStatePartitions("join", rows, cores = 16)
+        == want, s"join @ $rows")
+    for ((rows, want) <- Seq(100000L -> 4, 1000000L -> 16, 10000000L -> 32))
+      assert(EventStream.derivedStatePartitions("session", rows, cores = 16)
+        == want, s"session @ $rows")
+    for ((rows, want) <- Seq(100000L -> 4, 1000000L -> 8, 10000000L -> 16))
+      assert(EventStream.derivedStatePartitions("cep", rows, cores = 16)
+        == want, s"cep @ $rows")
+    // fixture scale derives the bench-tuned 4 everywhere (behavior-neutral)
+    for (f <- Seq("join", "session", "cep"))
+      assert(EventStream.derivedStatePartitions(f, 20000L, cores = 16) == 4)
+    intercept[IllegalArgumentException] {
+      EventStream.derivedStatePartitions("bogus", 1L)
+    }
+  }
+
   test("watermark drops late rows from tumbling append aggregation") {
     val input = mem()
     val agg = input.toDF()
