@@ -83,6 +83,112 @@ object LayoutOps {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
   }
 
+  /** Apply the `needs_split` outcome to a [[writeIvfBucketed]] lake by
+    * rewriting ONLY the flagged cells' partitions — the lake half of
+    * incremental IVF maintenance (detect: [[SimilarityOps
+    * .ivfAssignIncremental]]; train the split: [[SimilarityOps
+    * .twoMeansSplit]]; apply: here). Id scheme differs from the in-memory
+    * [[SimilarityOps.ivfSplitCells]] on purpose: the lake wants ID
+    * STABILITY, not a global renumber — sub 0 keeps the old cell id (its
+    * partition is overwritten in place), sub 1 gets `old + maxId + 1`
+    * (a fresh partition), and UNFLAGGED partitions are never opened,
+    * never rewritten (dynamic partition overwrite touches only the
+    * partitions present in the written frame; LayoutSpec pins untouched
+    * file lists byte-for-byte). At 100 TB that is the whole point: a
+    * split re-shards the hot cells' bytes and nothing else.
+    *
+    * Occupancy stats come from the lake's own footer counts (cells-sized
+    * table); flagged members load through partition pruning (`isin` on
+    * the partition column). Returns the POST-SPLIT centroid table
+    * (idCol, vecCol as array<double>) for routing probes: unflagged cells
+    * keep their seed vector (the seeded-build invariant: a seed lives in
+    * its own cell, so the lake row with nid == cell IS the centroid),
+    * flagged cells contribute their two trained sub-centroids
+    * (floor-mean integer grid / 1e6 — re-quantizing recovers the grid
+    * exactly, the kmeansCentroidsExact round-trip). Feed it to
+    * [[ivfLakeTopK]] as `seeds` and probes route to sub-cells with no
+    * further change. */
+  def applySplitToLake(spark: org.apache.spark.sql.SparkSession,
+                       path: String, splitIters: Int = 1,
+                       splitThresholdPct: Int = 200,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.GraftFunctions.quantize
+    require(splitIters >= 0 && splitThresholdPct >= 1,
+      s"bad split knobs: iters=$splitIters pct=$splitThresholdPct")
+    val lake = spark.read.parquet(path)
+      .select(col("nid"), col("v"), col("nrm"), col("cell").cast("long").as("cell"))
+    // cells-sized stats, driver-side: flags + the fresh-id offset
+    val counts = lake.groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val nCells = counts.length.toLong
+    val total = counts.map(_._2).sum
+    val offset = counts.map(_._1).max + 1L
+    val flaggedIds = counts.collect {
+      case (c, n) if n * nCells * 100L > splitThresholdPct.toLong * total => c
+    }
+    if (flaggedIds.nonEmpty) {
+      val flagged = lake.filter(col("cell").isin(flaggedIds: _*))
+        .select(col("nid"), quantize(col("v")).as("qv"), col("cell"))
+      val (placed, _) = SimilarityOps.twoMeansSplit(flagged, splitIters)
+      // localCheckpoint MATERIALIZES the flagged rows (bounded: flagged
+      // members only) before the write — Spark refuses a lazy plan that
+      // overwrites a path it is still reading from
+      val rewritten = lake.filter(col("cell").isin(flaggedIds: _*))
+        .join(placed.select(col("nid"), col("sub")), "nid")
+        .select(col("nid"), col("v"), col("nrm"),
+          when(col("sub") === 0, col("cell"))
+            .otherwise(col("cell") + offset).as("cell"))
+        .localCheckpoint()
+      // dynamic overwrite: only the partitions PRESENT in `rewritten`
+      // (the flagged ids and their +offset twins) are replaced on disk
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rewritten.write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(path)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // post-split centroid table, re-derived from the lake's CURRENT
+    // content: a split cell's centroid is the exact floor-mean of its
+    // final members — the "centroid = mean of members" invariant a
+    // production index stores, deterministic for the oracle, and
+    // reconstructible from the lake alone (no side artifact needed)
+    val after = spark.read.parquet(path)
+      .select(col("nid"), col("v"), col("cell").cast("long").as("cell"))
+    val flaggedSet = flaggedIds.toSet
+    val unflaggedCents = after
+      .filter(col("nid") === col("cell"))
+      .filter(!col("cell").isin(flaggedIds: _*))
+      .select(col("nid").as(idCol),
+        col("v").cast("array<double>").as(vecCol))
+    if (flaggedIds.isEmpty) unflaggedCents
+    else {
+      // flagged ids (and their twins): centroid = exact floor-mean of the
+      // cell's CURRENT members on the integer grid — for splitIters = 1
+      // this equals the trained sub-centroid's own update; determinism is
+      // what the oracle needs, and "centroid = mean of members" is the
+      // maintained invariant a production index stores
+      val splitCents = after
+        .filter(col("cell").isin((flaggedSet ++ flaggedSet.map(_ + offset))
+          .toSeq: _*))
+        .select(col("cell"), posexplode(quantize(col("v"))).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c").cast("double") / 1000000.0).as(vecCol))
+        .select(col("cell").as(idCol), col(vecCol))
+      unflaggedCents.unionByName(splitCents)
+    }
+  }
+
   /** Top-k probe over the [[writeIvfBucketed]] lake that READS ONLY the
     * probed cells: query cells resolve in memory (queries are the
     * broadcast-small side by the family contract), the distinct probed

@@ -420,6 +420,26 @@ object SimilarityOps {
       .select(col("cell"), col("needs_split"))
     val flagged = assigned.join(
       broadcast(stats.filter(col("needs_split")).select(col("cell"))), "cell")
+    val (placedSub, _) = twoMeansSplit(flagged, splitIters)
+    val placed = placedSub
+      .select(col("nid"), (col("cell") * 2 + col("sub")).as("new_cell"))
+    assigned.join(broadcast(stats), "cell")
+      .join(placed, Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cell"), col("needs_split"),
+        coalesce(col("new_cell"), col("cell") * 2).cast("long").as("new_cell"))
+  }
+
+  /** The distributed in-cell 2-means core shared by [[ivfSplitCells]] and
+    * the lake-layer apply ([[LayoutOps.applySplitToLake]]): `flagged` is
+    * (nid, qv quantized vector, cell) for the members of every cell being
+    * split; sub-seeds are each cell's two smallest ids, `splitIters`
+    * floor-mean Lloyd rounds run as grouped aggregations over ALL flagged
+    * cells at once (no per-cell driver loop; the sub-centroid table is
+    * ≤ 2·cells rows and broadcasts), empty subs keep their seed. Returns
+    * (placed = (nid, cell, sub) final placement,
+    *  subs   = (cell, sub, sq) final sub-centroids on the integer grid). */
+  private[operators] def twoMeansSplit(flagged: DataFrame,
+                                       splitIters: Int): (DataFrame, DataFrame) = {
     var subs = flagged.withColumn("rn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("nid"))))
       .filter(col("rn") <= 2)
@@ -452,11 +472,8 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("nid")).orderBy(col("d2"), col("sub"))))
       .filter(col("rk") === 1)
-      .select(col("nid"), (col("cell") * 2 + col("sub")).as("new_cell"))
-    assigned.join(broadcast(stats), "cell")
-      .join(placed, Seq("nid"), "left")
-      .select(col("nid").as(idCol), col("cell"), col("needs_split"),
-        coalesce(col("new_cell"), col("cell") * 2).cast("long").as("new_cell"))
+      .select(col("nid"), col("cell"), col("sub"))
+    (placed, subs)
   }
 
   /** Projection-inside-IVF top-k — [[topKIvfPruned]] with the JL shortlist

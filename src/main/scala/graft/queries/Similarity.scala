@@ -46,6 +46,22 @@ object Similarity extends QuerySet {
       })
   }
 
+  /** Post-split IVF lake staged once per (app, fixture): bucketed lake
+    * built, the 115 %-pressure split applied IN PLACE (only flagged cells'
+    * partitions rewrite — dynamic partition overwrite), post-split
+    * centroids persisted next to it. Shared by the content row and the
+    * probe row. */
+  private def splitLakeStage(s: SparkSession, dir: String) = {
+    val key = s.sparkContext.applicationId + "#" + dir + "#graft-ivf-lake-split"
+    graft.sources.StagingFs.stageOnce(s, key, "graft-ivf-lake-split") { p =>
+      graft.operators.LayoutOps.writeIvfBucketed(embs(s, dir), cells = 16,
+        p + "/lake")
+      graft.operators.LayoutOps.applySplitToLake(s, p + "/lake",
+          splitIters = 1, splitThresholdPct = 115)
+        .write.mode("overwrite").parquet(p + "/cents")
+    }
+  }
+
   /** tf-idf weighted postings staged once per (app, fixture) — shared by
     * the tfidf ranker and the keyword extractor. */
   private def tfidfStage(s: SparkSession, dir: String) = {
@@ -249,6 +265,27 @@ object Similarity extends QuerySet {
     "sim_ivf_split" -> ((s, dir) =>
       SimilarityOps.ivfSplitCells(embs(s, dir), cells = 16, splitIters = 1,
         splitThresholdPct = 115)),
+
+    // the LAKE half of the split: flagged cells' partitions rewrite in
+    // place (sub 0 keeps the old id, sub 1 gets id+16; unflagged
+    // partitions never open — LayoutSpec pins their file lists untouched);
+    // this row is the post-split lake CONTENT read back
+    "sim_ivf_lake_split" -> ((s, dir) => {
+      val p = splitLakeStage(s, dir)
+      s.read.parquet(p + "/lake")
+        .select(col("nid").as("vec_id"), col("cell").cast("long").as("cell"))
+    }),
+
+    // ...and the full-circle probe: queries route via the POST-SPLIT
+    // centroid table (unflagged seeds + per-split-cell floor-means), the
+    // scan reads only the probed partitions — detect → split → apply →
+    // probe, every stage value-oracled
+    "sim_topk_ivf_lake_split" -> ((s, dir) => {
+      val p = splitLakeStage(s, dir)
+      graft.operators.LayoutOps.ivfLakeTopK(s, p + "/lake",
+        embs(s, dir).filter(col("vec_id") % 100 === 0),
+        s.read.parquet(p + "/cents"), k = 3)
+    }),
 
     // IVF-BUCKETED LAKE probe (round 11): the corpus staged ONCE as a
     // partitionBy(cell) parquet lake, then probed reading ONLY the
@@ -493,6 +530,70 @@ object Similarity extends QuerySet {
 
   // ---- DuckDB fragments ---------------------------------------------------
   private val E = "CAST(embedding AS DOUBLE[])"
+
+  /** Shared CTE chain of the split rows: seeded assignment, 115 %-of-mean
+    * pressure flags (exact integers), flagged members, two smallest-id
+    * sub-seeds, one floor-mean Lloyd round (empty subs keep their seed),
+    * final placement `fa(vec_id, cell, sub)`. Consumed by sim_ivf_split's
+    * siblings sim_ivf_lake_split / sim_topk_ivf_lake_split. */
+  private lazy val SplitChainSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $E AS e, $VNorm AS nrm,
+       |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+       |cells AS (
+       |  SELECT vec_id, q, cid AS cell FROM (
+       |    SELECT v.vec_id, v.q, s.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id ORDER BY
+       |        CAST(list_aggregate(list_transform(range(64), i ->
+       |          (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+       |          AS BIGINT), s.cid) AS rk
+       |    FROM v CROSS JOIN seeds s) WHERE rk = 1),
+       |cn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n
+       |       FROM cells GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(cell_n) AS BIGINT) AS t FROM cn),
+       |st AS (SELECT cn.cell, cn.cell_n * 16 * 100 > 115 * tot.t
+       |         AS needs_split
+       |       FROM cn, tot),
+       |fm AS (
+       |  SELECT c.vec_id, c.cell, c.q FROM cells c
+       |  JOIN st ON st.cell = c.cell AND st.needs_split),
+       |s0 AS (
+       |  SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, q AS sq FROM (
+       |    SELECT cell, vec_id, q, row_number() OVER (
+       |      PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM fm) WHERE rn <= 2),
+       |a1 AS (
+       |  SELECT vec_id, cell, sub FROM (
+       |    SELECT f.vec_id, f.cell, s.sub, row_number() OVER (
+       |      PARTITION BY f.vec_id ORDER BY
+       |        CAST(list_aggregate(list_transform(range(64), i ->
+       |          (f.q[i+1] - s.sq[i+1]) * (f.q[i+1] - s.sq[i+1])), 'sum')
+       |          AS BIGINT), s.sub) AS rk
+       |    FROM fm f JOIN s0 s ON s.cell = f.cell) WHERE rk = 1),
+       |u1 AS (
+       |  SELECT cell, sub, dim,
+       |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+       |  FROM (
+       |    SELECT a.cell, a.sub, CAST(unnest(range(64)) AS INT) AS dim,
+       |      unnest(f.q) AS x
+       |    FROM a1 a JOIN fm f ON f.vec_id = a.vec_id)
+       |  GROUP BY cell, sub, dim),
+       |s1 AS (
+       |  SELECT s0.cell, s0.sub,
+       |    CASE WHEN COUNT(u1.cx) = 0 THEN first(s0.sq)
+       |         ELSE list(u1.cx ORDER BY u1.dim) END AS sq
+       |  FROM s0 LEFT JOIN u1 ON u1.cell = s0.cell AND u1.sub = s0.sub
+       |  GROUP BY s0.cell, s0.sub),
+       |fa AS (
+       |  SELECT vec_id, cell, sub FROM (
+       |    SELECT f.vec_id, f.cell, s.sub, row_number() OVER (
+       |      PARTITION BY f.vec_id ORDER BY
+       |        CAST(list_aggregate(list_transform(range(64), i ->
+       |          (f.q[i+1] - s.sq[i+1]) * (f.q[i+1] - s.sq[i+1])), 'sum')
+       |          AS BIGINT), s.sub) AS rk
+       |    FROM fm f JOIN s1 s ON s.cell = f.cell) WHERE rk = 1)""".stripMargin
   private def H(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
   /** integer LSH bucket of the row's embedding (mirror of
@@ -1525,6 +1626,72 @@ object Similarity extends QuerySet {
          |    AS new_cell
          |FROM cells c JOIN st ON st.cell = c.cell
          |LEFT JOIN fa ON fa.vec_id = c.vec_id""".stripMargin,
+
+    // the lake apply's id scheme: sub 0 keeps the old cell id, sub 1 gets
+    // old + 16 (id stability — unflagged partitions never rewrite);
+    // same seeded-assign + 115% flags + 1-iter 2-means chain
+    "sim_ivf_lake_split" ->
+      s"""$SplitChainSql
+         |SELECT c.vec_id,
+         |  CAST(CASE WHEN fa.sub IS NULL THEN c.cell
+         |            WHEN fa.sub = 0 THEN c.cell
+         |            ELSE c.cell + 16 END AS BIGINT) AS cell
+         |FROM cells c LEFT JOIN fa ON fa.vec_id = c.vec_id""".stripMargin,
+
+    // the post-split probe: query routes by argmin over the post-split
+    // centroid table (unflagged original seeds + per-split-cell exact
+    // floor-means of final members), candidates are the routed cell's
+    // stored content, exact-cosine top-3
+    "sim_topk_ivf_lake_split" ->
+      s"""$SplitChainSql,
+         |content AS (
+         |  SELECT c.vec_id,
+         |    CASE WHEN fa.sub IS NULL THEN c.cell
+         |         WHEN fa.sub = 0 THEN c.cell
+         |         ELSE c.cell + 16 END AS cell
+         |  FROM cells c LEFT JOIN fa ON fa.vec_id = c.vec_id),
+         |fcells AS (SELECT cell FROM st WHERE needs_split),
+         |splitmember AS (
+         |  SELECT ct.cell, vv.q FROM content ct
+         |  JOIN v vv ON vv.vec_id = ct.vec_id
+         |  WHERE ct.cell >= 16 OR ct.cell IN (SELECT cell FROM fcells)),
+         |splitcents AS (
+         |  SELECT cell AS cid, list(cx ORDER BY dim) AS cq FROM (
+         |    SELECT cell, dim,
+         |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+         |    FROM (
+         |      SELECT sm.cell, CAST(unnest(range(64)) AS INT) AS dim,
+         |        unnest(sm.q) AS x
+         |      FROM splitmember sm)
+         |    GROUP BY cell, dim)
+         |  GROUP BY cell),
+         |newc AS (
+         |  SELECT cid, cq FROM seeds
+         |  WHERE cid NOT IN (SELECT cell FROM fcells)
+         |  UNION ALL SELECT cid, cq FROM splitcents),
+         |qa AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT vv.vec_id, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY vv.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (vv.q[i+1] - c.cq[i+1]) * (vv.q[i+1] - c.cq[i+1])), 'sum')
+         |          AS BIGINT), c.cid) AS rk
+         |    FROM v vv CROSS JOIN newc c WHERE vv.vec_id % 100 = 0)
+         |  WHERE rk = 1),
+         |pscored AS (
+         |  SELECT qa.qid, CAST(ct.cell AS BIGINT) AS cell,
+         |    ct.vec_id AS nid,
+         |    round(list_aggregate(list_transform(range(64),
+         |      i -> qv.e[i+1] * cv.e[i+1]), 'sum') / (qv.nrm * cv.nrm), 6)
+         |      AS cos
+         |  FROM qa JOIN content ct
+         |    ON ct.cell = qa.cell AND ct.vec_id <> qa.qid
+         |  JOIN v qv ON qv.vec_id = qa.qid
+         |  JOIN v cv ON cv.vec_id = ct.vec_id)
+         |SELECT qid, cell, nid, CAST(rank AS INT) AS rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, nid) AS rank FROM pscored)
+         |WHERE rank <= 3""".stripMargin,
 
     // pruned-assigner CTEs as sim_topk_ivf_pruned; candidate shortlist by
     // 16-dim projected cosine (the sim_topk_projected sign matrix) WITHIN

@@ -59,6 +59,49 @@ class LayoutSpec extends SparkSpecBase {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("applySplitToLake rewrites ONLY flagged cells' partitions; unflagged files are byte-identical and untouched") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val dir = sources.IoOps.scratch("spec_split_lake")
+    LayoutOps.writeIvfBucketed(embs, cells = 8, dir)
+    def partFiles(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .sortBy(_._1))
+        .toMap
+    val before = partFiles()
+    // near-uniform fixture: 103% of mean flags the densest cells without
+    // flagging everything (the spec exercises partial rewrite)
+    val cents = LayoutOps.applySplitToLake(spark, dir, splitIters = 1,
+      splitThresholdPct = 103)
+    val after = partFiles()
+    val lake = spark.read.parquet(dir)
+      .select(col("nid"), col("cell").cast("long").as("cell"))
+      .localCheckpoint()
+    val flaggedTwins = after.keySet.diff(before.keySet) // cell=<c+8> dirs
+    assert(flaggedTwins.nonEmpty, "103% must flag on the fixture")
+    val flaggedIds = flaggedTwins
+      .map(_.stripPrefix("cell=").toLong - 8L)
+    // unflagged partitions: same file names, sizes, AND mtimes — the
+    // dynamic overwrite never opened them
+    val untouched = before.keySet
+      .filterNot(d => flaggedIds.contains(d.stripPrefix("cell=").toLong))
+    assert(untouched.nonEmpty)
+    untouched.foreach(d => assert(before(d) == after(d),
+      s"unflagged partition $d was rewritten"))
+    // content conservation: every vector still present exactly once
+    assert(lake.count() == embs.count())
+    assert(lake.select(col("nid")).distinct().count() == embs.count())
+    // the returned centroid table covers every live cell id exactly once
+    val live = lake.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val centIds = cents.collect().map(_.getLong(0)).toSet
+    assert(centIds == live,
+      s"centroid ids $centIds != live cells $live")
+  }
+
   test("compactFiles: bounded file count, identical content") {
     val o = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"))
     val frag = sources.IoOps.scratch("spec_frag")

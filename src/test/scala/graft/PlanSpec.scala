@@ -94,6 +94,36 @@ class PlanSpec extends SparkSpecBase {
     assert(got.exceptAll(mem).isEmpty && mem.exceptAll(got).isEmpty)
   }
 
+  test("post-split lake probe: one query reads exactly one (possibly sub-) cell") {
+    // the split apply must PRESERVE the lake's I/O contract: after flagged
+    // cells re-shard, a one-query probe routed by the post-split centroid
+    // table still opens exactly one partition of the now-finer layout
+    val all = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-slake-spec").toString
+    graft.operators.LayoutOps.writeIvfBucketed(all, cells = 8, dir)
+    val cents = graft.operators.LayoutOps.applySplitToLake(spark, dir,
+      splitIters = 1, splitThresholdPct = 103).localCheckpoint()
+    assert(cents.count() > 8, "103% must split at least one cell")
+    val one = all.filter(col("vec_id") === 77)
+    val probe = graft.operators.LayoutOps.ivfLakeTopK(spark, dir, one,
+      cents, k = 3)
+    probe.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val lakeScans = scans(probe.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft-slake-spec")))
+    assert(lakeScans.nonEmpty, "expected a parquet scan over the split lake")
+    assert(lakeScans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 post-split cell read, got ${lakeScans.head.selectedPartitions.partitionCount}")
+  }
+
   test("bpe pairs: partial+final aggregate, no UDF, pair build stays in codegen") {
     val p = plan("corpus_bpe_pairs")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
