@@ -266,6 +266,14 @@ object Similarity extends QuerySet {
       SimilarityOps.ivfSplitCells(embs(s, dir), cells = 16, splitIters = 1,
         splitThresholdPct = 115)),
 
+    // the STREAM side of incremental IVF (round 12): embeddings replay as
+    // 4 vec_id%4 micro-batches, each vector placed ROW-LOCALLY against a
+    // literal centroid set (stateless — no join, no per-vector state),
+    // per-cell occupancy as a complete-mode cells-sized aggregate; the
+    // continuous front door the needs_split consumers watch
+    "stream_ivf_ingest" -> ((s, dir) =>
+      graft.streaming.VecIngest.ingestCellCounts(s, dir, cells = 16)),
+
     // the LAKE half of the split: flagged cells' partitions rewrite in
     // place (sub 0 keeps the old id, sub 1 gets id+16; unflagged
     // partitions never open — LayoutSpec pins their file lists untouched);
@@ -1626,6 +1634,25 @@ object Similarity extends QuerySet {
          |    AS new_cell
          |FROM cells c JOIN st ON st.cell = c.cell
          |LEFT JOIN fa ON fa.vec_id = c.vec_id""".stripMargin,
+
+    // end-of-replay occupancy = the batch seeded assignment's cell counts
+    // (the stream is 4 deterministic quarters of the same corpus)
+    "stream_ivf_ingest" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform($E, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 16),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT v.vec_id, s.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_aggregate(list_transform(range(64), i ->
+         |          (v.q[i+1] - s.cq[i+1]) * (v.q[i+1] - s.cq[i+1])), 'sum')
+         |          AS BIGINT), s.cid) AS rk
+         |    FROM v CROSS JOIN seeds s) WHERE rk = 1)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM cells GROUP BY cell""".stripMargin,
 
     // the lake apply's id scheme: sub 0 keeps the old cell id, sub 1 gets
     // old + 16 (id stability — unflagged partitions never rewrite);

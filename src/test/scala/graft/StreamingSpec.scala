@@ -47,6 +47,21 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("vector ingest: 4 micro-batch replay, cells-sized state, batch parity") {
+    val out = graft.streaming.VecIngest
+      .ingestCellCounts(spark, sfDir, cells = 8).localCheckpoint()
+    assert(out.count() <= 8, "state is cells-sized")
+    val batches = graft.sources.PhaseStats.snapshot.get("vecingest_batches")
+    assert(batches.exists(_ >= 4.0),
+      s"expected >= 4 micro-batches (one per staged quarter), got $batches")
+    // end-of-replay snapshot equals the batch seeded assignment's counts
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val batch = graft.operators.SimilarityOps
+      .ivfAssign(embs, embs.filter(col("vec_id") < 8))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+
   test("watermark drops late rows from tumbling append aggregation") {
     val input = mem()
     val agg = input.toDF()
