@@ -36,6 +36,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_sqcodes"), SqCodes.info,
         GraftExtensions.buildSqCodes _))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_jl"), SignedProject.info,
+        (children: Seq[Expression]) => SignedProject(children(0), children(1))))
   }
 }
 
@@ -105,6 +108,11 @@ object GraftExtensions {
     val sqId = FunctionIdentifier("graft_sqcodes")
     if (!reg.functionExists(sqId)) {
       reg.registerFunction(sqId, SqCodes.info, buildSqCodes _)
+    }
+    val jlId = FunctionIdentifier("graft_jl")
+    if (!reg.functionExists(jlId)) {
+      reg.registerFunction(jlId, SignedProject.info,
+        (children: Seq[Expression]) => SignedProject(children(0), children(1)))
     }
   }
 }

@@ -92,6 +92,14 @@ object GraftFunctions {
     * interpreted. Requires [[GraftExtensions.install]]. */
   def lld2(a: Column, b: Column): Column = call_function("graft_lld2", a, b)
 
+  /** Signed projection of an `array<bigint>` vector by a row-major
+    * `array<array<bigint>>` sign matrix — the native [[SignedProject]]
+    * kernel: all JL components in one codegen'd nested loop where the
+    * unrolled per-component summation trees blow the generated-method
+    * limits. Requires [[GraftExtensions.install]]. */
+  def jlproject(vec: Column, signs: Column): Column =
+    call_function("graft_jl", vec, signs)
+
   /** ADC lookup sum over PQ codes and a per-query distance table — the
     * native [[AdcLookupSum]] expression replacing the interpreted
     * lookup fold that runs once per (query, vector) pair. Requires

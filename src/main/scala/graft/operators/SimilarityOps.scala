@@ -508,7 +508,7 @@ object SimilarityOps {
     val seeds = centroids.getOrElse(corpus.filter(col(idCol) < cells))
     val c = ivfAssignPruned(corpus, seeds, sprobe, vecCol, idCol)
     val cSlim = c.select(col("nid"), col("cell"),
-        array(projectComps(quantize(col("v")), outDims): _*).as("pc"))
+        projectArr(quantize(col("v")), outDims).as("pc"))
       .withColumn("pcn", sqrt(lldot(col("pc"), col("pc")).cast("double")))
     val seedRows = seeds.select(col(idCol).as("cid"),
       quantize(col(vecCol)).as("cv"))
@@ -520,7 +520,7 @@ object SimilarityOps {
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
       .filter(col("rk") <= nprobe)
       .select(col("qid"),
-        array(projectComps(col("qq"), outDims): _*).as("pq"),
+        projectArr(col("qq"), outDims).as("pq"),
         col("cid").as("qcell"))
       .withColumn("pqn", sqrt(lldot(col("pq"), col("pq")).cast("double")))
     val cand = cSlim.join(broadcast(qcells),
@@ -627,33 +627,40 @@ object SimilarityOps {
                     idCol: String = "vec_id"): DataFrame = {
     require(outDims >= 1, s"outDims must be >= 1: $outDims")
     val q = quantize(col(vecCol))
-    // sign(i,j): first hex nibble of md5("i-j") even -> +1, odd -> -1 —
-    // computed HERE (driver, plan time) so the per-row expression is a
-    // plain ±ql sum, not 64·outDims runtime hashes
-    def sign(i: Int, j: Int): Int = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$i-$j".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 1) == 0) 1 else -1
-    }
+    // sign(i,j) ([[jlSign]]) is computed at plan time so the per-row
+    // expression is a plain ±ql sum, not 64·outDims runtime hashes
     embs.select(col(idCol),
       array_join(array(projectComps(q, outDims): _*), ",").as("pvec"))
   }
 
-  /** The ±1-projection components as plan-time columns (shared by
-    * [[randomProject]] and [[topKProjected]]). */
-  private def projectComps(q: Column, outDims: Int): Seq[Column] = {
-    def sign(i: Int, j: Int): Int = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$i-$j".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 1) == 0) 1 else -1
-    }
+  /** The ±1-projection components as plan-time columns (still used by
+    * [[randomProject]], whose per-corpus-row cost is one pass). */
+  private def projectComps(q: Column, outDims: Int): Seq[Column] =
     (0 until outDims).map { j =>
       (0 until 64).map { i =>
         val t = element_at(q, i + 1)
-        if (sign(i, j) > 0) t else -t
+        if (jlSign(i, j) > 0) t else -t
       }.reduce(_ + _)
     }
+
+  /** sign(i,j) = ±1 from the parity of md5("i-j")'s first nibble — the
+    * derived-hyperplane trick; a pure function of indices, so any engine
+    * reconstructs the matrix bit-identically. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i-$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
   }
+
+  /** All `outDims` projected components in ONE native-kernel call
+    * (graft_jl): the unrolled alternative — outDims summation chains of
+    * 64 element_at/negate terms — is a >1000-node tree whose generated
+    * method blows the Janino/JIT limits and drops the stage out of
+    * codegen (the bench's two slowest rows were exactly this). The sign
+    * matrix travels as a small typed literal. */
+  private def projectArr(q: Column, outDims: Int): Column =
+    graft.functions.GraftFunctions.jlproject(q,
+      typedLit((0 until outDims).map(j => (0 until 64).map(i => jlSign(i, j)))))
 
   /** Projected-space top-k with exact rerank — the USE of
     * [[randomProject]]: candidates are the top-m neighbors by cosine in
@@ -681,7 +688,11 @@ object SimilarityOps {
     // the n×q crossJoin costs three interpreted folds per PAIR where one
     // suffices (measured 25.8 s at sf1 inline vs the hoisted form below)
     def slim(df: DataFrame, idAs: String, pAs: String, nAs: String) = {
-      val pa = array(projectComps(quantize(col(vecCol)), outDims): _*)
+      // native graft_jl: ONE kernel call per row — the unrolled 16×64
+      // element_at tree dropped this stage out of codegen (r12 bench:
+      // the projection rows were the slowest in the run from plan
+      // overhead alone, not data)
+      val pa = projectArr(quantize(col(vecCol)), outDims)
       df.select(col(idCol).as(idAs), pa.as(pAs))
         .withColumn(nAs, sqrt(lldot(col(pAs), col(pAs)).cast("double")))
     }

@@ -360,6 +360,26 @@ class PipelineOpsSpec extends SparkSpecBase {
       selfTrained.exceptAll(explicit).isEmpty)
   }
 
+  test("native graft_jl projection equals the unrolled plan-time chain") {
+    import graft.functions.GraftFunctions.{jlproject, quantize}
+    // re-derive the md5 sign matrix exactly as the operator does, feed it
+    // to the native kernel, and compare against randomProject's unrolled
+    // element_at/negate chain — the kernel must be value-identical
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i-$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val signs = typedLit(
+      (0 until 16).map(j => (0 until 64).map(i => sign(i, j))))
+    val native = embs.select(col("vec_id"),
+      array_join(jlproject(quantize(col("embedding")), signs).cast("array<string>"),
+        ",").as("pvec"))
+    val unrolled = SimilarityOps.randomProject(embs)
+    assert(native.exceptAll(unrolled).isEmpty &&
+      unrolled.exceptAll(native).isEmpty)
+  }
+
   test("prefix topk with an exhaustive shortlist equals brute force") {
     // m >= corpus size passes every candidate through the prefix
     // shortlist, so the exact rerank must reproduce brute force
