@@ -67,7 +67,8 @@ object BenchScale {
     "sim_recall_prefix", "sim_recall_projected", "sim_recall_sq8",
     "sim_recall_ivf_projected", "sim_recall_ivf_seeded",
     "sim_recall_ivf_trained",
-    "sim_ivf_lake_split", "sim_topk_ivf_lake_split")
+    "sim_ivf_lake_split", "sim_topk_ivf_lake_split",
+    "sim_recall_ivf_probe_trained")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -172,6 +172,21 @@ object Similarity extends QuerySet {
         SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
     }),
 
+    // ...and the same comparison at the PRODUCTION knob: trained centroids
+    // under the nprobe=4 multi-probe (vs sim_recall_ivf's seeded nprobe=4)
+    // — what k-means training buys at the recall/cost setting a deployment
+    // actually runs
+    "sim_recall_ivf_probe_trained" -> ((s, dir) => {
+      val all = embs(s, dir)
+      val q = all.filter(col("vec_id") % 100 === 0)
+      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16,
+        iters = 2)
+      SimilarityOps.recallAtK(
+        SimilarityOps.topKIvfProbe(all, q, 3, cells = 16, nprobe = 4,
+          centroids = Some(trained)).select(col("qid"), col("nid")),
+        SimilarityOps.topKBruteForce(all, q, 3).select(col("qid"), col("nid")))
+    }),
+
     "sim_lsh_bucket_stats" -> ((s, dir) =>
       SimilarityOps.lshBuckets(embs(s, dir))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
@@ -728,7 +743,42 @@ object Similarity extends QuerySet {
     ("sim_recall_ivf_seeded" -> recallOracle(oracleBase("sim_topk_ivf"))) +
     ("sim_recall_ivf_trained" ->
       recallOracle(oracleBase("sim_topk_ivf_trained"))) +
+    ("sim_recall_ivf_probe_trained" -> recallOracle(trainedProbeTop3Sql)) +
     ("sim_topk_ivf_projected_trained" -> ivfProjectedTrainedSql)
+
+  /** Trained-centroid nprobe=4 top-3: sim_topk_ivf_trained's T=2 Lloyd
+    * chain with its own-cell tail swapped for the multi-probe ranked/
+    * qcells tail of sim_topk_ivf_probe — the member SQL the production-
+    * knob recall row wraps. */
+  private lazy val trainedProbeTop3Sql: String = {
+    val base = oracleBase("sim_topk_ivf_trained")
+    val marker = "cells AS ("
+    val idx = base.indexOf(marker)
+    require(idx > 0,
+      "sim_topk_ivf_trained cells CTE drifted — update the probe swap")
+    base.substring(0, idx) +
+      s"""ranked AS (
+         |  SELECT v.vec_id, v.e, v.nrm, c.cid, row_number() OVER (
+         |    PARTITION BY v.vec_id ORDER BY
+         |      CAST(list_aggregate(list_transform(range(64), i ->
+         |        (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])), 'sum')
+         |        AS BIGINT), c.cid) AS rk
+         |  FROM v CROSS JOIN c2 c),
+         |cells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM ranked
+         |  WHERE rk <= 4 AND vec_id % 100 = 0)
+         |SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_aggregate(list_transform(range(64),
+         |        i -> q.e[i+1] * c.e[i+1]), 'sum') / (q.nrm * c.nrm), 6)
+         |        DESC, c.vec_id) AS rank
+         |  FROM qcells q JOIN cells c
+         |    ON q.vec_id <> c.vec_id AND q.cell = c.cell)
+         |WHERE rank <= 3""".stripMargin
+  }
 
   /** Wraps a member's own top-3 oracle SQL (any final column set including
     * (qid, nid)) with the brute-force ground truth and the per-query
