@@ -42,7 +42,7 @@ object ProbeCurriculum {
         val t0 = System.nanoTime()
         graft.operators.SamplingOps.curriculumOrder(docs,
           size(tokens(col("text"))).cast("long"), "doc_id",
-          phases = 4, shards = sh).count()
+          phases = 4, shards = sh, rowCount = Some(n)).count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[curriculum] shards=$sh%-4d best=${ts.min}%.2fs reps=${ts.map(t => f"$t%.2f").mkString(",")}")

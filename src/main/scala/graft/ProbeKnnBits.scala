@@ -3,9 +3,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.SimilarityOps
 
-/** DESIGN.md evidence probe: knn-graph build cost vs the `bits` knob. */
+/** DESIGN.md evidence probe: knn-graph build cost vs the `bits` knob, plus
+  * a SAMPLED exact-3NN agreement anchor (r12 verdict item 1): ~200 query
+  * vectors get their exact brute-force top-3 (one 200×n scan — the
+  * affordable slice of the all-pairs baseline the full build never pays),
+  * and each bits setting reports what fraction of those exact edges its
+  * bucket-bounded graph reproduced — a direct recall figure under the
+  * ±1 % mutual-edge proxy. `bits=0` rows exercise the derived default. */
 object ProbeKnnBits {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val dir = args.headOption.getOrElse("bench-data/sf10")
     val bits = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(8)
     val spark = SparkSession.builder().master("local[32]")
@@ -15,11 +22,27 @@ object ProbeKnnBits {
     spark.sparkContext.setLogLevel("WARN")
     val embs = Tables.load(spark, dir, "embeddings")
     embs.write.format("noop").mode("overwrite").save()
+    val n = embs.count()
+    // ~200 sampled queries; their exact top-3 is the shared ground truth
+    val qmod = math.max(1L, n / 200L)
+    val q = embs.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+    val bf = SimilarityOps.topKBruteForce(embs, q, 3)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nq = bf.select(col("qid")).distinct().count()
+    println(s"[knnrecall] dir=$dir n=$n sampled_queries=$nq qmod=$qmod")
     bits.foreach { b =>
       val t0 = System.nanoTime()
-      val n = SimilarityOps.knnGraph(embs, k = 3, bits = b).count()
-      println(f"[knnbits] dir=$dir bits=$b edges=$n ${(System.nanoTime - t0) / 1e9}%.1f s")
+      val g = SimilarityOps.knnGraph(embs, k = 3, bits = b)
+        .select(col("src").as("qid"), col("dst").as("nid"))
+        .localCheckpoint()
+      val edges = g.count()
+      val dt = (System.nanoTime - t0) / 1e9
+      val hits = bf.join(g, Seq("qid", "nid")).count()
+      println(f"[knnbits] dir=$dir bits=$b edges=$edges $dt%.1f s " +
+        f"exact3nn_agree=${hits.toDouble / (3.0 * nq)}%.3f " +
+        f"(hits=$hits of ${3 * nq})")
       System.out.flush()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

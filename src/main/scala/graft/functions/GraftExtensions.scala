@@ -39,6 +39,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_jl"), SignedProject.info,
         (children: Seq[Expression]) => SignedProject(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_cell"), ArgminCell.info,
+        (children: Seq[Expression]) => ArgminCell(children(0), children(1))))
   }
 }
 
@@ -113,6 +116,11 @@ object GraftExtensions {
     if (!reg.functionExists(jlId)) {
       reg.registerFunction(jlId, SignedProject.info,
         (children: Seq[Expression]) => SignedProject(children(0), children(1)))
+    }
+    val cellId = FunctionIdentifier("graft_cell")
+    if (!reg.functionExists(cellId)) {
+      reg.registerFunction(cellId, ArgminCell.info,
+        (children: Seq[Expression]) => ArgminCell(children(0), children(1)))
     }
   }
 }

@@ -100,6 +100,17 @@ object GraftFunctions {
   def jlproject(vec: Column, signs: Column): Column =
     call_function("graft_jl", vec, signs)
 
+  /** 0-based argmin-d² centroid-row index of an `array<bigint>` vector
+    * over an `array<array<bigint>>` centroid matrix — the native
+    * [[ArgminCell]] kernel: one codegen'd nested loop where the
+    * array-of-structs `array_min` literal form grows the expression tree
+    * with the cell count and drops out of codegen at production cell
+    * counts (the graft_jl failure mode on the placement path). First-wins
+    * ties ≡ (d², cid) lexicographic argmin when rows are ordered by
+    * ascending cell id. Requires [[GraftExtensions.install]]. */
+  def cellArgmin(vec: Column, cents: Column): Column =
+    call_function("graft_cell", vec, cents)
+
   /** ADC lookup sum over PQ codes and a per-query distance table — the
     * native [[AdcLookupSum]] expression replacing the interpreted
     * lookup fold that runs once per (query, vector) pair. Requires

@@ -23,7 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Determinism: ascending-i integer summation — associative BIGINT adds,
   * identical to the unrolled chain and to the DuckDB oracle's
-  * `list_transform(range(16), j -> list_aggregate(...))` form. */
+  * `list_transform(range(16), j -> list_aggregate(...))` form.
+  *
+  * Null/length semantics MIRROR the unrolled `element_at` chain (not a
+  * silent truncation): component j is NULL when the sign row j is null,
+  * when its length differs from the vector's (an out-of-range
+  * `element_at` yields NULL and poisons the sum), or when any element of
+  * the vector or of row j is null. The all-non-null equal-length case —
+  * the entire hot path — stays a primitive long[] with zero boxing. */
 case class SignedProject(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -35,25 +42,46 @@ case class SignedProject(left: Expression, right: Expression)
         s"graft_jl expects (array<bigint> vec, array<array<bigint>> signs), " +
           s"got (${l.sql}, ${r.sql})")
     }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_jl"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
     val signs = b.asInstanceOf[ArrayData]
+    val vlen = vec.numElements()
+    var vecHasNull = false
+    var v = 0
+    while (v < vlen && !vecHasNull) {
+      if (vec.isNullAt(v)) vecHasNull = true; v += 1
+    }
     val m = signs.numElements()
     val out = new Array[Long](m)
+    val nulls = new Array[Boolean](m)
+    var anyNull = false
     var j = 0
     while (j < m) {
-      val row = signs.getArray(j)
-      val n = math.min(vec.numElements(), row.numElements())
-      var s = 0L
-      var i = 0
-      while (i < n) { s += row.getLong(i) * vec.getLong(i); i += 1 }
-      out(j) = s
+      if (signs.isNullAt(j) || vecHasNull) { nulls(j) = true; anyNull = true }
+      else {
+        val row = signs.getArray(j)
+        val n = row.numElements()
+        if (n != vlen) { nulls(j) = true; anyNull = true }
+        else {
+          var s = 0L
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            if (row.isNullAt(i)) ok = false
+            else { s += row.getLong(i) * vec.getLong(i); i += 1 }
+          }
+          if (ok) out(j) = s else { nulls(j) = true; anyNull = true }
+        }
+      }
       j += 1
     }
-    new GenericArrayData(out)
+    if (!anyNull) new GenericArrayData(out)
+    else new GenericArrayData(
+      (0 until m).map(i => if (nulls(i)) null
+                           else java.lang.Long.valueOf(out(i))).toArray[Any])
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,21 +91,47 @@ case class SignedProject(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val ok = ctx.freshName("ok")
       val row = ctx.freshName("row")
       val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val anyNull = ctx.freshName("anyNull")
+      val vlen = ctx.freshName("vlen")
+      val vecHasNull = ctx.freshName("vecHasNull")
+      val boxed = ctx.freshName("boxed")
       s"""
+         |int $vlen = $a.numElements();
+         |boolean $vecHasNull = false;
+         |for (int $v = 0; $v < $vlen && !$vecHasNull; $v++) {
+         |  if ($a.isNullAt($v)) $vecHasNull = true;
+         |}
          |int $m = $b.numElements();
          |long[] $out = new long[$m];
+         |boolean[] $nulls = new boolean[$m];
+         |boolean $anyNull = false;
          |for (int $j = 0; $j < $m; $j++) {
+         |  if ($b.isNullAt($j) || $vecHasNull) { $nulls[$j] = true; $anyNull = true; continue; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($j);
-         |  int $n = java.lang.Math.min($a.numElements(), $row.numElements());
+         |  int $n = $row.numElements();
+         |  if ($n != $vlen) { $nulls[$j] = true; $anyNull = true; continue; }
          |  long $s = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $row.getLong($i) * $a.getLong($i);
+         |  boolean $ok = true;
+         |  for (int $i = 0; $i < $n && $ok; $i++) {
+         |    if ($row.isNullAt($i)) { $ok = false; }
+         |    else { $s += $row.getLong($i) * $a.getLong($i); }
          |  }
-         |  $out[$j] = $s;
+         |  if ($ok) { $out[$j] = $s; } else { $nulls[$j] = true; $anyNull = true; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if (!$anyNull) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |} else {
+         |  Object[] $boxed = new Object[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if (!$nulls[$j]) $boxed[$j] = java.lang.Long.valueOf($out[$j]);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+         |}
        """.stripMargin
     })
 

@@ -107,30 +107,81 @@ object LayoutOps {
     * (floor-mean integer grid / 1e6 — re-quantizing recovers the grid
     * exactly, the kmeansCentroidsExact round-trip). Feed it to
     * [[ivfLakeTopK]] as `seeds` and probes route to sub-cells with no
-    * further change. */
+    * further change.
+    *
+    * `cells` is the caller's DECLARED current cell count (16 for a fresh
+    * [[writeIvfBucketed]] lake; the previous apply's returned centroid
+    * count for a later generation). The lake's occupancy must cover
+    * exactly that many non-empty cells — a drained or missing cell would
+    * otherwise silently shift both the pressure denominator and the
+    * fresh-id offset away from the documented contract, so it fails loud
+    * instead of inferring.
+    *
+    * `centroids` is the previous apply's returned table (REQUIRED for any
+    * generation after the first): cells not flagged this round keep their
+    * row from it verbatim; only flagged cells and their twins re-derive.
+    * Without it the unflagged centroids come from the seeded-build
+    * invariant (nid == cell), which holds only for a never-split lake —
+    * a gen-1 twin cell has no such member row.
+    *
+    * Duplication guard: dynamic partition overwrite only replaces
+    * partitions PRESENT in the written frame — if a Lloyd round drained
+    * sub 0 of a flagged cell (both floor-mean centroids moved off the
+    * seed), no row would carry the old cell id and the stale original
+    * partition would survive next to its fully-populated twin, duplicating
+    * every member. Any flagged cell whose final sub-0 placement is empty
+    * therefore falls back to staying WHOLE (not split this round — logged
+    * to stderr), which keeps the lake exactly as it was for that cell. */
   def applySplitToLake(spark: org.apache.spark.sql.SparkSession,
-                       path: String, splitIters: Int = 1,
+                       path: String, cells: Int,
+                       splitIters: Int = 1,
                        splitThresholdPct: Int = 200,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       centroids: Option[DataFrame] = None): DataFrame = {
     import graft.functions.GraftFunctions.quantize
-    require(splitIters >= 0 && splitThresholdPct >= 1,
-      s"bad split knobs: iters=$splitIters pct=$splitThresholdPct")
+    require(splitIters >= 0 && splitThresholdPct >= 1 && cells >= 1,
+      s"bad split knobs: iters=$splitIters pct=$splitThresholdPct cells=$cells")
     val lake = spark.read.parquet(path)
       .select(col("nid"), col("v"), col("nrm"), col("cell").cast("long").as("cell"))
     // cells-sized stats, driver-side: flags + the fresh-id offset
     val counts = lake.groupBy(col("cell")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val nCells = counts.length.toLong
+    require(counts.length == cells,
+      s"applySplitToLake: lake at $path has ${counts.length} non-empty " +
+        s"cells but the caller declared cells=$cells — an empty or missing " +
+        "cell would silently shift the pressure rule and the twin ids; " +
+        "pass the actual current cell count (the previous apply's returned " +
+        "centroid count)")
+    val nCells = cells.toLong
     val total = counts.map(_._2).sum
     val offset = counts.map(_._1).max + 1L
-    val flaggedIds = counts.collect {
+    val pressureIds = counts.collect {
       case (c, n) if n * nCells * 100L > splitThresholdPct.toLong * total => c
     }
-    if (flaggedIds.nonEmpty) {
-      val flagged = lake.filter(col("cell").isin(flaggedIds: _*))
+    val (flaggedIds, placed) = if (pressureIds.isEmpty)
+      (pressureIds, null: DataFrame)
+    else {
+      // train the split over ALL pressure cells at once, then DROP any cell
+      // whose final sub-0 placement is empty (see scaladoc duplication
+      // guard). Placements are per-cell independent, so the surviving
+      // cells' rows are reused as-is; the presence scan is bounded by the
+      // flagged members (localCheckpoint keeps it one pass).
+      val pre = lake.filter(col("cell").isin(pressureIds: _*))
         .select(col("nid"), quantize(col("v")).as("qv"), col("cell"))
-      val (placed, _) = SimilarityOps.twoMeansSplit(flagged, splitIters)
+      val (prePlaced0, _) = SimilarityOps.twoMeansSplit(pre, splitIters)
+      val prePlaced = prePlaced0.localCheckpoint()
+      val sub0Cells = prePlaced.filter(col("sub") === 0)
+        .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+      val dropped = pressureIds.filterNot(sub0Cells)
+      if (dropped.nonEmpty) System.err.println(
+        s"[lake-split] cells ${dropped.mkString(",")} drained sub 0 in " +
+          "training — kept whole this round (duplication guard)")
+      val keep = pressureIds.filter(sub0Cells)
+      (keep, if (keep.isEmpty) null
+             else prePlaced.filter(col("cell").isin(keep: _*)))
+    }
+    if (flaggedIds.nonEmpty) {
       // localCheckpoint MATERIALIZES the flagged rows (bounded: flagged
       // members only) before the write — Spark refuses a lazy plan that
       // overwrites a path it is still reading from
@@ -153,19 +204,31 @@ object LayoutOps {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    // post-split centroid table, re-derived from the lake's CURRENT
-    // content: a split cell's centroid is the exact floor-mean of its
+    // post-split centroid table: cells NOT flagged this round keep their
+    // CURRENT centroid — the previous apply's returned row when `centroids`
+    // is passed (the multi-generation maintenance cadence: gen-1 twin
+    // cells have no nid == cell member, so the seeded invariant below
+    // cannot cover them), else the seeded-build invariant (a seed lives in
+    // its own cell, so the lake row with nid == cell IS the centroid).
+    // Flagged cells (and twins) re-derive as the exact floor-mean of their
     // final members — the "centroid = mean of members" invariant a
-    // production index stores, deterministic for the oracle, and
-    // reconstructible from the lake alone (no side artifact needed)
+    // production index stores, deterministic for the oracle.
     val after = spark.read.parquet(path)
       .select(col("nid"), col("v"), col("cell").cast("long").as("cell"))
     val flaggedSet = flaggedIds.toSet
-    val unflaggedCents = after
-      .filter(col("nid") === col("cell"))
-      .filter(!col("cell").isin(flaggedIds: _*))
-      .select(col("nid").as(idCol),
-        col("v").cast("array<double>").as(vecCol))
+    val unflaggedCents = centroids match {
+      case Some(prev) =>
+        require(prev.columns.contains(idCol) && prev.columns.contains(vecCol),
+          s"centroid table must carry ($idCol, $vecCol): " +
+            prev.columns.mkString(","))
+        prev.filter(!col(idCol).isin(flaggedIds: _*))
+          .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      case None => after
+        .filter(col("nid") === col("cell"))
+        .filter(!col("cell").isin(flaggedIds: _*))
+        .select(col("nid").as(idCol),
+          col("v").cast("array<double>").as(vecCol))
+    }
     if (flaggedIds.isEmpty) unflaggedCents
     else {
       // flagged ids (and their twins): centroid = exact floor-mean of the

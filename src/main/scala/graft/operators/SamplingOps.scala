@@ -117,14 +117,19 @@ object SamplingOps {
     * the assignment is layout- and engine-independent. The within-shard
     * order is a window partitioned by (phase, shard) — parallelism =
     * phases × shards. `shards = 0` (the default) DERIVES the shard count
-    * from the corpus: max(8, rows / 2M) — the r11 100× ladder showed the
+    * from the corpus as max(8, rows / 2M) — the r11 100× ladder showed the
     * per-(phase, shard) window tails grow 8.3× when a fixed shards=8 rides
     * a 100× corpus, and the scaladoc advice "raise shards with volume"
-    * belongs in code (the CC-parallelism precedent). The count is a
-    * parquet-metadata read; shard ids stay a pure hash of the key, so the
-    * ORDER within any given (phase, shard) is engine-exact for whatever
-    * shard count is chosen, and fixture-scale results (rows ≤ 16M) are
-    * byte-identical to the old shards=8 default.
+    * belongs in code (the CC-parallelism precedent). Deriving needs the
+    * corpus row count, and it must come from the CALLER (`rowCount`) — an
+    * implicit `df.count()` at operator-construction time would silently
+    * re-execute the full upstream plan for derived frames (only a bare
+    * parquet scan counts from metadata) and silently change shard counts
+    * (hence output ordering) past 16M rows, so shards = 0 without a
+    * rowCount fails loud instead. Shard ids stay a pure hash of the key,
+    * so the ORDER within any given (phase, shard) is engine-exact for
+    * whatever shard count is chosen, and fixture-scale results
+    * (rows ≤ 16M) are byte-identical to the old shards=8 default.
     *
     * Null difficulty fails LOUD in-plan (raise_error with the offending
     * key): the equi-join on `_d` would silently drop null-key rows,
@@ -136,12 +141,18 @@ object SamplingOps {
     * row count through value v — pure non-negative integer arithmetic,
     * identical in any engine. */
   def curriculumOrder(df: DataFrame, difficulty: Column, keyCol: String,
-                      phases: Int = 4, shards: Int = 0): DataFrame = {
+                      phases: Int = 4, shards: Int = 0,
+                      rowCount: Option[Long] = None): DataFrame = {
     require(phases >= 1, s"phases must be >= 1: $phases")
     require(shards >= 0, s"shards must be >= 0 (0 = derive): $shards")
+    require(shards > 0 || rowCount.nonEmpty,
+      "curriculumOrder: shards = 0 (derive) needs an explicit rowCount — " +
+        "an implicit df.count() here would re-execute the upstream plan " +
+        "and silently change output ordering past 16M rows; pass the " +
+        "corpus count (cheap on a bare scan) or a fixed shards value")
     val nShards =
       if (shards > 0) shards
-      else math.max(8L, df.count() / 2000000L).toInt
+      else math.max(8L, rowCount.get / 2000000L).toInt
     val spread = df.withColumn("_d",
         when(difficulty.cast("long").isNotNull, difficulty.cast("long"))
           .otherwise(raise_error(concat(

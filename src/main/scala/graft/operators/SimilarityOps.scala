@@ -1677,6 +1677,20 @@ object SimilarityOps {
 
   // ---- k-NN graph -----------------------------------------------------------
 
+  /** [[knnGraph]]'s derived `bits`: hold the bucket-bounded pair volume
+    * n²/2^bits at ~2^27 pairs (bits = round(2·log2 n − 27)), clamped to
+    * [4, 16]. 2^27 is anchored on the r12 measurement (DESIGN.md
+    * "knn-graph bits"): it reproduces the measured 200k optimum (bits=8,
+    * 20.5 s vs 679 s at the old fixed 4, mutual edges within ±1 %) and
+    * keeps every fixture scale (≤ 20k) at the oracle-pinned 4. The clamp
+    * floor keeps tiny corpora at fixture semantics; the cap bounds bucket
+    * sparsity (2^16 buckets needs n ≳ 2M for k in-bucket neighbors). */
+  def deriveKnnBits(n: Long): Int = {
+    val raw = math.round(
+      2.0 * math.log(math.max(1L, n).toDouble) / math.log(2.0) - 27.0).toInt
+    math.max(4, math.min(16, raw))
+  }
+
   /** Blocked k-NN graph construction — the precursor of graph-ANN indexes
     * (NN-Descent / HNSW ground layers) and of semantic clustering: every
     * vector gets its `k` nearest same-LSH-bucket neighbors, plus the
@@ -1693,17 +1707,32 @@ object SimilarityOps {
     * reversal — all stages O(edges), nothing corpus-quadratic.
     *
     * `bits` IS the scale knob: pair volume is ~n²/2^bits, so hold
-    * n²/2^bits roughly constant as n grows (bits ≈ 2·log2(n) − log2(pair
-    * budget)). Measured (ProbeAnnKnobs knnbits): at 200k vectors the
-    * bits=4 build costs 679 s, bits=6 181 s, bits=8 20.5 s — 33× — while
-    * the mutual-edge count (the robustness proxy the clustering consumers
-    * key on) stays within ±1 % at both 20k and 200k. The fixture rows pin
-    * bits=4 because bucket membership is part of the oracle values. */
-  def knnGraph(embs: DataFrame, k: Int = 3, bits: Int = 4,
+    * n²/2^bits roughly constant as n grows. `bits = 0` (the default)
+    * DERIVES that from the corpus via [[deriveKnnBits]] —
+    * round(2·log2 n − 27), clamped to [4, 16], i.e. a ~2^27 pair budget —
+    * the r12 measurement turned into code (the statePartitions/shards
+    * precedent): at 200k vectors the bits=4 build costs 679 s, bits=6
+    * 181 s, bits=8 20.5 s — 33× — while the mutual-edge count (the
+    * robustness proxy the clustering consumers key on) stays within ±1 %
+    * at both 20k and 200k, and ProbeKnnBits' sampled exact-3NN agreement
+    * anchors the proxy directly (DESIGN.md "knn-graph bits"). At every
+    * fixture scale (≤ 20k rows) the derived value IS 4, so derive-mode
+    * output is byte-identical to the pinned oracle rows — which stay at
+    * an EXPLICIT bits=4 regardless, because bucket membership is part of
+    * the oracle values. Deriving needs the corpus count: pass `rowCount`
+    * when `embs` is a derived frame (the curriculumOrder convention —
+    * df.count() re-executes a non-trivial upstream plan); without it the
+    * operator counts `embs` itself, metadata-cheap on a bare scan and
+    * noise next to the build it sizes. */
+  def knnGraph(embs: DataFrame, k: Int = 3, bits: Int = 0,
                vecCol: String = "embedding",
-               idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1 && bits >= 1 && bits <= 16,
-      s"invalid knn-graph shape: k=$k bits=$bits")
+               idCol: String = "vec_id",
+               rowCount: Option[Long] = None): DataFrame = {
+    require(k >= 1 && bits >= 0 && bits <= 16,
+      s"invalid knn-graph shape: k=$k bits=$bits (0 = derive)")
+    val useBits =
+      if (bits > 0) bits
+      else deriveKnnBits(rowCount.getOrElse(embs.count()))
     // materialize the coded rows ONCE (both join sides read them; the
     // bucket + code expressions are interpreted HOF folds), and pin the
     // bucket exchange to an EXPLICIT partition count: a bare
@@ -1720,7 +1749,7 @@ object SimilarityOps {
     // at this width — sf10 coded pass measured 43 s before, per-vector
     // work, all of it avoidable
     val coded = embs.select(col(idCol).as("id"),
-      lshBandBucketsAll(col(vecCol), 1, bits).getItem(0).as("bucket"),
+      lshBandBucketsAll(col(vecCol), 1, useBits).getItem(0).as("bucket"),
       scaledCodes(col(vecCol), 1000000).as("nc"))
       .localCheckpoint()
     val a = coded.toDF("src", "bucket", "anc").repartition(parts, col("bucket"))
@@ -1753,7 +1782,7 @@ object SimilarityOps {
     * is EDGE-sized — one keyed label join, one (src, label) count, one
     * per-src argmax window, two bounded left joins back — so at 100 TB it
     * rides the k·n edge volume, never n². */
-  def knnLabelSmooth(embs: DataFrame, k: Int = 3, bits: Int = 4,
+  def knnLabelSmooth(embs: DataFrame, k: Int = 3, bits: Int = 0,
                      labelCol: String = "label",
                      vecCol: String = "embedding", idCol: String = "vec_id",
                      precomputedGraph: Option[DataFrame] = None): DataFrame = {
@@ -1792,7 +1821,7 @@ object SimilarityOps {
     * thousands of CC partitions instead of a fixture-sized constant. The
     * edge list is already localCheckpoint-ed, so the sizing count is a
     * cached-partition sweep, not a recompute. */
-  def knnClusters(embs: DataFrame, k: Int = 3, bits: Int = 4,
+  def knnClusters(embs: DataFrame, k: Int = 3, bits: Int = 0,
                   minIcos: Long = 0L, vecCol: String = "embedding",
                   idCol: String = "vec_id",
                   precomputedGraph: Option[DataFrame] = None,

@@ -57,7 +57,7 @@ object Similarity extends QuerySet {
       graft.operators.LayoutOps.writeIvfBucketed(embs(s, dir), cells = 16,
         p + "/lake")
       graft.operators.LayoutOps.applySplitToLake(s, p + "/lake",
-          splitIters = 1, splitThresholdPct = 115)
+          cells = 16, splitIters = 1, splitThresholdPct = 115)
         .write.mode("overwrite").parquet(p + "/cents")
     }
   }
@@ -288,6 +288,16 @@ object Similarity extends QuerySet {
     // continuous front door the needs_split consumers watch
     "stream_ivf_ingest" -> ((s, dir) =>
       graft.streaming.VecIngest.ingestCellCounts(s, dir, cells = 16)),
+
+    // the EPOCH SWAP closing the streaming maintenance loop (round 13):
+    // quarters 0-1 place against the seeded epoch, the lake split runs
+    // out of band, quarters 2-3 resume against the post-split centroid
+    // table — per-epoch occupancy, both epochs value-oracled
+    "stream_ivf_ingest_epoch" -> ((s, dir) => {
+      val p = splitLakeStage(s, dir)
+      graft.streaming.VecIngest.ingestCellCountsEpochs(s, dir, cells = 16,
+        epoch1Centroids = s.read.parquet(p + "/cents"))
+    }),
 
     // the LAKE half of the split: flagged cells' partitions rewrite in
     // place (sub 0 keeps the old id, sub 1 gets id+16; unflagged
@@ -617,6 +627,40 @@ object Similarity extends QuerySet {
        |          (f.q[i+1] - s.sq[i+1]) * (f.q[i+1] - s.sq[i+1])), 'sum')
        |          AS BIGINT), s.sub) AS rk
        |    FROM fm f JOIN s1 s ON s.cell = f.cell) WHERE rk = 1)""".stripMargin
+  /** [[SplitChainSql]] extended through the POST-SPLIT state: final lake
+    * content (sub 0 keeps the old id, sub 1 gets +16), flagged-cell set,
+    * and the post-split centroid table `newc` (unflagged seeds + exact
+    * floor-means of each split cell's final members) — the SQL mirror of
+    * what [[graft.operators.LayoutOps.applySplitToLake]] returns. Shared
+    * by the lake probe row and the epoch-swap ingest row. */
+  private lazy val PostSplitCentsSql: String =
+    s"""$SplitChainSql,
+       |content AS (
+       |  SELECT c.vec_id,
+       |    CASE WHEN fa.sub IS NULL THEN c.cell
+       |         WHEN fa.sub = 0 THEN c.cell
+       |         ELSE c.cell + 16 END AS cell
+       |  FROM cells c LEFT JOIN fa ON fa.vec_id = c.vec_id),
+       |fcells AS (SELECT cell FROM st WHERE needs_split),
+       |splitmember AS (
+       |  SELECT ct.cell, vv.q FROM content ct
+       |  JOIN v vv ON vv.vec_id = ct.vec_id
+       |  WHERE ct.cell >= 16 OR ct.cell IN (SELECT cell FROM fcells)),
+       |splitcents AS (
+       |  SELECT cell AS cid, list(cx ORDER BY dim) AS cq FROM (
+       |    SELECT cell, dim,
+       |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+       |    FROM (
+       |      SELECT sm.cell, CAST(unnest(range(64)) AS INT) AS dim,
+       |        unnest(sm.q) AS x
+       |      FROM splitmember sm)
+       |    GROUP BY cell, dim)
+       |  GROUP BY cell),
+       |newc AS (
+       |  SELECT cid, cq FROM seeds
+       |  WHERE cid NOT IN (SELECT cell FROM fcells)
+       |  UNION ALL SELECT cid, cq FROM splitcents)""".stripMargin
+
   private def H(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
   /** integer LSH bucket of the row's embedding (mirror of
@@ -1704,6 +1748,28 @@ object Similarity extends QuerySet {
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
          |FROM cells GROUP BY cell""".stripMargin,
 
+    // epoch swap: quarters 0-1 (vec_id % 4 in (0,1)) under the seeded
+    // assignment, quarters 2-3 under the post-split centroid table `newc`
+    // — each epoch's occupancy is the batch assignment of its own half
+    "stream_ivf_ingest_epoch" ->
+      s"""$PostSplitCentsSql,
+         |e0 AS (
+         |  SELECT 0 AS epoch, cell, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cells WHERE vec_id % 4 IN (0, 1) GROUP BY cell),
+         |e1 AS (
+         |  SELECT 1 AS epoch, cell, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT vec_id, cid AS cell FROM (
+         |      SELECT vv.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY vv.vec_id ORDER BY
+         |          CAST(list_aggregate(list_transform(range(64), i ->
+         |            (vv.q[i+1] - c.cq[i+1]) * (vv.q[i+1] - c.cq[i+1])), 'sum')
+         |            AS BIGINT), c.cid) AS rk
+         |      FROM v vv CROSS JOIN newc c WHERE vv.vec_id % 4 IN (2, 3))
+         |    WHERE rk = 1)
+         |  GROUP BY cell)
+         |SELECT CAST(epoch AS INT) AS epoch, CAST(cell AS BIGINT) AS cell, n
+         |FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)""".stripMargin,
+
     // the lake apply's id scheme: sub 0 keeps the old cell id, sub 1 gets
     // old + 16 (id stability — unflagged partitions never rewrite);
     // same seeded-assign + 115% flags + 1-iter 2-means chain
@@ -1720,32 +1786,7 @@ object Similarity extends QuerySet {
     // floor-means of final members), candidates are the routed cell's
     // stored content, exact-cosine top-3
     "sim_topk_ivf_lake_split" ->
-      s"""$SplitChainSql,
-         |content AS (
-         |  SELECT c.vec_id,
-         |    CASE WHEN fa.sub IS NULL THEN c.cell
-         |         WHEN fa.sub = 0 THEN c.cell
-         |         ELSE c.cell + 16 END AS cell
-         |  FROM cells c LEFT JOIN fa ON fa.vec_id = c.vec_id),
-         |fcells AS (SELECT cell FROM st WHERE needs_split),
-         |splitmember AS (
-         |  SELECT ct.cell, vv.q FROM content ct
-         |  JOIN v vv ON vv.vec_id = ct.vec_id
-         |  WHERE ct.cell >= 16 OR ct.cell IN (SELECT cell FROM fcells)),
-         |splitcents AS (
-         |  SELECT cell AS cid, list(cx ORDER BY dim) AS cq FROM (
-         |    SELECT cell, dim,
-         |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
-         |    FROM (
-         |      SELECT sm.cell, CAST(unnest(range(64)) AS INT) AS dim,
-         |        unnest(sm.q) AS x
-         |      FROM splitmember sm)
-         |    GROUP BY cell, dim)
-         |  GROUP BY cell),
-         |newc AS (
-         |  SELECT cid, cq FROM seeds
-         |  WHERE cid NOT IN (SELECT cell FROM fcells)
-         |  UNION ALL SELECT cid, cq FROM splitcents),
+      s"""$PostSplitCentsSql,
          |qa AS (
          |  SELECT vec_id AS qid, cell FROM (
          |    SELECT vv.vec_id, c.cid AS cell, row_number() OVER (

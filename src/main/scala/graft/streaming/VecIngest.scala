@@ -78,14 +78,47 @@ object VecIngest {
     stage.toString
   }
 
-  /** Row-local nearest-cell id over a LITERAL centroid set: array_min of
-    * (d², cid) structs — lexicographic struct ordering is exactly the
-    * (d², cid) argmin tie-break, all codegen'd, stream-stateless. */
+  /** Row-local nearest-cell id over a LITERAL centroid set — the native
+    * [[graft.functions.ArgminCell]] kernel (`graft_cell`): one codegen'd
+    * loop over a cells×d literal matrix, mapped back to the cell id via
+    * `element_at` on the parallel id literal. Centroid rows are ordered
+    * by ascending cell id, so the kernel's first-wins tie-break IS the
+    * (d², cid) lexicographic argmin the batch assigner uses. The previous
+    * array-of-structs `array_min` form built a cells-sized struct literal
+    * per projection site — correct at cells=16, but the expression tree
+    * grows with the cell count and at production cells (√n ⇒ thousands)
+    * blows the generated-method limits exactly like the unrolled JL tree
+    * graft_jl replaced (the spec pins value identity to that form; the
+    * ProbeAnnKnobs `cellkernel` ladder measures the residency cliff). */
   private def cellOf(qv: Column, cents: Seq[(Long, Seq[Long])]): Column = {
-    import graft.functions.GraftFunctions.lld2
-    array_min(array(cents.map { case (cid, cq) =>
-      struct(lld2(qv, lit(cq.toArray)).as("d2"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    import graft.functions.GraftFunctions.cellArgmin
+    val sorted = cents.sortBy(_._1)
+    val ids = typedLit(sorted.map(_._1))
+    val matrix = typedLit(sorted.map(_._2))
+    element_at(ids, (cellArgmin(qv, matrix) + 1L).cast("int"))
+  }
+
+  /** One streaming pass over a subset of the staged quarters
+    * (`pathGlobFilter` — the file stream never lists the other epoch's
+    * batches) against one centroid epoch. */
+  private def epochPass(spark: SparkSession, dir: String, glob: String,
+                        centroids: DataFrame,
+                        phase: Option[String]): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
+    import graft.functions.GraftFunctions.quantize
+    val seeds = centroids
+      .select(col("vec_id").cast("long"), quantize(col("embedding")).as("cq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+      .sortBy(_._1)
+    require(seeds.nonEmpty, "vector ingest: empty centroid set")
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", glob)
+      .parquet(stageVecQuarters(spark, dir))
+    val counts = stream
+      .select(cellOf(quantize(col("embedding")), seeds).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    EventStream.runToTable(spark, counts, "complete", phase = phase)
   }
 
   /** Per-cell occupancy after the full 4-batch vector replay: stateless
@@ -94,23 +127,33 @@ object VecIngest {
     * seeded assignment); pass trained centroids for the production epoch. */
   def ingestCellCounts(spark: SparkSession, dir: String, cells: Int = 16,
                        centroids: Option[DataFrame] = None): DataFrame = {
-    graft.functions.GraftExtensions.install(spark)
-    import graft.functions.GraftFunctions.quantize
     val seedDf = centroids.getOrElse(
       graft.Tables.load(spark, dir, "embeddings")
         .filter(col("vec_id") < cells))
-    val seeds = seedDf
-      .select(col("vec_id").cast("long"), quantize(col("embedding")).as("cq"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
-      .sortBy(_._1)
-    require(seeds.nonEmpty, "ingestCellCounts: empty centroid set")
-    val stream = spark.readStream.schema(vecSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageVecQuarters(spark, dir))
-    val counts = stream
-      .select(cellOf(quantize(col("embedding")), seeds).as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    EventStream.runToTable(spark, counts, "complete",
-      phase = Some("vecingest"))
+    epochPass(spark, dir, "q[0-3].parquet", seedDf, Some("vecingest"))
+  }
+
+  /** The EPOCH SWAP the incremental-IVF maintenance loop runs (r12 verdict
+    * item 3), demonstrated end to end: quarters 0–1 ingest against the
+    * SEEDED centroid epoch, the out-of-band lake split produces the
+    * post-split centroid table ([[graft.operators.LayoutOps
+    * .applySplitToLake]]'s return), and quarters 2–3 resume against that
+    * new epoch. The swap is a query RESTART with a new centroid literal —
+    * deliberately: placement is stateless, the only streaming state is the
+    * cells-sized occupancy count, so an epoch swap costs one stop/start
+    * and no state migration (restarting with different state-shaping
+    * logic mid-checkpoint is exactly what Structured Streaming forbids).
+    * Output: (epoch, cell, n) — each epoch's occupancy over ITS two
+    * batches, value-oracled against the batch assignment per epoch. */
+  def ingestCellCountsEpochs(spark: SparkSession, dir: String,
+                             cells: Int = 16,
+                             epoch1Centroids: DataFrame): DataFrame = {
+    val seedDf = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < cells)
+    val e0 = epochPass(spark, dir, "q[01].parquet", seedDf, None)
+      .select(lit(0).as("epoch"), col("cell"), col("n"))
+    val e1 = epochPass(spark, dir, "q[23].parquet", epoch1Centroids, None)
+      .select(lit(1).as("epoch"), col("cell"), col("n"))
+    e0.unionByName(e1)
   }
 }

@@ -380,6 +380,84 @@ class PipelineOpsSpec extends SparkSpecBase {
       unrolled.exceptAll(native).isEmpty)
   }
 
+  test("graft_jl null/length semantics mirror the element_at chain, not silent truncation") {
+    import graft.functions.GraftFunctions.jlproject
+    import spark.implicits._
+    // rows: clean 4-dim, vec with a null element, short vec (2 of 4 dims)
+    val in = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (2L, Seq[java.lang.Long](1L, null, 3L, 4L)),
+      (3L, Seq[java.lang.Long](10L, 20L))
+    ).toDF("id", "v")
+    // signs: row 0 = all +1 (len 4), row 1 = alternating (len 4),
+    // row 2 = short row (len 3 — length mismatch even for the clean vec)
+    val signs = typedLit(Seq(Seq(1L, 1L, 1L, 1L), Seq(1L, -1L, 1L, -1L),
+      Seq(1L, 1L, 1L)))
+    val out = in.select(col("id"), jlproject(col("v"), signs).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    // clean vec: components 0/1 exact, component 2 null (length mismatch)
+    assert(out(1L) == Seq(10L, -2L, null))
+    // null vec element poisons every component (the chain reads all dims)
+    assert(out(2L) == Seq[java.lang.Long](null, null, null))
+    // short vec: every sign row's length differs -> all components null
+    assert(out(3L) == Seq[java.lang.Long](null, null, null))
+    // and the same rows through the INTERPRETED path (direct eval on
+    // literals — no codegen) agree with the codegen'd column results
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arrT = ArrayType(LongType, containsNull = true)
+    val signsLit = Literal.create(Seq(Seq(1L, 1L, 1L, 1L),
+      Seq(1L, -1L, 1L, -1L), Seq(1L, 1L, 1L)), ArrayType(arrT, false))
+    def evalVec(v: Seq[java.lang.Long]): Seq[java.lang.Long] =
+      graft.functions.SignedProject(Literal.create(v, arrT), signsLit)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toSeq[java.lang.Long](LongType)
+    assert(evalVec(Seq(1L, 2L, 3L, 4L)) == Seq(10L, -2L, null))
+    assert(evalVec(Seq[java.lang.Long](1L, null, 3L, 4L)) ==
+      Seq[java.lang.Long](null, null, null))
+    assert(evalVec(Seq[java.lang.Long](10L, 20L)) ==
+      Seq[java.lang.Long](null, null, null))
+  }
+
+  test("native graft_cell placement equals the array-of-structs argmin form") {
+    import graft.functions.GraftFunctions.{cellArgmin, lld2, quantize}
+    // non-contiguous centroid ids exercise the index->id mapping; the
+    // centroid set is the fixture's own vectors so distances are realistic
+    val cents: Seq[(Long, Seq[Long])] = embs.filter(col("vec_id") % 7 === 0)
+      .limit(17)
+      .select(col("vec_id").cast("long"), quantize(col("embedding")))
+      .collect().map(r => (r.getLong(0) * 3 + 5, r.getSeq[Long](1))).toSeq
+      .sortBy(_._1)
+    val qv = quantize(col("embedding"))
+    // the plan-time struct-array form this kernel replaces
+    val structForm = array_min(array(cents.map { case (cid, cq) =>
+      struct(lld2(qv, lit(cq.toArray)).as("d2"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val kernelForm = element_at(typedLit(cents.map(_._1)),
+      (cellArgmin(qv, typedLit(cents.map(_._2))) + 1L).cast("int"))
+    val diff = embs.select(col("vec_id"), structForm.as("a"),
+        kernelForm.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.isEmpty, s"kernel/struct argmin disagree: ${diff.head(3).mkString}")
+    // null/shape semantics: empty matrix, null row, ragged row, null elem
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arrT = ArrayType(LongType, containsNull = true)
+    val matT = ArrayType(arrT, containsNull = true)
+    def ev(v: Seq[Any], m: Seq[Any]): Any =
+      graft.functions.ArgminCell(Literal.create(v, arrT),
+        Literal.create(m, matT)).eval(null)
+    assert(ev(Seq(1L, 2L), Seq(Seq(1L, 2L), Seq(5L, 5L))) == 0L)
+    assert(ev(Seq(5L, 5L), Seq(Seq(1L, 2L), Seq(5L, 5L))) == 1L)
+    // first-wins tie-break
+    assert(ev(Seq(3L, 3L), Seq(Seq(3L, 3L), Seq(3L, 3L))) == 0L)
+    assert(ev(Seq(1L, 2L), Seq.empty) == null)
+    assert(ev(Seq(1L, 2L), Seq(null, Seq(1L, 2L))) == null)
+    assert(ev(Seq(1L, 2L), Seq(Seq(1L, 2L, 3L))) == null)
+    assert(ev(Seq(1L, 2L), Seq(Seq(1L, null))) == null)
+    assert(ev(Seq(1L, null), Seq(Seq(1L, 2L))) == null)
+  }
+
   test("prefix topk with an exhaustive shortlist equals brute force") {
     // m >= corpus size passes every candidate through the prefix
     // shortlist, so the exact rerank must reproduce brute force
@@ -440,16 +518,27 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("curriculum order: derived shard count equals shards=8 at fixture scale, and null difficulty fails loud") {
     import graft.functions.GraftFunctions.tokens
-    // derived default: max(8, rows/2M) — fixture rows are far below 2M,
-    // so shards=0 (derive) must be byte-identical to the old shards=8
+    // derived: max(8, rows/2M) from the CALLER-supplied count — fixture
+    // rows are far below 2M, so derive must be byte-identical to shards=8
     val in = docs.select(col("doc_id"), col("text"))
     val diff = size(tokens(col("text"))).cast("long")
     val derived = graft.operators.SamplingOps.curriculumOrder(
-      in, diff, "doc_id", phases = 4)
+      in, diff, "doc_id", phases = 4, rowCount = Some(in.count()))
     val fixed = graft.operators.SamplingOps.curriculumOrder(
       in, diff, "doc_id", phases = 4, shards = 8)
     assert(derived.exceptAll(fixed).isEmpty &&
       fixed.exceptAll(derived).isEmpty)
+    // a 100 TB corpus count derives a larger shard fan-out
+    assert(graft.operators.SamplingOps
+      .curriculumOrder(in, diff, "doc_id", phases = 4,
+        rowCount = Some(64000000L))
+      .select(max(col("shard"))).collect()(0).getInt(0) == 31)
+    // shards=0 without a rowCount fails loud instead of hiding an action
+    val miss = intercept[IllegalArgumentException] {
+      graft.operators.SamplingOps.curriculumOrder(in, diff, "doc_id",
+        phases = 4)
+    }
+    assert(miss.getMessage.contains("rowCount"))
     // null difficulty: the _d equi-join would silently drop the row —
     // the operator must raise instead (every-row-gets-a-phase contract)
     val withNull = spark.range(20).select(
@@ -464,6 +553,24 @@ class PipelineOpsSpec extends SparkSpecBase {
       if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(e).contains("null difficulty"),
       s"expected the fail-loud null guard, got: ${chain(e)}")
+  }
+
+  test("knn graph: derived bits pins the measured ladder optima, derive-mode output equals bits=4 at fixture scale") {
+    import SimilarityOps.deriveKnnBits
+    // the r12-measured anchors (DESIGN.md "knn-graph bits"): every fixture
+    // count stays at the oracle-pinned 4; the 200k ladder point lands on
+    // the measured optimum 8; the rule extrapolates monotonically to the cap
+    assert(deriveKnnBits(1) == 4)
+    assert(deriveKnnBits(2000) == 4)     // sf0.1 fixture
+    assert(deriveKnnBits(20000) == 4)    // sf1 ladder fixture
+    assert(deriveKnnBits(200000) == 8)   // sf10 ladder — 679 s -> 20.5 s
+    assert(deriveKnnBits(2000000) == 15)
+    assert(deriveKnnBits(1L << 40) == 16)
+    // bits=0 (derive) is byte-identical to the pinned bits=4 here
+    val derived = SimilarityOps.knnGraph(embs, k = 3)
+    val fixed = SimilarityOps.knnGraph(embs, k = 3, bits = 4)
+    assert(derived.exceptAll(fixed).isEmpty &&
+      fixed.exceptAll(derived).isEmpty)
   }
 
   test("knn label smoothing: local majority mirror, isolates keep their label") {

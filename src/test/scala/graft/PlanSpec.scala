@@ -102,7 +102,7 @@ class PlanSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-slake-spec").toString
     graft.operators.LayoutOps.writeIvfBucketed(all, cells = 8, dir)
     val cents = graft.operators.LayoutOps.applySplitToLake(spark, dir,
-      splitIters = 1, splitThresholdPct = 103).localCheckpoint()
+      cells = 8, splitIters = 1, splitThresholdPct = 103).localCheckpoint()
     assert(cents.count() > 8, "103% must split at least one cell")
     val one = all.filter(col("vec_id") === 77)
     val probe = graft.operators.LayoutOps.ivfLakeTopK(spark, dir, one,
