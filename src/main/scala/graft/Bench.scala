@@ -78,11 +78,16 @@ object Bench {
       // intermittent I/O stalls can swallow BOTH passes of best-of-2
       // (r10 correlate_explode, r11 dedup_incremental — 11.8x phantoms
       // the warm probe later refuted). When the committed prior says this
-      // row is >3x faster, one more pass is cheap insurance; keep the min.
+      // row is much faster, one more pass is cheap insurance; keep the
+      // min. Cheap rows (prior < 1.5 s) anchor at 2x, not 3x — r12's
+      // table_api_insert_into posted 3.0x on a 0.97 s prior and missed
+      // the old trigger by 0.01 s; I/O-bound rows in the 2-3x band are
+      // exactly where cold-catalog/fs stalls land, and a third pass on a
+      // sub-1.5 s row costs almost nothing.
       val dt = prevMap.get(name) match {
-        case Some(p) if p >= 0.1 && dt2 > 3 * p =>
+        case Some(p) if p >= 0.1 && dt2 > (if (p < 1.5) 2 else 3) * p =>
           val third = onePass()
-          System.err.println(f"[bench-stall] $name best-of-2 $dt2%.2fs > 3x prior $p%.2fs — third pass $third%.2fs")
+          System.err.println(f"[bench-stall] $name best-of-2 $dt2%.2fs > ${if (p < 1.5) 2 else 3}x prior $p%.2fs — third pass $third%.2fs")
           math.min(dt2, third)
         case _ => dt2
       }

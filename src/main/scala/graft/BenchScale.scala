@@ -68,7 +68,15 @@ object BenchScale {
     "sim_recall_ivf_projected", "sim_recall_ivf_seeded",
     "sim_recall_ivf_trained",
     "sim_ivf_lake_split", "sim_topk_ivf_lake_split",
-    "sim_recall_ivf_probe_trained")
+    "sim_recall_ivf_probe_trained",
+    // round-13: the FULL relational spine (r12 verdict item 5 — every
+    // LLM-family row had ladder evidence, the 22 q* rows had 7)
+    "q02_min_cost_supplier", "q04_order_priority", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q11_important_parts",
+    "q12_priority_shipping", "q14_promo_share", "q15_top_supplier",
+    "q16_parts_supplier_relation", "q17_small_qty_revenue",
+    "q19_disjunctive", "q20_potential_promotion",
+    "q21_late_majority_suppliers", "q22_global_sales_opportunity")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

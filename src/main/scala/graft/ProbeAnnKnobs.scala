@@ -63,6 +63,67 @@ object ProbeAnnKnobs {
           val mutual = g.filter(col("mutual")).count()
           println(f"[knnbits] bits=$b%-3d build=$dt%.1fs edges=$edges mutual=$mutual")
         }
+      case "cellkernel" =>
+        // centroid-placement cell ladder (r12 verdict item 2): the
+        // array-of-structs array_min literal vs the native graft_cell
+        // kernel at growing cell counts — where does the struct form's
+        // expression tree drop the projection out of codegen, and what
+        // does the kernel's flat literal cost there instead. Values are
+        // asserted equal per run (the spec's differential at probe scale).
+        import graft.functions.GraftFunctions.{cellArgmin, lld2, quantize}
+        val cellsList = (if (args.length > 2) args(2) else "16,256,4096")
+          .split(",").map(_.trim.toInt).toSeq
+        val n = embs.count()
+        for (cells <- cellsList) {
+          // deterministic synthetic centroid grid (hash-seeded, like the
+          // GenScale vectors) so the ladder does not depend on corpus size
+          val cents: Seq[(Long, Seq[Long])] = (0 until cells).map { c =>
+            c.toLong -> (0 until 64).map { d =>
+              val h = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"cell-$c-$d".getBytes("UTF-8"))
+              (java.nio.ByteBuffer.wrap(h).getLong % 1000000L)
+            }.toSeq
+          }
+          val qv = quantize(col("embedding"))
+          def timeIt(label: String, placed: org.apache.spark.sql.Column): Long = {
+            val t0 = System.nanoTime()
+            val s = embs.select(placed.as("cell"))
+              .agg(sum(col("cell"))).collect()(0).getLong(0)
+            println(f"[cellkernel] cells=$cells%-5d $label%-8s " +
+              f"${(System.nanoTime() - t0) / 1e9}%6.2fs checksum=$s n=$n")
+            s
+          }
+          val kernel = timeIt("kernel", element_at(typedLit(cents.map(_._1)),
+            (cellArgmin(qv, typedLit(cents.map(_._2))) + 1L).cast("int")))
+          // the struct-array form at high cells builds a >100k-node tree;
+          // guard with a size cap so the ladder reports "form unusable"
+          // instead of dying in Janino at the top rung
+          if (cells <= 1024) {
+            val structForm = array_min(array(cents.map { case (cid, cq) =>
+              struct(lld2(qv, lit(cq.toArray)).as("d2"), lit(cid).as("cid"))
+            }: _*)).getField("cid")
+            val sv = timeIt("struct", structForm)
+            require(sv == kernel, s"kernel/struct disagree at cells=$cells")
+          } else println(f"[cellkernel] cells=$cells%-5d struct   SKIPPED " +
+            "(literal tree beyond plan-size sanity)")
+        }
+      case "recallsampled" =>
+        // sampled-recall production mode (r12 verdict item 7): the full
+        // audit (all vec_id%100 queries, embedded ground truth) vs
+        // recallAtKSampled panels — estimate drift and wall-clock cost
+        val mods = (if (args.length > 2) args(2) else "1,4,10")
+          .split(",").map(_.trim.toLong).toSeq
+        def member(q: org.apache.spark.sql.DataFrame) =
+          SimilarityOps.topKIvfProbe(embs, q, 3, cells = 16, nprobe = 4)
+            .select(col("qid"), col("nid"))
+        for (m <- mods) {
+          val t0 = System.nanoTime()
+          val r = SimilarityOps.recallAtKSampled(embs, qs, m)(member)
+            .agg(avg(col("recall_micro")), count(lit(1))).collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[recallsampled] mod=$m%-4d queries=${r.getLong(1)}%-6d " +
+            f"recall@3=${r.getDouble(0) / 1e6}%.3f wall=$dt%.2fs")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

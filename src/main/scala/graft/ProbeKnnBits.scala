@@ -14,7 +14,15 @@ object ProbeKnnBits {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val dir = args.headOption.getOrElse("bench-data/sf10")
-    val bits = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(8)
+    // entries: "<bits>" (single band) or "<bits>x<bands>" (OR-amplified)
+    val grid: Seq[(Int, Int)] =
+      (if (args.length > 1) args(1).split(",").toSeq else Seq("8")).map { e =>
+        e.split("x") match {
+          case Array(b) => (b.trim.toInt, 1)
+          case Array(b, nb) => (b.trim.toInt, nb.trim.toInt)
+          case _ => sys.error(s"bad grid entry $e")
+        }
+      }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -30,19 +38,24 @@ object ProbeKnnBits {
       .select(col("qid"), col("nid")).localCheckpoint()
     val nq = bf.select(col("qid")).distinct().count()
     println(s"[knnrecall] dir=$dir n=$n sampled_queries=$nq qmod=$qmod")
-    bits.foreach { b =>
+    // unpersist only what each iteration checkpointed — the shared bf
+    // ground truth must survive across the bits loop
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    grid.foreach { case (b, nb) =>
       val t0 = System.nanoTime()
-      val g = SimilarityOps.knnGraph(embs, k = 3, bits = b)
+      val g = SimilarityOps.knnGraph(embs, k = 3, bits = b, bands = nb)
         .select(col("src").as("qid"), col("dst").as("nid"))
         .localCheckpoint()
       val edges = g.count()
       val dt = (System.nanoTime - t0) / 1e9
       val hits = bf.join(g, Seq("qid", "nid")).count()
-      println(f"[knnbits] dir=$dir bits=$b edges=$edges $dt%.1f s " +
+      println(f"[knnbits] dir=$dir bits=$b bands=$nb edges=$edges $dt%.1f s " +
         f"exact3nn_agree=${hits.toDouble / (3.0 * nq)}%.3f " +
         f"(hits=$hits of ${3 * nq})")
       System.out.flush()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

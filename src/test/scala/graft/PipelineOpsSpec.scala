@@ -555,6 +555,35 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"expected the fail-loud null guard, got: ${chain(e)}")
   }
 
+  test("recallAtKSampled: mod=1 is the full audit row-for-row; a panel is exactly the lottery subset of it") {
+    import graft.functions.GraftFunctions.stableHash
+    // denser panel than the oracle rows' %100 (5 queries at this fixture
+    // would leave a mod-4 lottery empty)
+    val qs = embs.filter(col("vec_id") % 10 === 0)
+    def member(q: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.topKIvfProbe(embs, q, 3, cells = 16, nprobe = 4)
+        .select(col("qid"), col("nid"))
+    val full = SimilarityOps.recallAtKSampled(embs, qs, 1)(member)
+      .localCheckpoint()
+    val plain = SimilarityOps.recallAtK(member(qs),
+      SimilarityOps.topKBruteForce(embs, qs, 3).select(col("qid"), col("nid")))
+    assert(full.exceptAll(plain).isEmpty && plain.exceptAll(full).isEmpty)
+    val panel = SimilarityOps.recallAtKSampled(embs, qs, 4)(member)
+      .localCheckpoint()
+    // the panel's query set is the deterministic md5 lottery, nothing else
+    val expectedQ = qs.filter(
+        pmod(stableHash(col("vec_id").cast("string")), lit(4L)) === 0)
+      .select(col("vec_id").as("qid"))
+    assert(panel.select(col("qid")).exceptAll(expectedQ).isEmpty &&
+      expectedQ.exceptAll(panel.select(col("qid"))).isEmpty)
+    assert(panel.count() > 0 && panel.count() < full.count())
+    // and panel rows equal the full audit restricted to those queries —
+    // sampling changed WHICH queries run, never any query's result
+    val restricted = full.join(panel.select(col("qid")).distinct(), "qid")
+    assert(panel.exceptAll(restricted).isEmpty &&
+      restricted.exceptAll(panel).isEmpty)
+  }
+
   test("knn graph: derived bits pins the measured ladder optima, derive-mode output equals bits=4 at fixture scale") {
     import SimilarityOps.deriveKnnBits
     // the r12-measured anchors (DESIGN.md "knn-graph bits"): every fixture
@@ -571,6 +600,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     val fixed = SimilarityOps.knnGraph(embs, k = 3, bits = 4)
     assert(derived.exceptAll(fixed).isEmpty &&
       fixed.exceptAll(derived).isEmpty)
+  }
+
+  test("knn graph OR-amplification: banded union only improves per-src top-k, no duplicate edges, band 0 family shared") {
+    val g1 = SimilarityOps.knnGraph(embs, k = 3, bits = 8, bands = 1)
+      .localCheckpoint()
+    val g2 = SimilarityOps.knnGraph(embs, k = 3, bits = 8, bands = 2)
+      .localCheckpoint()
+    // shape: no duplicate (src, dst), at most k rows and distinct ranks
+    assert(g2.groupBy(col("src"), col("dst")).count()
+      .filter(col("count") > 1).isEmpty)
+    val perSrc = g2.groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("rank")).as("nr"))
+    assert(perSrc.filter(col("n") > 3 || col("n") =!= col("nr")).isEmpty)
+    // band 0 of the bands=2 family IS the bands=1 family, so every src's
+    // candidate set grows monotonically: at every rank the banded icos is
+    // at least the single-band one (rank-wise, not summed — a src short
+    // of k candidates may gain a legitimately NEGATIVE extra neighbor)
+    val worse = g1.select(col("src"), col("rank"), col("icos").as("i1"))
+      .join(g2.select(col("src"), col("rank"), col("icos").as("i2")),
+        Seq("src", "rank"))
+      .filter(col("i2") < col("i1"))
+    assert(worse.isEmpty, s"banded union degraded: ${worse.head(3).mkString}")
   }
 
   test("knn label smoothing: local majority mirror, isolates keep their label") {
