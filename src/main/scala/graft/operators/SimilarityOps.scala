@@ -1722,6 +1722,20 @@ object SimilarityOps {
     math.max(4, math.min(16, raw))
   }
 
+  /** [[knnGraph]]'s fully derived (bits, bands) shape: fixture-scale
+    * corpora (derived bits = 4) stay single-band — byte-identical to the
+    * pinned oracle rows — and larger corpora take the OR-AMPLIFIED form
+    * (bits + 4, 16 bands): the same ~2^27 pair budget
+    * (bands·n²/2^bits ≡ n²/2^(bits−4)), but the near-pair collision
+    * probability amplifies to 1−(1−p^bits)^16. Measured at sf10/200k
+    * (DESIGN.md "knn-graph bands"): (12, 16) lifts sampled exact-3NN
+    * agreement 0.042 → 0.135 over single-band (8, 1) at equal pair
+    * volume AND builds faster warm (27.4 s vs 30.8 s). */
+  def deriveKnnShape(n: Long): (Int, Int) = {
+    val base = deriveKnnBits(n)
+    if (base <= 4) (4, 1) else (math.min(16, base + 4), 16)
+  }
+
   /** Blocked k-NN graph construction — the precursor of graph-ANN indexes
     * (NN-Descent / HNSW ground layers) and of semantic clustering: every
     * vector gets its `k` nearest same-LSH-bucket neighbors, plus the
@@ -1766,19 +1780,31 @@ object SimilarityOps {
     * probability amplifies to 1−(1−p^bits)^bands. Duplicate pairs
     * collapse inside the existing per-src window (dense_rank — identical
     * (icos, dst) keys tie) so the union never pays a pair-volume dedup
-    * exchange; bands=1 (the default, and every oracle row) is the
-    * single-band plan with dense_rank ≡ row_number (no duplicates
-    * exist). Measured: DESIGN.md "knn-graph bands". */
+    * exchange; bands=1 (every oracle row) is the single-band plan with
+    * dense_rank ≡ row_number (no duplicates exist). `bands = 0` (the
+    * default) DERIVES the full shape with `bits` via [[deriveKnnShape]]
+    * — fixture scales stay (4, 1), large corpora take the measured
+    * (bits+4, 16) amplified form; an explicit `bands` with bits = 0
+    * budget-adjusts the derived bits by log2(bands). Measured:
+    * DESIGN.md "knn-graph bands". */
   def knnGraph(embs: DataFrame, k: Int = 3, bits: Int = 0,
                vecCol: String = "embedding",
                idCol: String = "vec_id",
                rowCount: Option[Long] = None,
-               bands: Int = 1): DataFrame = {
-    require(k >= 1 && bits >= 0 && bits <= 16 && bands >= 1 && bands <= 32,
-      s"invalid knn-graph shape: k=$k bits=$bits (0 = derive) bands=$bands")
-    val useBits =
-      if (bits > 0) bits
-      else deriveKnnBits(rowCount.getOrElse(embs.count()))
+               bands: Int = 0): DataFrame = {
+    require(k >= 1 && bits >= 0 && bits <= 16 && bands >= 0 && bands <= 32,
+      s"invalid knn-graph shape: k=$k bits=$bits bands=$bands (0 = derive)")
+    val (useBits, useBands) = (bits, bands) match {
+      case (0, 0) => deriveKnnShape(rowCount.getOrElse(embs.count()))
+      case (0, nb) =>
+        // explicit band count under a derived budget: spend the bands'
+        // pair-volume multiplier on finer buckets (log2 bands more bits)
+        val base = deriveKnnBits(rowCount.getOrElse(embs.count()))
+        (math.min(16, base +
+          math.round(math.log(nb.toDouble) / math.log(2.0)).toInt), nb)
+      case (b, 0) => (b, 1)
+      case (b, nb) => (b, nb)
+    }
     // materialize the coded rows ONCE (both join sides read them; the
     // bucket + code expressions are interpreted HOF folds), and pin the
     // bucket exchange to an EXPLICIT partition count: a bare
@@ -1795,7 +1821,7 @@ object SimilarityOps {
     // at this width — sf10 coded pass measured 43 s before, per-vector
     // work, all of it avoidable
     val coded = embs.select(col(idCol).as("id"),
-      lshBandBucketsAll(col(vecCol), bands, useBits).as("bks"),
+      lshBandBucketsAll(col(vecCol), useBands, useBits).as("bks"),
       scaledCodes(col(vecCol), 1000000).as("nc"))
       .localCheckpoint()
     // one (band, bucket) row per band: band 1's exchange key space is
@@ -1820,7 +1846,7 @@ object SimilarityOps {
         Window.partitionBy(col("src"))
           .orderBy(col("icos").desc, col("dst"))))
       .filter(col("rank") <= k)
-    val edges = (if (bands > 1) ranked.dropDuplicates("src", "dst")
+    val edges = (if (useBands > 1) ranked.dropDuplicates("src", "dst")
                  else ranked)
       .localCheckpoint()
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),

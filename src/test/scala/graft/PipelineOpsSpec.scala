@@ -595,6 +595,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(deriveKnnBits(200000) == 8)   // sf10 ladder — 679 s -> 20.5 s
     assert(deriveKnnBits(2000000) == 15)
     assert(deriveKnnBits(1L << 40) == 16)
+    // the full derived shape: fixture scales single-band (oracle compat),
+    // large corpora the measured OR-amplified (bits+4, 16) form
+    assert(SimilarityOps.deriveKnnShape(2000) == (4, 1))
+    assert(SimilarityOps.deriveKnnShape(20000) == (4, 1))
+    assert(SimilarityOps.deriveKnnShape(200000) == (12, 16))
+    assert(SimilarityOps.deriveKnnShape(1L << 40) == (16, 16))
     // bits=0 (derive) is byte-identical to the pinned bits=4 here
     val derived = SimilarityOps.knnGraph(embs, k = 3)
     val fixed = SimilarityOps.knnGraph(embs, k = 3, bits = 4)
