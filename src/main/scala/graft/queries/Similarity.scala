@@ -415,6 +415,33 @@ object Similarity extends QuerySet {
     // the clusters row
     "sim_knn_graph" -> ((s, dir) => knnStage(s, dir)),
 
+    // OR-amplified knn graph (round 13): candidates union across TWO
+    // independent 4-bit bucket families — the recall lever the sampled
+    // exact-3NN anchor motivated (single-band recall collapses with
+    // bits; 1−(1−p^bits)^bands doesn't) — with the union's duplicate
+    // pairs collapsing inside the per-src dense_rank window. The whole
+    // banded path is value-oracled: both band buckets, the OR'd
+    // candidate union, dedup, ranks, and the mutual flag
+    "sim_knn_graph_banded" -> ((s, dir) =>
+      SimilarityOps.knnGraph(embs(s, dir), k = 3, bits = 4, bands = 2)),
+
+    // the production monitoring form of the recall audit (round 13):
+    // the SAME member plan (seeded IVF nprobe=4) over a deterministic
+    // 1-in-4 md5-lottery query panel — ground truth shrinks with the
+    // panel, which is what makes a recurring recall monitor affordable
+    // at 100 TB (sf10 measured: 1113 s full vs 7.8 s 1-in-10 within
+    // 0.003). Oracle = the full audit restricted to the lottery (the
+    // sampling-restriction identity the spec pins, as SQL)
+    // (panel base is %10, denser than the audit rows' %100: a 1-in-4
+    // lottery over the fixture's 5 %100-queries would usually be empty)
+    "sim_recall_sampled" -> ((s, dir) => {
+      val all = embs(s, dir)
+      SimilarityOps.recallAtKSampled(all,
+        all.filter(col("vec_id") % 10 === 0), sampleMod = 4)(q =>
+        SimilarityOps.topKIvfProbe(all, q, 3, cells = 16, nprobe = 4)
+          .select(col("qid"), col("nid")))
+    }),
+
     // one label-spreading step over the mutual-kNN graph (round 11):
     // majority neighbor label, ties to the smallest, isolates keep their
     // own — graph-denoised weak labels before they gate curation; probes
@@ -685,6 +712,17 @@ object Similarity extends QuerySet {
        |    CAST(floor(x / ($VNorm) * $scale) AS BIGINT))
        |  ELSE list_transform($E, x -> CAST(0 AS BIGINT)) END""".stripMargin
 
+  /** [[BucketBits]] generalized to band `band`: sign pattern of planes
+    * [band·bits, (band+1)·bits) of the same md5-derived family — the SQL
+    * mirror of `SimilarityOps.lshBucketBand` (band 0 ≡ [[BucketBits]]). */
+  private def BucketBand(band: Int, bits: Int) =
+    s"""CAST(list_aggregate(list_transform(range($bits), j ->
+       |  CASE WHEN list_aggregate(list_transform(range(64), d ->
+       |    (${H(s"(${band * bits} + j) || '_' || d")} % 2001 - 1000)
+       |      * CAST(round($E[d+1] * 1000000) AS BIGINT)), 'sum') > 0
+       |  THEN (CAST(1 AS BIGINT) << CAST(${bits - 1} - j AS INT)) ELSE 0 END),
+       |  'sum') AS BIGINT)""".stripMargin
+
   /** [[Bucket]] generalized to `bits` sign planes (band 0 of the same
     * md5-derived hyperplane family). */
   private def BucketBits(bits: Int) =
@@ -788,7 +826,20 @@ object Similarity extends QuerySet {
     ("sim_recall_ivf_trained" ->
       recallOracle(oracleBase("sim_topk_ivf_trained"))) +
     ("sim_recall_ivf_probe_trained" -> recallOracle(trainedProbeTop3Sql)) +
-    ("sim_topk_ivf_projected_trained" -> ivfProjectedTrainedSql)
+    ("sim_topk_ivf_projected_trained" -> ivfProjectedTrainedSql) +
+    // the sampling-restriction identity as SQL: the sampled audit IS the
+    // full audit's rows at the md5-lottery panel (stableHash mirror).
+    // The member SQL is sim_recall_ivf's with its %100 query filter
+    // widened to %10 (both sites: qcells and the bf ground truth) — the
+    // fixture's 5 %100-queries would leave a 1-in-4 lottery empty
+    ("sim_recall_sampled" -> {
+      val base = oracleBase("sim_recall_ivf")
+      require(base.contains("% 100 = 0"),
+        "sim_recall_ivf query filter drifted — update the sampled wrap")
+      s"""SELECT qid, n_exact, n_hit, recall_micro
+         |FROM (${base.replace("% 100 = 0", "% 10 = 0")})
+         |WHERE ${H("CAST(qid AS VARCHAR)")} % 4 = 0""".stripMargin
+    })
 
   /** Trained-centroid nprobe=4 top-3: sim_topk_ivf_trained's T=2 Lloyd
     * chain with its own-cell tail swapped for the multi-probe ranked/
@@ -2104,6 +2155,31 @@ object Similarity extends QuerySet {
 
     "sim_knn_graph" ->
       s"""${KnnCtes(3, 4)}
+         |SELECT t.src, t.dst, CAST(t.rank AS INT) AS rank, t.icos,
+         |  (r.src IS NOT NULL) AS mutual
+         |FROM t LEFT JOIN (SELECT src, dst FROM t) r
+         |  ON r.src = t.dst AND r.dst = t.src""".stripMargin,
+
+    // two independent 4-bit bucket families OR'd into one candidate set
+    // (DISTINCT pairs ≡ the engine's dense_rank duplicate collapse:
+    // icos is a pure function of the pair), then the same top-k + mutual
+    // tail as sim_knn_graph
+    "sim_knn_graph_banded" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, ${BucketBand(0, 4)} AS b0,
+         |    ${BucketBand(1, 4)} AS b1, ${CodesSql("1000000")} AS nc
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT DISTINCT a.id AS src, c.id AS dst,
+         |    CAST(list_aggregate(list_transform(range(64),
+         |      i -> a.nc[i+1] * c.nc[i+1]), 'sum') AS BIGINT) AS icos
+         |  FROM v a JOIN v c ON (a.b0 = c.b0 OR a.b1 = c.b1)
+         |    AND a.id <> c.id),
+         |t AS (
+         |  SELECT src, dst, icos, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY icos DESC, dst) AS rank FROM p)
+         |  WHERE rank <= 3)
          |SELECT t.src, t.dst, CAST(t.rank AS INT) AS rank, t.icos,
          |  (r.src IS NOT NULL) AS mutual
          |FROM t LEFT JOIN (SELECT src, dst FROM t) r
