@@ -30,8 +30,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch placement (optimization r13, guide §5/§6): streaming state
+// checkpoints, staged fixture copies and shuffle spill all live under
+// java.io.tmpdir; on this box /tmp is disk-backed and the state-store
+// commit path is fsync/rename-heavy — measured stream_asof_join 7.2 s →
+// 3.1 s and stream_allowed_lateness 3.7 s → 2.4 s warm just by moving
+// tmpdir to tmpfs. Production clusters put exactly this scratch on local
+// NVMe/ramdisk; the sandbox equivalent is /dev/shm. Overridable via
+// SPARK_GRAFT_SCRATCH; falls back to the system tmpdir when the tmpfs
+// root is missing or read-only (portability — nothing here is
+// load-bearing for correctness, scratch is recreated per run).
+val graftScratch: Option[String] = {
+  val want = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-scratch") else None
+  }
+  want.flatMap { p =>
+    val d = new java.io.File(p)
+    if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ graftScratch.map(p => s"-Djava.io.tmpdir=$p").toSeq

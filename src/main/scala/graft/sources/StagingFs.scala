@@ -81,17 +81,32 @@ object StagingFs {
 
   /** Build-once-per-key staging: the first caller for `key` creates a stage
     * dir and runs `build` into it; every caller (including concurrent first
-    * callers) gets the same directory back once the build completes. */
+    * callers) gets the same directory back once the build completes.
+    *
+    * Ledger accounting is EXCLUSIVE of nested builds (measurement-bug fix,
+    * optimization round 13): a chained stage whose build function itself
+    * calls stageOnce (minhash pairs → sigs → shingles) used to record the
+    * whole nested chain in EVERY enclosing entry, so the bench's stage_sec
+    * summed the shingle scan three times (r12: ledger 31.6 s for a chain
+    * whose true wall cost was 14 s) and the triggering query's
+    * stage-adjusted time was over-subtracted to ~0. Each entry now records
+    * only its own exclusive seconds: child-ledger deltas observed during
+    * the build are subtracted. */
   def stageOnce(spark: SparkSession, key: String, prefix: String)
                (build: String => Unit): String = {
     val thunk = stages.computeIfAbsent(key, _ => {
       lazy val dir: String = {
         val d = newStageDir(spark, prefix)
+        val pre = buildCosts
         val t0 = System.nanoTime()
         build(d)
-        val sec = (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val nested = buildCosts
+          .filterNot { case (k, v) => pre.get(k).contains(v) }.values.sum
+        val sec = math.max(0.0, wall - nested)
         buildLedger.put(key, sec)
-        System.err.println(f"[stage-build] key=$key prefix=$prefix ${sec}%.2fs")
+        System.err.println(
+          f"[stage-build] key=$key prefix=$prefix ${sec}%.2fs (wall $wall%.2fs, nested $nested%.2fs)")
         d
       }
       () => dir
