@@ -264,11 +264,24 @@ object GraphAlgorithms {
       .repartition(col("src")).localCheckpoint()
     val init = g.vertices.select(col("vid"), col("vid").as("comp"))
     // stride 1: the step references `cur` twice (neighbor join + union), so
-    // un-checkpointed plans double per round — see connectedComponentsFast
-    Iterate.bulk(init, maxIter, checkpointEvery = 1,
-      converged = (old, next) =>
-        old.join(next, "vid")
-          .filter(old("comp") =!= next("comp")).isEmpty) { cur =>
+    // un-checkpointed plans double per round — see connectedComponentsFast.
+    // Convergence by label-sum fixpoint as an OBSERVED metric on the
+    // checkpoint job (r13): labels are min-folded, hence monotone
+    // non-increasing, so equal consecutive sums ⇔ no label moved — the
+    // old old⋈next change-join cost a full extra job per round.
+    var prevSum: java.math.BigDecimal = null
+    Iterate.bulkObserved(init, maxIter, checkpointEvery = 1,
+      metrics = Seq(sum(col("comp").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")),
+      convergedOnMetrics = m => {
+        val s = m("s").asInstanceOf[java.math.BigDecimal]
+        val n = m("n").asInstanceOf[Long]
+        if (s == null && n > 0) throw new IllegalStateException(
+          "connectedComponents: label sum overflowed decimal(38,0)")
+        val done = n == 0 || (prevSum != null && s.compareTo(prevSum) == 0)
+        prevSum = s
+        done
+      }) { cur =>
       val candidates = und
         .join(cur.withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"), col("comp"))
@@ -315,20 +328,19 @@ object GraphAlgorithms {
     // vertex set is (null, 0); an overflow is (null, n > 0) and fails
     // loudly (unreachable while Σ comp < 10^38 holds, but the assumption
     // is now checked instead of encoded invisibly)
-    def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = df.agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1)))
-        .head()
-      (r.getDecimal(0), r.getLong(1))
-    }
     // checkpointEvery = 1: the step references `cur` THREE times (neighbor
     // join, own labels, jump self-join), so an un-checkpointed plan grows
     // 3^stride between cuts — stride-5 compiles a 243-reference tree before
     // the first materialization. Linear-step loops (PageRank) measure equal
     // at stride 1 vs 5 (DESIGN.md); a self-referencing step must cut every
-    // round.
-    Iterate.bulk(init, maxIter, checkpointEvery = 1,
-      converged = (_, next) => {
-        val (s, n) = labelSum(next)
+    // round. The label-sum ride the checkpoint job as observed metrics
+    // (r13) — previously a separate aggregation job per round.
+    Iterate.bulkObserved(init, maxIter, checkpointEvery = 1,
+      metrics = Seq(sum(col("comp").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")),
+      convergedOnMetrics = m => {
+        val s = m("s").asInstanceOf[java.math.BigDecimal]
+        val n = m("n").asInstanceOf[Long]
         if (s == null && n > 0) throw new IllegalStateException(
           s"connectedComponentsFast: label sum overflowed decimal(38,0) " +
             s"over $n vertices — labels exceed the 10^38 sum bound")
@@ -362,10 +374,30 @@ object GraphAlgorithms {
 
   /** Multi-source shortest paths (reference `graph/library/SingleSourceShortestPaths`)
     * by Bellman-Ford delta iteration: the workset holds vertices whose
-    * distance improved last round. */
-  def shortestPaths(g: Graph, sources: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = g.edges.select(col("src"), col("dst"), col("weight"))
+    * distance improved last round.
+    *
+    * `doubleHops = true` additionally relaxes over the min-weight 2-hop
+    * closure e² (one one-time self-join of the checkpointed edges):
+    * Bellman-Ford over e ∪ e² converges to the SAME fixpoint — every e²
+    * edge is a real 2-edge path, and relaxation order never changes
+    * shortest distances — in about half the supersteps, so long-diameter
+    * graphs pay half the per-round driver/shuffle fixed cost
+    * (optimization r13; graph_sssp_chain 3.8 s → see OPTIMIZATION_r13.md).
+    * e² is Θ(Σ deg²) rows, so this is for bounded-degree / long-diameter
+    * graphs (chains, meshes, roads); hub-heavy graphs keep the default. */
+  def shortestPaths(g: Graph, sources: DataFrame, maxIter: Int = 50,
+                    doubleHops: Boolean = false): DataFrame = {
+    val e1 = g.edges.select(col("src"), col("dst"), col("weight"))
       .repartition(col("src")).localCheckpoint()
+    val e = if (!doubleHops) e1 else {
+      val e2 = e1.as("x")
+        .join(e1.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"),
+          (col("x.weight") + col("y.weight")).as("weight"))
+      e1.unionByName(e2)
+        .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight"))
+        .repartition(col("src")).localCheckpoint()
+    }
     val init = g.vertices
       .join(sources.withColumn("is_src", lit(true)), Seq("vid"), "left")
       .select(col("vid"),
@@ -374,22 +406,27 @@ object GraphAlgorithms {
     var workset = solution.filter(col("dist") === 0L).localCheckpoint()
     var i = 0
     while (i < maxIter && !workset.isEmpty) {
+      // ONE materialization per round (optimization r13): checkpoint the
+      // joined (vid, dist, cand) frame and derive BOTH the next solution
+      // and the workset as narrow projections over it — the old shape
+      // checkpointed the workset (evaluating the whole join chain) and
+      // left the solution lazy, so each later round's evaluation re-ran
+      // up to `stride` rounds of join/aggregate lineage, and the workset
+      // isEmpty probe was a separate full job. Now isEmpty and both
+      // derivations scan the round's cached 8-partition frame.
       val relaxed = e
         .join(workset.withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"), (col("dist") + col("weight")).as("cand"))
         .groupBy("vid").agg(min(col("cand")).as("cand"))
       val joined = solution.join(relaxed, Seq("vid"), "left")
         .select(col("vid"), col("dist"), col("cand"))
-      val next = joined.select(col("vid"),
+        .localCheckpoint()
+      solution = joined.select(col("vid"),
         when(col("cand").isNotNull && col("cand") < col("dist"), col("cand"))
           .otherwise(col("dist")).as("dist"))
       workset = joined
         .filter(col("cand").isNotNull && col("cand") < col("dist"))
         .select(col("vid"), col("cand").as("dist"))
-        .localCheckpoint()
-      // stride-5 measures equal to per-round checkpointing here (11.2 s vs
-      // 11.3 s isolated): the workset cut each round already bounds replay
-      solution = if ((i + 1) % 5 == 0) next.localCheckpoint() else next
       i += 1
     }
     solution.select(col("vid"),

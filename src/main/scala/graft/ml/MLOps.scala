@@ -365,16 +365,19 @@ object MLOps {
     * embedding dedup). */
   def knnDistOutlierScores(embs: DataFrame, vecCol: String, idCol: String,
                            queryPred: Column, k: Int = 5): DataFrame = {
-    import graft.functions.GraftFunctions.quantize
+    import graft.functions.GraftFunctions.{quantize, lld2}
+    graft.functions.GraftExtensions.install(embs.sparkSession)
     def proj(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(v))
     val queries = proj(embs.filter(queryPred), "id", "qv")
     val cand = proj(embs, "nid", "nv")
+    // native codegen'd integer d² kernel instead of the interpreted
+    // aggregate(zip_with(...)) lambda pair — value-identical (exact long
+    // arithmetic either way) and the q×n distance scan is this operator's
+    // entire cost (guide §"eliminate non-codegen expressions"; r13)
     val scored = queries.crossJoin(cand)
       .filter(col("id") =!= col("nid"))
-      .select(col("id"), col("nid"), aggregate(
-        zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("d2"))
+      .select(col("id"), col("nid"), lld2(col("qv"), col("nv")).as("d2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("d2"), col("nid"))
     scored.withColumn("rk", row_number().over(w))

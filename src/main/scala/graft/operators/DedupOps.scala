@@ -530,14 +530,19 @@ object DedupOps {
     * exchange and came back 15× faster at sf1. */
   def sourceOverlap(docs: DataFrame, k: Int = 3, groupCol: String = "source",
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    precomputedShingles: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"shingle width must be >= 1: $k")
     // shingleHashes, not shingles(tokens(..)): the higher-order shingle
     // lambda inlines its tokenizer argument and re-splits the text once
     // per position (the round-8 lm-fluency pathology — measured 9× here
     // too); the posexplode+lead form splits once per doc and keeps the
-    // whole-doc fallback for sub-k docs
-    val sh = shingleHashes(docs, textCol, idCol, k)
+    // whole-doc fallback for sub-k docs. `precomputedShingles` = a staged
+    // [[shingleHashSet]] (r13): the per-doc distinct is idempotent under
+    // the (src, h) distinct below, so the staged table skips the tokenize
+    // pass entirely.
+    val sh = precomputedShingles
+      .getOrElse(shingleHashes(docs, textCol, idCol, k))
       .join(docs.select(col(idCol).as("id"), col(groupCol).as("src")), "id")
       .select(col("src"), col("h")).distinct()
       .localCheckpoint()
@@ -919,18 +924,34 @@ object DedupOps {
     * million times costs one hash row in the dup set) → per-doc window
     * sort for the island merge. Skew bound: the per-doc sort partitions
     * by doc_id, so the widest unit is one document's positions. */
+  /** Staged-table contract for the substring family's shared gram pass
+    * (r13): `tokenGramsWithTail` + hashed gram —
+    * (doc_id, pos, tok, gh = md5(gram), gh null on the per-doc tail).
+    * One tokenize+window pass per fixture serves all three substring rows
+    * (spans / apply / incremental) instead of each rebuilding it twice. */
+  def gramHashTable(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", k: Int = 6): DataFrame =
+    TextOps.tokenGramsWithTail(docs, textCol, idCol, k)
+      .select(col("doc_id"), col("pos"), col("tok"),
+        md5(col("gram")).as("gh"))
+
   def duplicateSpans(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", k: Int = 6,
-                     minCount: Int = 2): DataFrame = {
+                     minCount: Int = 2,
+                     precomputedGramTable: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: $k")
     // shared relational k-gram build (TextOps.tokenGrams: one regex split
     // per document; the higher-order `shingles` lambda measured 8× slower
     // at sf1 on this op). Both the dup-count and the hits semi-join read
     // it; deliberately NOT checkpointed — materializing one row per token
     // measured slower at sf1 than replaying the map-shaped build, and the
-    // dup side reduces to a tiny broadcast set under AQE anyway.
-    val grams = TextOps.tokenGrams(docs, textCol, idCol, k)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    // dup side reduces to a tiny broadcast set under AQE anyway. A staged
+    // [[gramHashTable]] (shared across the whole substring family) skips
+    // the build entirely.
+    val grams = precomputedGramTable
+      .map(_.filter(col("gh").isNotNull).select(col("doc_id"), col("pos"), col("gh")))
+      .getOrElse(TextOps.tokenGrams(docs, textCol, idCol, k)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh")))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select("gh")
@@ -980,14 +1001,22 @@ object DedupOps {
                                 idCol: String = "doc_id", k: Int = 6,
                                 minCount: Int = 2,
                                 precomputedStoredCounts: Option[DataFrame] =
+                                  None,
+                                precomputedIncomingGrams: Option[DataFrame] =
                                   None): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: $k")
     val storedCounts = precomputedStoredCounts.getOrElse(
       TextOps.tokenGrams(stored, textCol, idCol, k)
         .select(md5(col("gram")).as("gh"))
         .groupBy("gh").agg(count(lit(1)).as("stored_cnt")))
-    val grams = TextOps.tokenGrams(incoming, textCol, idCol, k)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    // grams are row-local per doc, so a caller holding the fixture-wide
+    // staged [[gramHashTable]] passes id-filtered slices of it as both
+    // sides instead of re-tokenizing either (r13)
+    val grams = precomputedIncomingGrams
+      .map(_.filter(col("gh").isNotNull)
+        .select(col("doc_id"), col("pos"), col("gh")))
+      .getOrElse(TextOps.tokenGrams(incoming, textCol, idCol, k)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh")))
     val newCounts = grams.groupBy("gh").agg(count(lit(1)).as("new_cnt"))
     val dup = newCounts.join(storedCounts, Seq("gh"), "left")
       .filter(col("new_cnt") + coalesce(col("stored_cnt"), lit(0L))
@@ -1021,8 +1050,10 @@ object DedupOps {
     * doc's own (few) cut spans + one ordered per-doc fold. */
   def cutDuplicateSpans(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", k: Int = 6,
-                        minCount: Int = 2): DataFrame = {
-    val spans = duplicateSpans(docs, textCol, idCol, k, minCount)
+                        minCount: Int = 2,
+                        precomputedGramTable: Option[DataFrame] = None): DataFrame = {
+    val spans = duplicateSpans(docs, textCol, idCol, k, minCount,
+      precomputedGramTable)
     // span content fingerprint: re-slice the doc's tokens (one split per
     // SPAN row — spans are few; cheaper than threading arrays through the
     // island merge)
@@ -1041,10 +1072,14 @@ object DedupOps {
       .filter(col("grp") >= 2 && col("rk") >= 2)
       .select(col("doc_id"), col("span_start").as("cs"),
         col("span_end").as("ce"))
-    val toks = docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    // full token sequence: the staged gram table keeps every position
+    // (tail rows carry gh = null), so the apply step re-tokenizes nothing
+    val toks = precomputedGramTable
+      .map(_.select(col("doc_id"), col("pos"), col("tok")))
+      .getOrElse(docs.repartition(col(idCol))
+        .select(col(idCol).as("doc_id"),
+          posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok")))
     val kept = toks.join(cuts,
         toks("doc_id") === cuts("doc_id") &&
           col("pos").between(col("cs"), col("ce")), "left_anti")

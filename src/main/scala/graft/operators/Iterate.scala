@@ -53,6 +53,36 @@ object Iterate {
     cur.localCheckpoint()
   }
 
+  /** [[bulk]] with the convergence signal folded INTO the per-stride
+    * checkpoint job as observed metrics (optimization r13): `converged`
+    * predicates that aggregate the new frame (label sums, change counts)
+    * used to launch one extra Spark job per stride — at stride 1 that is
+    * half of every superstep's job count, pure fixed cost on small/medium
+    * graphs. `metrics` are aggregate expressions evaluated by the SAME
+    * job that materializes the checkpoint; `convergedOnMetrics` sees their
+    * named values (and typically closes over the previous round's). */
+  def bulkObserved(init: DataFrame, maxIter: Int, checkpointEvery: Int = 1,
+                   metrics: Seq[org.apache.spark.sql.Column] = Nil,
+                   convergedOnMetrics: Map[String, Any] => Boolean = _ => false)
+                  (step: DataFrame => DataFrame): DataFrame = {
+    require(metrics.nonEmpty, "bulkObserved needs at least one metric")
+    var cur = init.localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      if ((i + 1) % checkpointEvery == 0) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = statsSane(
+          step(cur).observe(obs, metrics.head, metrics.tail: _*)
+            .localCheckpoint())
+        done = convergedOnMetrics(obs.get)
+        cur = next
+      } else cur = step(cur)
+      i += 1
+    }
+    cur.localCheckpoint()
+  }
+
   /** Delta iteration: maintain a solution set and a shrinking workset; stop
     * when the workset is empty (reference iterateDelta semantics). `step`
     * maps (solution, workset) to (updatedSolution, newWorkset). */

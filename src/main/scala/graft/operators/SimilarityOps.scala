@@ -865,16 +865,30 @@ object SimilarityOps {
     * comparison. */
   private[graft] def pqCodebookTrained(embs: DataFrame, vecCol: String,
                                        idCol: String,
-                                       iters: Int = 2): DataFrame =
-    (0 until PqSub).map { s =>
-      val part = embs.select(col(idCol),
-        expr(s"slice(CAST($vecCol AS array<double>), ${s * PqDims + 1}, " +
-          s"$PqDims)").as(vecCol))
-      graft.ml.MLOps.kmeansCentroidsExact(part, k = PqK, iters = iters,
-          vecCol = vecCol, idCol = idCol)
-        .select(col(idCol).cast("int").as("cid"), lit(s).as("s"),
-          col(vecCol).as("cv"))
-    }.reduce(_ unionByName _)
+                                       iters: Int = 2): DataFrame = {
+    // the PqSub per-subspace trainings are INDEPENDENT driver loops (each
+    // a couple of small collect jobs per Lloyd round) — run them as
+    // concurrent jobs so one subspace's tail back-fills the others' idle
+    // cores (guide §2.6; sequential form measured the 4 trainings
+    // end-to-end serialized). Results are reassembled in subspace order,
+    // so the output is byte-identical to the sequential form.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val trained = (0 until PqSub).map { s =>
+      Future {
+        val part = embs.select(col(idCol),
+          expr(s"slice(CAST($vecCol AS array<double>), ${s * PqDims + 1}, " +
+            s"$PqDims)").as(vecCol))
+        graft.ml.MLOps.kmeansCentroidsExact(part, k = PqK, iters = iters,
+            vecCol = vecCol, idCol = idCol)
+          .select(col(idCol).cast("int").as("cid"), lit(s).as("s"),
+            col(vecCol).as("cv"))
+      }
+    }
+    trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+  }
 
   /** Ordered-fold squared L2 distance between two equal-length arrays —
     * sequential index-order fold, so the double is bit-identical on any
@@ -1289,7 +1303,13 @@ object SimilarityOps {
     val post = bm25Postings(docs, maxDfPct, precomputedTf)
     val q = post.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
-    val scores = q
+    // the query side is 1/queryMod of the postings BY CONSTRUCTION, but
+    // Catalyst's selectivity estimate for `doc_id % m = 0` is unknown, so
+    // the planner falls back to shuffling the FULL postings table on tok
+    // (SortMergeJoin, the dominant exchange of this operator). Broadcast
+    // the bounded query side explicitly (guide §3.1) — postings then never
+    // leave their partitions.
+    val scores = broadcast(q)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
@@ -1328,8 +1348,14 @@ object SimilarityOps {
     val post = bm25Postings(docs, maxDfPct, precomputedTf).localCheckpoint()
     val qTerms = post.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
-    // pass 1: plain bm25 over the shared postings
-    val pass1 = qTerms
+    // pass 1: plain bm25 over the shared postings. The query/feedback/
+    // expanded-term sides are all bounded by construction (1/queryMod of
+    // the corpus × terms, f·q rows, (q+e)·q rows) but sit behind filters
+    // whose selectivity Catalyst cannot estimate — broadcast them
+    // explicitly so the corpus-sized postings table is never shuffled on
+    // tok/nid (guide §3.1; was 4 SortMergeJoins with full postings
+    // exchanges).
+    val pass1 = broadcast(qTerms)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
@@ -1341,9 +1367,9 @@ object SimilarityOps {
       .select(col("qid"), col("nid"))
     // expansion terms: top-e by summed weight across the feedback docs,
     // excluding terms the query already carries
-    val expansion = feedback
+    val expansion = broadcast(feedback)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "nid")
-      .join(qTerms, Seq("qid", "tok"), "left_anti")
+      .join(broadcast(qTerms), Seq("qid", "tok"), "left_anti")
       .groupBy(col("qid"), col("tok"))
       .agg(sum(col("w")).as("fw"))
       .withColumn("erank", row_number().over(
@@ -1353,7 +1379,7 @@ object SimilarityOps {
     val terms = qTerms.select(col("qid"), col("tok"),
       lit(lambdaPct.toLong).as("mixw")).unionByName(expansion)
     // pass 2: expanded scoring
-    terms
+    broadcast(terms)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))

@@ -265,7 +265,16 @@ object TextOps {
     * whole-doc fallback shingle for sub-k docs, which dedup needs and
     * positional ops must not emit). */
   def tokenGrams(docs: DataFrame, textCol: String, idCol: String,
-                 k: Int): DataFrame = {
+                 k: Int): DataFrame =
+    tokenGramsWithTail(docs, textCol, idCol, k).filter(col("gram").isNotNull)
+
+  /** [[tokenGrams]] INCLUDING the per-doc tail positions whose gram window
+    * runs past the end (gram = null there): one staged copy of this frame
+    * serves both the gram consumers (filter gram non-null) and full
+    * token-sequence consumers (every position present) — the substring
+    * dedup family shares one tokenize+window pass this way (r13). */
+  def tokenGramsWithTail(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: $k")
     // repartition before tokenizing: the lead window exchanges on doc_id
     // anyway — hoisting it ships compact text rows, not exploded tokens
@@ -277,7 +286,6 @@ object TextOps {
     toksExpl
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
         when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("gram"))
-      .filter(col("gram").isNotNull)
   }
 
   def lmFluency(docs: DataFrame, textCol: String = "text",

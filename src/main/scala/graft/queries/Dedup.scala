@@ -74,6 +74,18 @@ object Dedup extends QuerySet {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Shared 6-gram hash table (doc_id, pos, tok, gh; gh null on the per-doc
+    * tail) staged once per (app, fixture) — the substring-dedup family
+    * (spans / apply / incremental) previously re-ran the tokenize + lead
+    * window pass twice per row, six times per bench (r13). */
+  private def gram6Staged(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "graft-grams6") { p =>
+      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+        DedupOps.gramHashTable(docs(s, dir))
+          .write.mode("overwrite").parquet(p)
+      }
+    }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-minhash-pairs") { p =>
       // the candidate graph is orders smaller than the corpus: its band
@@ -206,7 +218,8 @@ object Dedup extends QuerySet {
     // that surfaces mirrored/syndicated sources before doc-level dedup
     "corpus_source_overlap" -> ((s, dir) =>
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
-        DedupOps.sourceOverlap(docs(s, dir))
+        DedupOps.sourceOverlap(docs(s, dir),
+          precomputedShingles = Some(shingleSet(s, dir)))
       }),
 
     // MOSS winnowing sketch: per-window rightmost-min k-gram hash — the
@@ -274,21 +287,31 @@ object Dedup extends QuerySet {
     // boilerplate embedded inside otherwise-unique documents, which every
     // doc-level family above misses
     "dedup_substring_spans" -> ((s, dir) =>
-      DedupOps.duplicateSpans(docs(s, dir))),
+      DedupOps.duplicateSpans(docs(s, dir),
+        precomputedGramTable = Some(gram6Staged(s, dir)))),
 
     // the apply step: cut recurring spans keep-first; fully-cut docs
     // (exact duplicates) disappear from the cleaned corpus
     "dedup_substring_apply" -> ((s, dir) =>
-      DedupOps.cutDuplicateSpans(docs(s, dir))),
+      DedupOps.cutDuplicateSpans(docs(s, dir),
+        precomputedGramTable = Some(gram6Staged(s, dir)))),
 
     // continuous-ingest substring dedup: only the doc_id % 3 == 0 batch is
     // tokenized and span-merged; the rest of the corpus participates as a
-    // stored (gram_hash, count) index probed by the batch's grams
+    // stored (gram_hash, count) index probed by the batch's grams — both
+    // sides are id-filtered slices of the staged fixture-wide gram table
+    // (grams are row-local per doc, so the slices ARE the per-side builds)
     "dedup_substring_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
+      val g6 = gram6Staged(s, dir)
       DedupOps.incrementalDuplicateSpans(
         d.filter(col("doc_id") % 3 =!= 0),
-        d.filter(col("doc_id") % 3 === 0))
+        d.filter(col("doc_id") % 3 === 0),
+        precomputedStoredCounts = Some(
+          g6.filter(col("gh").isNotNull && col("doc_id") % 3 =!= 0)
+            .groupBy(col("gh")).agg(count(lit(1)).as("stored_cnt"))),
+        precomputedIncomingGrams = Some(
+          g6.filter(col("doc_id") % 3 === 0)))
     }),
 
     // LSH index-quality audit: exact shingle Jaccard for every banded

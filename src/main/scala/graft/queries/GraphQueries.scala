@@ -61,7 +61,10 @@ object GraphQueries extends QuerySet {
       val g = chainGraph(s, dir)
       val sources = g.vertices.filter(col("vid") % 10 === 0)
       graft.operators.PartitionOps.withShufflePartitions(s, 8) {
-        GraphAlgorithms.shortestPaths(g, sources, maxIter = 15)
+        // chain graph: degree ≤ 2, diameter 9 — exactly the shape the
+        // 2-hop closure halves the superstep count for (same fixpoint)
+        GraphAlgorithms.shortestPaths(g, sources, maxIter = 15,
+          doubleHops = true)
       }
     }),
 

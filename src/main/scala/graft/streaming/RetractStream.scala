@@ -58,10 +58,11 @@ class RetractStream(keyCols: Seq[String],
     baseSchema = batch.schema
     if (baseDir == null)
       baseDir = graft.sources.StagingFs.newStageDir(sparkRef, "graft-retract")
-    if (batch.isEmpty) return
-    // the batch feeds both the changelog and the snapshot — cache it across
-    // the two jobs instead of recomputing the micro-batch scan
+    // the batch feeds the emptiness gate, the changelog and the snapshot —
+    // cache it BEFORE the isEmpty probe (r13: the probe used to run on the
+    // raw plan, so every batch paid the micro-batch scan one extra time)
     val b = batch.persist()
+    if (b.isEmpty) { b.unpersist(); return }
     val t0 = System.nanoTime()
     var tChangelog = 0.0
     def sinceS: Double = (System.nanoTime() - t0) / 1e9

@@ -546,4 +546,33 @@ class DedupFuzzSpec extends SparkSpecBase {
       DedupOps.semanticDedup(df, tauPct = 0)
     }
   }
+
+  test("substring family: staged gram-table path equals the direct path") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // r13 optimization contract: one staged gramHashTable serves spans,
+    // apply and incremental — each must be row-identical to the
+    // re-tokenizing form it replaced
+    val all = docsDf
+    val g = DedupOps.gramHashTable(all, k = 3).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(DedupOps.duplicateSpans(all, k = 3,
+        precomputedGramTable = Some(g))) ==
+      rows(DedupOps.duplicateSpans(all, k = 3)),
+      "spans: staged != direct")
+    assert(rows(DedupOps.cutDuplicateSpans(all, k = 3,
+        precomputedGramTable = Some(g))) ==
+      rows(DedupOps.cutDuplicateSpans(all, k = 3)),
+      "apply: staged != direct")
+    val stored = all.filter(col("doc_id") % 3 =!= 0)
+    val incoming = all.filter(col("doc_id") % 3 === 0)
+    assert(rows(DedupOps.incrementalDuplicateSpans(stored, incoming, k = 3,
+        precomputedStoredCounts = Some(
+          g.filter(col("gh").isNotNull && col("doc_id") % 3 =!= 0)
+            .groupBy(col("gh")).agg(count(lit(1)).as("stored_cnt"))),
+        precomputedIncomingGrams = Some(
+          g.filter(col("doc_id") % 3 === 0)))) ==
+      rows(DedupOps.incrementalDuplicateSpans(stored, incoming, k = 3)),
+      "incremental: staged != direct")
+  }
 }

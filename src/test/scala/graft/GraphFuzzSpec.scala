@@ -98,4 +98,18 @@ class GraphFuzzSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expect)
   }
+
+  test("shortest paths with the 2-hop closure equal the plain relaxation") {
+    import spark.implicits._
+    // r13 optimization contract: Bellman-Ford over e \u222a e\u00b2 reaches the
+    // SAME fixpoint in fewer supersteps — checked on the hubby fuzz graph,
+    // not just the chain fixture the bench row uses
+    val sources = vids.filter(_ % 17 == 0).toDF("vid")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val plain = m(GraphAlgorithms.shortestPaths(graph, sources, maxIter = 60))
+    val doubled = m(GraphAlgorithms.shortestPaths(graph, sources,
+      maxIter = 60, doubleHops = true))
+    assert(doubled == plain)
+  }
 }
