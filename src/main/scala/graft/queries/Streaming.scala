@@ -617,9 +617,13 @@ object Streaming extends QuerySet {
       val seed = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), lit(0L).as("iter"),
           col("doc_id").as("value"))
+      // unroll = 4: the halving chain is ~14 one-step supersteps of tiny
+      // cohorts — per-round fixed micro-batch cost dominates, and the
+      // unrolled form emits the identical row set (oracle-pinned) in ~4
+      // micro-batches (r13)
       graft.streaming.IterateStream.run(s, seed,
         stepValue = _ => expr("CAST(value div 2 AS BIGINT)"),
-        continues = v => v > 0)
+        continues = v => v > 0, unroll = 4)
     }),
 
     // GLOBAL streaming sort (full DataStreamSort shape: total order over

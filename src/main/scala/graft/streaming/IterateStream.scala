@@ -42,11 +42,23 @@ object IterateStream {
 
   /** Run the loop from `seed` (id, iter, value) until quiescent; returns
     * every row that ever flowed through the loop body (the reference's
-    * output edge taken at each superstep). */
+    * output edge taken at each superstep).
+    *
+    * `unroll` (r13): loop steps applied per MICRO-BATCH. The loop's cost
+    * is rounds × fixed micro-batch machinery (source listing, trigger,
+    * offset/commit log, two writes — the data is tiny), so unrolling u
+    * steps inside one batch cuts the round count u× while emitting the
+    * EXACT same output row set: each batch emits its input cohort plus
+    * the u−1 intermediate step results and feeds back only the final
+    * survivors — every (id, iter, value) row still appears exactly once
+    * (the value oracle pins this). 1 = the reference's one-step-per-
+    * superstep granularity. */
   def run(spark: SparkSession, seed: DataFrame,
           stepValue: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
           continues: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-          timeoutMs: Long = 120000L): DataFrame = {
+          timeoutMs: Long = 120000L,
+          unroll: Int = 1): DataFrame = {
+    require(unroll >= 1, s"unroll must be >= 1: $unroll")
     val base = new Path(StagingFs.newStageDir(spark, "graft-iterate"))
     val srcDir = new Path(base, "src").toString
     val outDir = new Path(base, "out").toString
@@ -78,20 +90,31 @@ object IterateStream {
           try {
             rounds.increment()
             var t = System.nanoTime()
+            def step(d: DataFrame): DataFrame =
+              d.filter(continues(col("value")))
+                .select(col("id"), (col("iter") + 1).as("iter"),
+                  stepValue(col("value")).as("value"))
+            // unrolled levels: batch, step(batch), …, step^(unroll−1)(batch)
+            // — all narrow transforms over the persisted batch
+            val levels = (1 until unroll)
+              .scanLeft(batch: DataFrame)((d, _) => step(d))
             // the feedback-row count rides the output write as an observed
             // metric (optimization r13): the separate fb.isEmpty job cost
             // one extra Spark job per round (measured 0.3–0.6 s across the
             // 14-round halving run) and the observation is exact where
-            // isEmpty was a limit-1 probe.
+            // isEmpty was a limit-1 probe. Only the LAST level's survivors
+            // feed back; the marker column never reaches the sink.
+            val emit = levels.init.map(_.withColumn("__last", lit(false)))
+              .foldRight(levels.last.withColumn("__last", lit(true)))(_ unionByName _)
             val obs = org.apache.spark.sql.Observation()
-            batch.observe(obs,
-                count(when(continues(col("value")), 1)).as("fb_n"))
+            emit.observe(obs,
+                count(when(col("__last") && continues(col("value")), 1))
+                  .as("fb_n"))
+              .drop("__last")
               .write.mode("append").parquet(outDir) // output edge
             val fbRows = obs.get("fb_n").asInstanceOf[Long]
             outWriteNs.add(System.nanoTime() - t)
-            val fb = batch.filter(continues(col("value")))
-              .select(col("id"), (col("iter") + 1).as("iter"),
-                stepValue(col("value")).as("value"))
+            val fb = step(levels.last)
             if (fbRows > 0L) {
               val fbStage = new Path(base,
                 s"stage-fb-${feedbackId.incrementAndGet()}").toString

@@ -816,6 +816,23 @@ class StreamingSpec extends SparkSpecBase {
       s"expected the step's error in the failure chain, got:\n$msgs")
   }
 
+  test("iterate stream: unrolled loop emits the identical row set") {
+    // r13 optimization contract: unroll amortizes per-micro-batch fixed
+    // cost but every (id, iter, value) row still appears exactly once
+    val seed = spark.range(6).selectExpr("id", "CAST(0 AS LONG) AS iter",
+      "id + 9 AS value")
+    def run(u: Int) = graft.streaming.IterateStream.run(spark, seed,
+        stepValue = _ => expr("CAST(value div 2 AS BIGINT)"),
+        continues = v => v > 0, unroll = u)
+      .collect().map(_.toSeq).toSeq
+    val one = run(1)
+    val three = run(3)
+    assert(one.size == one.toSet.size, "unroll=1 emitted duplicate rows")
+    assert(three.size == three.toSet.size, "unroll=3 emitted duplicate rows")
+    assert(one.toSet == three.toSet,
+      "unrolled loop diverged from one-step-per-superstep output")
+  }
+
   test("forwarded side input: pre-distributed sides are not moved; values equal keyed variant") {
     import spark.implicits._
     import graft.streaming.{ForwardedSideInput, KeyedSideInput, SideInput}
