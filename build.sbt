@@ -40,6 +40,11 @@ val jdk17AddOpens = Seq(
 // SPARK_GRAFT_SCRATCH; falls back to the system tmpdir when the tmpfs
 // root is missing or read-only (portability — nothing here is
 // load-bearing for correctness, scratch is recreated per run).
+// MEMORY-PRESSURE CAVEAT (advisor, r13): tmpfs competes with the JVM heap
+// for the same RAM, so shuffle spill-to-tmpfs defeats spilling under real
+// memory pressure — on a memory-constrained run set SPARK_GRAFT_SCRATCH=/tmp
+// (the escape hatch) or point spark.local.dir at disk; the sandbox bench
+// (8g heap, 128 GiB box, ~MBs of spill) is nowhere near that regime.
 val graftScratch: Option[String] = {
   val want = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
     val shm = new java.io.File("/dev/shm")

@@ -17,18 +17,27 @@ object Probe {
     val doExplain = args.length <= 2 || args(2) == "explain"
     val reps = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    var bld = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // ad-hoc conf experiments (dev-only): GRAFT_PROBE_CONF="k=v;k=v"
+    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      bld = bld.config(k, v)
+    })
+    val spark = bld.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up like Bench: JVM/codegen/FS-cache costs land here
+    // warm-up like Bench: JVM/codegen/FS-cache costs land here (tolerant
+    // of partial fixture dirs — the GenScale sf1 ladder ships only the
+    // documents/embeddings families)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    Tables.names.foreach(n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case _: Exception => })
     for (name <- names; r <- 1 to reps) {
       // time the construction separately: streaming queries run to
       // completion inside the query function (runToTable awaits

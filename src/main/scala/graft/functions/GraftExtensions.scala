@@ -42,6 +42,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_cell"), ArgminCell.info,
         (children: Seq[Expression]) => ArgminCell(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pqmin"), PqArgmin.info,
+        (children: Seq[Expression]) => PqArgmin(children(0), children(1))))
   }
 }
 
@@ -121,6 +124,11 @@ object GraftExtensions {
     if (!reg.functionExists(cellId)) {
       reg.registerFunction(cellId, ArgminCell.info,
         (children: Seq[Expression]) => ArgminCell(children(0), children(1)))
+    }
+    val pqId = FunctionIdentifier("graft_pqmin")
+    if (!reg.functionExists(pqId)) {
+      reg.registerFunction(pqId, PqArgmin.info,
+        (children: Seq[Expression]) => PqArgmin(children(0), children(1)))
     }
   }
 }

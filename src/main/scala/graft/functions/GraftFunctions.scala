@@ -111,6 +111,14 @@ object GraftFunctions {
   def cellArgmin(vec: Column, cents: Column): Column =
     call_function("graft_cell", vec, cents)
 
+  /** Per-subspace PQ codeword argmin — the native [[PqArgmin]] expression
+    * replacing the interpreted transform/filter/array_min/aggregate chain
+    * that runs the sub×k×dims scan per corpus row. `cb` is an
+    * `array<array<double>>` codebook matrix in (subspace, cid) row order.
+    * Requires [[GraftExtensions.install]]. */
+  def pqArgmin(vec: Column, cb: Column): Column =
+    call_function("graft_pqmin", vec, cb)
+
   /** ADC lookup sum over PQ codes and a per-query distance table — the
     * native [[AdcLookupSum]] expression replacing the interpreted
     * lookup fold that runs once per (query, vector) pair. Requires

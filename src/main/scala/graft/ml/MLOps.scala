@@ -364,23 +364,86 @@ object MLOps {
     * candidate side goes through the LSH bucket join, same contract as
     * embedding dedup). */
   def knnDistOutlierScores(embs: DataFrame, vecCol: String, idCol: String,
-                           queryPred: Column, k: Int = 5): DataFrame = {
-    import graft.functions.GraftFunctions.{quantize, lld2}
+                           queryPred: Column, k: Int = 5,
+                           cells: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.{cellArgmin, lld2, quantize}
     graft.functions.GraftExtensions.install(embs.sparkSession)
     def proj(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(v))
     val queries = proj(embs.filter(queryPred), "id", "qv")
     val cand = proj(embs, "nid", "nv")
-    // native codegen'd integer d² kernel instead of the interpreted
-    // aggregate(zip_with(...)) lambda pair — value-identical (exact long
-    // arithmetic either way) and the q×n distance scan is this operator's
-    // entire cost (guide §"eliminate non-codegen expressions"; r13)
-    val scored = queries.crossJoin(cand)
+    // EXACT cell-pruned k-NN scan (r14; guide §3 "avoid exploding joins"):
+    // the r13 form was a q×n crossJoin — each pair cheap (native graft_lld2)
+    // but the PAIR COUNT quadratic (queries are a fixed corpus fraction),
+    // the textbook exploding join at 100 TB. Replaced by a
+    // triangle-inequality-complete coarse-cell prune that provably returns
+    // the identical k-th-neighbor row (MLFuzzSpec pins pruned ≡ exhaustive):
+    //  1. candidates partition into `cells` seed cells (smallest-id seeds,
+    //     native graft_cell argmin; any deterministic partition is valid —
+    //     pruning soundness only uses each cell's OWN radius);
+    //  2. per query, probe the nearest cells (by centroid d²) until they
+    //     hold ≥ k+1 rows — the k-th (d², nid) among them bounds the true
+    //     k-th distance from above;
+    //  3. every cell whose triangle-inequality floor
+    //     (√d²(q,c) − √r²max(c))² exceeds that bound (plus a slack
+    //     absorbing double-sqrt rounding of the exact integer d²s) can
+    //     contain no top-k member; the survivors rerank in one window —
+    //     ranks 1..k of the pruned set equal the global ranks because
+    //     every candidate at-or-below the bound is in a kept cell.
+    val seeds = cand.orderBy(col("nid")).limit(cells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    require(seeds.nonEmpty, "knnDistOutlierScores: empty candidate set")
+    val nCells = seeds.length // corpus smaller than `cells` degrades cleanly
+    val matrix = typedLit(seeds.map(_._2.toSeq).toSeq)
+    val assigned = cand
+      .withColumn("cell", cellArgmin(col("nv"), matrix).cast("int"))
+      .withColumn("d2c",
+        lld2(col("nv"), element_at(matrix, col("cell") + 1)))
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"), max(col("d2c")).as("r2max"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cnLit = typedLit((0 until nCells).map(c =>
+      stats.get(c).map(_._1).getOrElse(0L)))
+    val r2Lit = typedLit((0 until nCells).map(c =>
+      stats.get(c).map(_._2).getOrElse(0L)))
+    // per (query, cell): centroid distance + the cell's count/radius
+    val qc = queries
+      .select(col("id"), col("qv"),
+        explode(sequence(lit(0), lit(nCells - 1))).as("cell"))
+      .select(col("id"), col("qv"), col("cell"),
+        lld2(col("qv"), element_at(matrix, col("cell") + 1)).as("d2qc"),
+        element_at(cnLit, col("cell") + 1).as("cn"),
+        element_at(r2Lit, col("cell") + 1).as("r2max"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d2qc"), col("cell"))
+    val qcCum = qc
+      .withColumn("cum", sum(col("cn")).over(wProbe))
+      .withColumn("prevcum", col("cum") - col("cn"))
+    // minimal nearest-cell prefix holding ≥ k+1 rows (self may be one of
+    // them); degenerates to all cells when the corpus is smaller
+    val probe = qcCum.filter(col("prevcum") < k + 1)
+      .select(col("id"), col("qv"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d2"), col("nid"))
+    val bound = probe.join(assigned, "cell")
       .filter(col("id") =!= col("nid"))
       .select(col("id"), col("nid"), lld2(col("qv"), col("nv")).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("d2"), col("nid"))
-    scored.withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === k)
+      .select(col("id"), col("d2").as("kd"))
+    // triangle-inequality floor per (query, cell), double sqrt over exact
+    // integer d²s — the slack (1 + relative epsilon) keeps the prune
+    // conservative against sqrt rounding, so kept ⊇ {cells that can hold
+    // a top-k member} always
+    val lb = pow(greatest(sqrt(col("d2qc").cast("double")) -
+      sqrt(col("r2max").cast("double")), lit(0.0)), 2.0)
+    val kept = qcCum.join(bound, "id")
+      .filter(lb <= col("kd").cast("double") * 1.000000000001 + 1.0)
+      .select(col("id"), col("qv"), col("cell"))
+    kept.join(assigned, "cell")
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"), lld2(col("qv"), col("nv")).as("d2"))
+      .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") === k)
       .select(col("id").as(idCol), col("d2").as("knn_d2"))
   }

@@ -137,6 +137,44 @@ object PartitionOps {
     finally spark.conf.set(key, prev)
   }
 
+  // memoized fixture row counts (parquet metadata-only count; keyed on the
+  // file's mtime:size stamp so an in-place regeneration re-probes) backing
+  // derivedShufflePartitions — one tiny job per (fixture, table) per JVM
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of a fixture table, memoized per (dir, table, stamp). */
+  def fixtureRows(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, table + ".parquet")
+    val key = dir + "#" + table + "#" + graft.sources.StagingFs.fileStamp(spark, p)
+    rowCountCache.computeIfAbsent(key,
+      _ => spark.read.parquet(p.toString).count()).longValue()
+  }
+
+  /** Scale-adaptive shuffle sizing for the corpus-keyed batch stages
+    * (r14, replacing the fixture-tuned constant 8 — verdict item 6, the
+    * r12 derivedStatePartitions pattern for batch wrappers): one reducer
+    * per ~`rowsPer` source rows, clamped to [`floor`, 4·defaultParallelism].
+    * The density is CALIBRATED, not guessed: the sf1 A/B in
+    * plans/r14/derived_partitions_sf1_probe.txt measured the 8-partition
+    * floor still AHEAD of 32 at a 10× corpus (dedup_ngram_jaccard 2.5 s at
+    * 8 vs 11 s at 32 — these wrappers stay small-exchange/fixed-cost-bound
+    * well past fixture scale), so rowsPer = 6 250 holds the floor exactly
+    * through sf1 (50 000 docs → 8) and scales reducers ∝ volume beyond
+    * (sf10 → 80, capped by 4·cores). The ceiling is the local-mode guard;
+    * a cluster run sizes spark.sql.shuffle.partitions globally instead. */
+  def derivedShufflePartitions(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, table: String = "documents",
+                               rowsPer: Long = 6250L, floor: Int = 8): Int = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val rows = fixtureRows(spark, dir, table)
+    // deployment/probe override for the density (rows per reducer)
+    val per = spark.conf.getOption("spark.graft.shuffle.rowsPer")
+      .map(_.toLong).getOrElse(rowsPer)
+    math.max(floor.toLong, math.min(4L * cores, rows / per)).toInt
+  }
+
   /** Scope an arbitrary SQL conf to `body`, restoring the previous value
     * (or unsetting if it was unset) — the generic form of
     * [[withShufflePartitions]] for per-query streaming knobs. */

@@ -872,22 +872,31 @@ object SimilarityOps {
     // cores (guide §2.6; sequential form measured the 4 trainings
     // end-to-end serialized). Results are reassembled in subspace order,
     // so the output is byte-identical to the sequential form.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val trained = (0 until PqSub).map { s =>
-      Future {
-        val part = embs.select(col(idCol),
-          expr(s"slice(CAST($vecCol AS array<double>), ${s * PqDims + 1}, " +
-            s"$PqDims)").as(vecCol))
-        graft.ml.MLOps.kmeansCentroidsExact(part, k = PqK, iters = iters,
-            vecCol = vecCol, idCol = idCol)
-          .select(col(idCol).cast("int").as("cid"), lit(s).as("s"),
-            col(vecCol).as("cv"))
+    // dedicated fixed pool sized to the fan-out, NOT ExecutionContext.global:
+    // each future blocks on Spark collects, and blocking the shared
+    // fork-join pool can starve it if a caller is already on it (advisor
+    // note, r13). Extensions installed once up front so the concurrent
+    // trainings never race the registry check-then-act.
+    graft.functions.GraftExtensions.install(embs.sparkSession)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(PqSub)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val trained = (0 until PqSub).map { s =>
+        Future {
+          val part = embs.select(col(idCol),
+            expr(s"slice(CAST($vecCol AS array<double>), ${s * PqDims + 1}, " +
+              s"$PqDims)").as(vecCol))
+          graft.ml.MLOps.kmeansCentroidsExact(part, k = PqK, iters = iters,
+              vecCol = vecCol, idCol = idCol)
+            .select(col(idCol).cast("int").as("cid"), lit(s).as("s"),
+              col(vecCol).as("cv"))
+        }
       }
-    }
-    trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+      trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** Ordered-fold squared L2 distance between two equal-length arrays —
@@ -907,13 +916,24 @@ object SimilarityOps {
     * comment below). */
   private def pqMins(embs: DataFrame, vecCol: String, idCol: String,
                      codebook: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftExtensions.install(embs.sparkSession)
     // precomputed-codebook parameter mirrors DedupOps' precomputedSigs:
     // callers that also need the codebook for themselves (ADC's query
     // distance table) compute it once and thread it through instead of
     // paying the driver-side orderBy+limit collect twice
+    // codebook as an ordered matrix (row s·PqK + cid = codeword cid of
+    // subspace s — sort_array over struct(s, cid, cv) is the (s, cid)
+    // lexicographic order; pairs are unique so cv never drives the sort)
+    // feeding the native graft_pqmin kernel: one codegen'd sub×k×dims loop
+    // per corpus row instead of the interpreted transform/filter/array_min/
+    // aggregate lambda chain (guide §4 "eliminate non-codegen expressions";
+    // same d2 fold order and (d2, cid) tie-break, so values are
+    // bit-identical — PqArgminSpec pins the differential).
     val cbRow = codebook.getOrElse(pqCodebook(embs, vecCol, idCol))
-      .select(struct(col("cid"), col("s"), col("cv")).as("c"))
-      .agg(collect_list(col("c")).as("cbs"))
+      .select(struct(col("s"), col("cid"),
+        col("cv").cast("array<double>").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(expr("transform(cs, c -> c.cv)").as("cbm"))
     // repartition FIRST (the ivfAssign serial-window rule, found here by
     // the sf10 ladder at 1.1 load): a single-file corpus scans as ONE
     // partition and this whole chain is narrow, so the per-row argmin over
@@ -925,14 +945,9 @@ object SimilarityOps {
         col(vecCol).cast("array<double>").as("v"))
       .repartition(col("vec_id"))
       .crossJoin(broadcast(cbRow))
-      .select(col("vec_id"), expr(
-        s"""transform(sequence(0, ${PqSub - 1}), s ->
-           |  array_min(transform(filter(cbs, c -> c.s = s), c ->
-           |    struct(
-           |      aggregate(zip_with(slice(v, s * $PqDims + 1, $PqDims), c.cv,
-           |          (x, y) -> (x - y) * (x - y)),
-           |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2,
-           |      c.cid AS cid))))""".stripMargin).as("mins"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.pqArgmin(col("v"), col("cbm"))
+          .as("mins"))
   }
 
   /** PQ encode: one (vec_id, subspace, code, d2_micro) row per subspace —
@@ -1269,10 +1284,34 @@ object SimilarityOps {
     * (flink-libraries/flink-table/src/main/scala/org/apache/flink/table/
     * functions/utils/UserDefinedFunctionUtils.scala pattern); BM25 itself
     * per Robertson et al., TREC-3. */
+  /** Size-gate for the bm25 query-side broadcast hints: the query/feedback/
+    * expansion sides are 1/queryMod of the corpus postings BY CONSTRUCTION —
+    * bounded at fixture scale but LINEAR in corpus size, so an
+    * unconditional `broadcast()` would bypass AQE's size checks and hit
+    * Spark's 8 GB broadcast cap (or OOM the driver) at large SFs (r13
+    * verdict "what's wrong" #1). `ubRows` is a cheap upper bound on the
+    * side's row count (a filtered count over the already-materialized tf);
+    * under the limit the hint applies and the corpus-sized postings never
+    * shuffle (the r13 plan win), over it the hint is withheld and the
+    * planner falls back to the scale-safe shuffled join. ~100 bytes per
+    * (qid, tok) hash-relation row puts the 2M-row default around 200 MB —
+    * comfortable for the guide's "few hundred MB is fine" envelope;
+    * override per deployment via spark.graft.broadcast.rowLimit. */
+  private def gatedBroadcast(side: DataFrame, ubRows: Long): DataFrame = {
+    val limit = side.sparkSession.conf
+      .getOption("spark.graft.broadcast.rowLimit").map(_.toLong)
+      .getOrElse(2000000L)
+    if (ubRows <= limit) broadcast(side) else side
+  }
+
   /** The BM25-weighted postings (doc_id, tok, w) — factored so the
-    * ranker and the pseudo-relevance-feedback pass share one build. */
+    * ranker and the pseudo-relevance-feedback pass share one build.
+    * Also returns the materialized tf it was built from, so callers can
+    * derive cheap row-count bounds (the broadcast gate) without another
+    * pass over the corpus. */
   private def bm25Postings(docs: DataFrame, maxDfPct: Int,
-                           precomputedTf: Option[DataFrame]): DataFrame = {
+                           precomputedTf: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
     // tf feeds doc-lengths, document frequencies AND the postings join —
     // materialize (or accept the caller's staged copy) so the
     // tokenize+explode scan runs once
@@ -1287,12 +1326,13 @@ object SimilarityOps {
       .filter(col("df") * 100 <= col("n") * maxDfPct)
       .select(col("tok"),
         expr("least(((n - df) * 1000) div df, 1000000000L)").as("idf_i"))
-    tf.join(dfreq, "tok").join(dl, "doc_id")
+    val post = tf.join(dfreq, "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats.select(col("avg_q"))))
       .select(col("doc_id"), col("tok"),
         (col("idf_i") *
           expr("(22 * avg_q * tf * 10000) div " +
                "(10 * avg_q * tf + 3 * avg_q + 9000 * dl)")).as("w"))
+    (post, tf)
   }
 
   def bm25TopK(docs: DataFrame, k: Int = 5, maxDfPct: Int = 18,
@@ -1300,7 +1340,7 @@ object SimilarityOps {
                precomputedTf: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && maxDfPct >= 1 && maxDfPct <= 100 && queryMod >= 2,
       s"invalid bm25 shape: k=$k maxDfPct=$maxDfPct queryMod=$queryMod")
-    val post = bm25Postings(docs, maxDfPct, precomputedTf)
+    val (post, tf) = bm25Postings(docs, maxDfPct, precomputedTf)
     val q = post.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
     // the query side is 1/queryMod of the postings BY CONSTRUCTION, but
@@ -1308,8 +1348,11 @@ object SimilarityOps {
     // the planner falls back to shuffling the FULL postings table on tok
     // (SortMergeJoin, the dominant exchange of this operator). Broadcast
     // the bounded query side explicitly (guide §3.1) — postings then never
-    // leave their partitions.
-    val scores = broadcast(q)
+    // leave their partitions — SIZE-GATED (r14): the bound is a filtered
+    // count over the materialized tf (a superset of q's rows), so at
+    // corpus scale the hint withdraws instead of OOMing the driver.
+    val qUb = tf.filter(col("doc_id") % queryMod === 0).count()
+    val scores = gatedBroadcast(q, qUb)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
@@ -1345,7 +1388,8 @@ object SimilarityOps {
     val mu = 100 - lambdaPct
     // postings feed 4 consumers (query terms, pass-1 scoring, feedback
     // harvest, pass-2 scoring) — materialize once
-    val post = bm25Postings(docs, maxDfPct, precomputedTf).localCheckpoint()
+    val (post0, tf) = bm25Postings(docs, maxDfPct, precomputedTf)
+    val post = post0.localCheckpoint()
     val qTerms = post.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
     // pass 1: plain bm25 over the shared postings. The query/feedback/
@@ -1354,8 +1398,12 @@ object SimilarityOps {
     // whose selectivity Catalyst cannot estimate — broadcast them
     // explicitly so the corpus-sized postings table is never shuffled on
     // tok/nid (guide §3.1; was 4 SortMergeJoins with full postings
-    // exchanges).
-    val pass1 = broadcast(qTerms)
+    // exchanges). All three sides scale linearly with qUb (query-slice tf
+    // rows), so one gate measure covers them — SIZE-GATED (r14) like
+    // [[bm25TopK]]: over the limit every hint withdraws together and the
+    // planner falls back to scale-safe shuffled joins.
+    val qUb = tf.filter(col("doc_id") % queryMod === 0).count()
+    val pass1 = gatedBroadcast(qTerms, qUb)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
@@ -1367,9 +1415,9 @@ object SimilarityOps {
       .select(col("qid"), col("nid"))
     // expansion terms: top-e by summed weight across the feedback docs,
     // excluding terms the query already carries
-    val expansion = broadcast(feedback)
+    val expansion = gatedBroadcast(feedback, feedbackDocs.toLong * qUb)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "nid")
-      .join(broadcast(qTerms), Seq("qid", "tok"), "left_anti")
+      .join(gatedBroadcast(qTerms, qUb), Seq("qid", "tok"), "left_anti")
       .groupBy(col("qid"), col("tok"))
       .agg(sum(col("w")).as("fw"))
       .withColumn("erank", row_number().over(
@@ -1379,7 +1427,7 @@ object SimilarityOps {
     val terms = qTerms.select(col("qid"), col("tok"),
       lit(lambdaPct.toLong).as("mixw")).unionByName(expansion)
     // pass 2: expanded scoring
-    broadcast(terms)
+    gatedBroadcast(terms, (1L + expandTerms) * qUb)
       .join(post.select(col("doc_id").as("nid"), col("tok"), col("w")), "tok")
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))

@@ -38,7 +38,8 @@ object Dedup extends QuerySet {
       // distinct-shingle shuffle is a few hundred k rows here, and 32
       // reducers + 32 part files are pure fixed cost (a cluster run sizes
       // spark.sql.shuffle.partitions to the corpus instead)
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.shingleHashSet(docs(s, dir)).write.mode("overwrite").parquet(p)
       }
     }
@@ -47,7 +48,8 @@ object Dedup extends QuerySet {
     * (fingerprints, pair blocking, edit-distance candidates). */
   private def simhashStaged(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-simhash") { p =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.simhash(docs(s, dir)).write.mode("overwrite").parquet(p)
       }
     }
@@ -59,7 +61,8 @@ object Dedup extends QuerySet {
     * text is scanned once across the whole family. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-minhash-sigs") { p =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.minhashSignaturesFromHashes(shingleSet(s, dir))
           .write.mode("overwrite").parquet(p)
       }
@@ -80,7 +83,8 @@ object Dedup extends QuerySet {
     * window pass twice per row, six times per bench (r13). */
   private def gram6Staged(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "graft-grams6") { p =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.gramHashTable(docs(s, dir))
           .write.mode("overwrite").parquet(p)
       }
@@ -91,7 +95,8 @@ object Dedup extends QuerySet {
       // the candidate graph is orders smaller than the corpus: its band
       // join + est-jaccard joins pay per-partition fixed cost, so size the
       // shuffles to the pair set (same reasoning as the streaming state cap)
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.minhashLshPairs(docs(s, dir),
             precomputedSigs = Some(minhashSigs(s, dir)))
           .write.mode("overwrite").parquet(p)
@@ -121,7 +126,8 @@ object Dedup extends QuerySet {
       DedupOps.simhashPairs(simhashStaged(s, dir))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.ngramJaccardPairs(docs(s, dir),
           precomputedShingles = Some(shingleSet(s, dir)))
       }),
@@ -151,7 +157,8 @@ object Dedup extends QuerySet {
       // signatures come from the shared per-fixture stage (row-local, so
       // subset filters of the staged table ARE the per-side signatures)
       val sigs = minhashSigs(s, dir)
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.incrementalMinhashPairs(
           d.filter(col("doc_id") % 3 =!= 0),
           d.filter(col("doc_id") % 3 === 0),
@@ -182,7 +189,8 @@ object Dedup extends QuerySet {
     }),
 
     "dedup_pipeline" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.dedupCorpus(docs(s, dir),
             precomputedSigs = Some(minhashSigs(s, dir)))
           .select(col("doc_id"))
@@ -217,7 +225,8 @@ object Dedup extends QuerySet {
     // distinct 3-gram hashes + containment ratio — the corpus diagnostic
     // that surfaces mirrored/syndicated sources before doc-level dedup
     "corpus_source_overlap" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.sourceOverlap(docs(s, dir),
           precomputedShingles = Some(shingleSet(s, dir)))
       }),
@@ -231,7 +240,8 @@ object Dedup extends QuerySet {
     // relative df cap cuts boilerplate hashes) — local plagiarism-style
     // match detection over the staged sketch, join keyed on the hash
     "dedup_winnowing_pairs" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.winnowingPairs(docs(s, dir),
           precomputedFps = Some(winnowFps(s, dir)))
       }),
@@ -240,7 +250,8 @@ object Dedup extends QuerySet {
     // points of EACH side's sketch — excerpt-of vs mutual near-dup; same
     // staged sketch as the pair detector
     "dedup_winnowing_containment" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.winnowingContainment(docs(s, dir),
           precomputedFps = Some(winnowFps(s, dir)))
       }),
@@ -250,7 +261,8 @@ object Dedup extends QuerySet {
     // (winnowing is doc-local, so the staged sketch filtered to the
     // stored slice IS the stored index) — new×old pairs only
     "dedup_winnowing_incremental" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         val d = docs(s, dir)
         DedupOps.winnowingIncremental(
           d.filter(col("doc_id") % 3 =!= 0),
@@ -320,7 +332,8 @@ object Dedup extends QuerySet {
     // artifacts (pair graph + shingle sets), so the audit costs only the
     // candidate-bounded intersection join
     "dedup_lsh_precision" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         DedupOps.lshPrecision(docs(s, dir),
           precomputedPairs = Some(minhashPairs(s, dir)),
           precomputedShingles = Some(shingleSet(s, dir)))

@@ -39,18 +39,19 @@ object GraphQueries extends QuerySet {
     * shuffle partition; the fixture's per-round state is thousands of
     * rows, so run the driver loops at 8 partitions (cluster runs size to
     * the frontier — same reasoning as the streaming state cap). */
-  private def capped[A](s: SparkSession)(f: => A): A =
-    graft.operators.PartitionOps.withShufflePartitions(s, 8)(f)
+  private def capped[A](s: SparkSession, dir: String)(f: => A): A =
+    graft.operators.PartitionOps.withShufflePartitions(s,
+      graft.operators.PartitionOps.derivedShufflePartitions(s, dir))(f)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pointer-jumping CC down 10-chains: log-depth convergence (5 rounds
     // reach offset 8; plain propagation needs 10)
     "graph_cc_chain" -> ((s, dir) =>
-      capped(s)(GraphAlgorithms.connectedComponentsFast(chainGraph(s, dir), maxIter = 8))),
+      capped(s, dir)(GraphAlgorithms.connectedComponentsFast(chainGraph(s, dir), maxIter = 8))),
 
     // star components around nation hubs
     "graph_cc_bipartite" -> ((s, dir) =>
-      capped(s)(GraphAlgorithms.connectedComponents(bipartiteGraph(s, dir), maxIter = 5))),
+      capped(s, dir)(GraphAlgorithms.connectedComponents(bipartiteGraph(s, dir), maxIter = 5))),
 
     // multi-source SSSP from every block head. The Bellman-Ford loop pays
     // per-superstep fixed cost per shuffle partition (same reasoning as
@@ -60,7 +61,8 @@ object GraphQueries extends QuerySet {
     "graph_sssp_chain" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       val sources = g.vertices.filter(col("vid") % 10 === 0)
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         // chain graph: degree ≤ 2, diameter 9 — exactly the shape the
         // 2-hop closure halves the superstep count for (same fixpoint)
         GraphAlgorithms.shortestPaths(g, sources, maxIter = 15,
@@ -72,7 +74,7 @@ object GraphQueries extends QuerySet {
     // associative and the DuckDB oracle hash-matches exactly (the chain's
     // in-degree ≤ 1 lets the oracle unroll the 5 iterations as CTEs)
     "graph_pagerank" -> ((s, dir) =>
-      capped(s)(GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5))),
+      capped(s, dir)(GraphAlgorithms.pageRankExact(chainGraph(s, dir), iters = 5))),
 
     // degree statistics of the undirected chain graph
     // neighborhood aggregation (reduceOnNeighbors, direction ALL): per
@@ -97,7 +99,7 @@ object GraphQueries extends QuerySet {
     // labels are closed-form — customers carry the nation's max custkey,
     // hubs their own vid
     "graph_label_propagation" -> ((s, dir) =>
-      capped(s)(GraphAlgorithms.labelPropagation(bipartiteGraph(s, dir), maxIter = 4))),
+      capped(s, dir)(GraphAlgorithms.labelPropagation(bipartiteGraph(s, dir), maxIter = 4))),
 
     // weighted community detection on the same star, edge weight
     // (custkey % 5) + 1: hubs vote for the max-weight (then max-id) customer
@@ -108,7 +110,7 @@ object GraphQueries extends QuerySet {
       val edges = cust.select(col("c_custkey").as("src"),
         (col("c_nationkey") + 1000000L).as("dst"),
         (col("c_custkey") % 5 + 1).cast("long").as("weight"))
-      capped(s)(GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4))
+      capped(s, dir)(GraphAlgorithms.communityDetection(Graph(vertices, edges), maxIter = 4))
     }),
 
     // FULL-score community detection (hop attenuation, quantized), 2
@@ -122,13 +124,13 @@ object GraphQueries extends QuerySet {
       val edges = cust.select(col("c_custkey").as("src"),
         (col("c_nationkey") + 1000000L).as("dst"),
         (col("c_custkey") % 5 + 1).cast("long").as("weight"))
-      capped(s)(GraphAlgorithms.communityDetectionExact(Graph(vertices, edges), maxIter = 2))
+      capped(s, dir)(GraphAlgorithms.communityDetectionExact(Graph(vertices, edges), maxIter = 2))
     }),
 
     // HITS on the star graph, 2 unnormalized iterations: authority mass
     // concentrates on hubs (= nation size squared), hub mass on customers
     "graph_hits" -> ((s, dir) =>
-      capped(s)(GraphAlgorithms.hits(bipartiteGraph(s, dir), iters = 2))),
+      capped(s, dir)(GraphAlgorithms.hits(bipartiteGraph(s, dir), iters = 2))),
 
     // neighborhood Jaccard on chain + skip-2 edges
     "graph_jaccard" -> ((s, dir) =>

@@ -34,6 +34,22 @@ object Similarity extends QuerySet {
       })
   }
 
+  /** T=2 exact-Lloyd k=16 centroids staged once per (app, fixture) — a
+    * pure function of the fixture consumed IDENTICALLY by three
+    * trained-index rows (sim_topk_ivf_trained, sim_recall_ivf_trained,
+    * sim_recall_ivf_probe_trained), each of which previously re-ran the
+    * same driver Lloyd loop (r14; the knnStage/grams6 staging convention —
+    * one-time cost lands in stage_sec). 16 rows; the exact integer
+    * arithmetic round-trips parquet doubles bit-exactly. */
+  private def trainedCents16(s: SparkSession, dir: String) = {
+    val key = s.sparkContext.applicationId + "#" + dir + "#graft-kmeans16x2"
+    s.read.parquet(
+      graft.sources.StagingFs.stageOnce(s, key, "graft-kmeans16x2") { p =>
+        graft.ml.MLOps.kmeansCentroidsExact(embs(s, dir), k = 16, iters = 2)
+          .write.mode("overwrite").parquet(p)
+      })
+  }
+
   /** k-NN mutual-edge graph staged once per (app, fixture) — shared by the
     * graph row and the clusters row. */
   private def knnStage(s: SparkSession, dir: String) = {
@@ -164,8 +180,7 @@ object Similarity extends QuerySet {
     "sim_recall_ivf_trained" -> ((s, dir) => {
       val all = embs(s, dir)
       val q = all.filter(col("vec_id") % 100 === 0)
-      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16,
-        iters = 2)
+      val trained = trainedCents16(s, dir)
       SimilarityOps.recallAtK(
         SimilarityOps.topKIvfSeeds(all, q, 3, seeds = trained)
           .select(col("qid"), col("nid")),
@@ -179,8 +194,7 @@ object Similarity extends QuerySet {
     "sim_recall_ivf_probe_trained" -> ((s, dir) => {
       val all = embs(s, dir)
       val q = all.filter(col("vec_id") % 100 === 0)
-      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16,
-        iters = 2)
+      val trained = trainedCents16(s, dir)
       SimilarityOps.recallAtK(
         SimilarityOps.topKIvfProbe(all, q, 3, cells = 16, nprobe = 4,
           centroids = Some(trained)).select(col("qid"), col("nid")),
@@ -226,7 +240,7 @@ object Similarity extends QuerySet {
     // of the IVF cost model; see the DESIGN.md seeded-vs-trained table)
     "sim_topk_ivf_trained" -> ((s, dir) => {
       val all = embs(s, dir)
-      val trained = graft.ml.MLOps.kmeansCentroidsExact(all, k = 16, iters = 2)
+      val trained = trainedCents16(s, dir)
       SimilarityOps.topKIvfSeeds(all, all.filter(col("vec_id") % 100 === 0),
           k = 3, seeds = trained)
         .select(col("qid"), col("cell"), col("nid"), col("rank"), col("cos"))
@@ -507,7 +521,8 @@ object Similarity extends QuerySet {
     // dedup signature stages, so repeated passes pay only the
     // norms/index-join/top-k tail
     "sim_tfidf_topk" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         SimilarityOps.tfidfTopK(Tables.load(s, dir, "documents"),
           precomputedWeights = Some(tfidfStage(s, dir)))
       }),
@@ -516,7 +531,8 @@ object Similarity extends QuerySet {
     // tf-idf weight) — the metadata-enrichment pass; probes the SAME
     // staged weighted postings as the tfidf ranker
     "text_keywords" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         SimilarityOps.keywords(Tables.load(s, dir, "documents"),
           precomputedWeights = Some(tfidfStage(s, dir)))
       }),
@@ -536,7 +552,8 @@ object Similarity extends QuerySet {
     // every score is an exact BIGINT whose magnitude is corpus-size-
     // INDEPENDENT (corpus stats enter only through the quantized avgdl)
     "sim_bm25_topk" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         SimilarityOps.bm25TopK(Tables.load(s, dir, "documents"),
           precomputedTf = Some(bigramTf(s, dir)))
       }),
@@ -546,7 +563,8 @@ object Similarity extends QuerySet {
     // + derandomized (md5-draw) acceptance with prob weight/w_max; reuses
     // the SAME staged bigram postings as bm25/tfidf
     "corpus_dsir_sample" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         graft.operators.TextOps.dsirSample(
           Tables.load(s, dir, "documents"), col("lang") === "en",
           precomputedTf = Some(bigramTf(s, dir)))
@@ -556,7 +574,8 @@ object Similarity extends QuerySet {
     // docs donate their top-5 terms (Σw desc, term asc — engine-exact),
     // second pass mixes original 70 / expansion 30; shared staged postings
     "sim_bm25_prf" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         SimilarityOps.bm25Prf(Tables.load(s, dir, "documents"),
           precomputedTf = Some(bigramTf(s, dir)))
       }),
@@ -566,7 +585,8 @@ object Similarity extends QuerySet {
     // reciprocal-rank fusion — only RANKS cross the system boundary, so
     // no score calibration; reuses the staged bigram postings
     "sim_hybrid_rrf" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir)) {
         SimilarityOps.hybridRrf(Tables.load(s, dir, "documents"),
           embs(s, dir), k = 5, queryMod = 100,
           precomputedTf = Some(bigramTf(s, dir)))
@@ -583,7 +603,9 @@ object Similarity extends QuerySet {
     // micro-cosine BIGINTs so the whole greedy trajectory is
     // integer-exact on both engines
     "sim_mmr_rerank" -> ((s, dir) =>
-      graft.operators.PartitionOps.withShufflePartitions(s, 8) {
+      graft.operators.PartitionOps.withShufflePartitions(s,
+          graft.operators.PartitionOps.derivedShufflePartitions(s, dir,
+            table = "embeddings")) {
         SimilarityOps.mmrRerank(embs(s, dir))
       })
   )

@@ -142,7 +142,14 @@ object Streaming extends QuerySet {
         .select(col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"),
           col("user_id"), col("n"), col("sum_cents"))
-      EventStream.runToTable(s, agg, "complete")
+      // local pre-merge before the keyed exchange (r14, see
+      // stream_session_append) — merged count/sum are associative,
+      // result identical
+      graft.operators.PartitionOps.withConf(s,
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+        "true") {
+        EventStream.runToTable(s, agg, "complete")
+      }
     }),
 
     // APPEND-mode merging session windows over the REAL 4-batch replay:
@@ -163,10 +170,19 @@ object Streaming extends QuerySet {
       // session family sizes itself from replay volume (the r11 ladder
       // rule as code: rows/62.5k clamped to [4, 2·cores]); at fixture
       // scale this derives the same 4 the row was tuned to, at 1M/10M it
-      // derives the ladder optimum (16/32) instead of throttling at 4
-      EventStream.runToTable(s, agg, "append",
-        statePartitions = EventStream.derivedStatePartitions("session",
-          Tables.load(s, dir, "events").count()))
+      // derives the ladder optimum (16/32) instead of throttling at 4.
+      // Local pre-merge (r14): merge sessions inside each input partition
+      // BEFORE the keyed exchange (guide §2.3 "aggregate before you
+      // shuffle" for merging windows) — fewer rows shuffled and fewer
+      // session-store merge rows per batch; count/sum are associative so
+      // the merged result is identical (oracle-pinned).
+      graft.operators.PartitionOps.withConf(s,
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+        "true") {
+        EventStream.runToTable(s, agg, "append",
+          statePartitions = EventStream.derivedStatePartitions("session",
+            Tables.load(s, dir, "events").count()))
+      }
     }),
 
     // keyed side input (PROTEUS): stream–static equi join enrichment
@@ -224,7 +240,15 @@ object Streaming extends QuerySet {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
         .select(col("click_id"), col("purchase_id"), col("user_id"))
-      EventStream.runToTable(s, joined, "append")
+      // INNER interval join, single-batch replay: every match emits in the
+      // data batch; the trailing no-data micro-batch only advances the
+      // watermark for state EVICTION (no outer side to emit) and the query
+      // terminates right after — skipping it drops a full state-commit
+      // round with identical output (the interval_mb argument, r13/r14)
+      graft.operators.PartitionOps.withConf(s,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+        EventStream.runToTable(s, joined, "append")
+      }
     }),
 
     // stream-stream LEFT OUTER interval join (Flink CoGroupedStreams outer
@@ -617,13 +641,13 @@ object Streaming extends QuerySet {
       val seed = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), lit(0L).as("iter"),
           col("doc_id").as("value"))
-      // unroll = 4: the halving chain is ~14 one-step supersteps of tiny
-      // cohorts — per-round fixed micro-batch cost dominates, and the
-      // unrolled form emits the identical row set (oracle-pinned) in ~4
-      // micro-batches (r13)
+      // unroll = 8 (r14; was 4 in r13): the halving chain is ~14 one-step
+      // supersteps of tiny cohorts — per-round fixed micro-batch cost
+      // dominates, and the unrolled form emits the identical row set
+      // (oracle-pinned; StreamingSpec set-equality) in ~2 micro-batches
       graft.streaming.IterateStream.run(s, seed,
         stepValue = _ => expr("CAST(value div 2 AS BIGINT)"),
-        continues = v => v > 0, unroll = 4)
+        continues = v => v > 0, unroll = 8)
     }),
 
     // GLOBAL streaming sort (full DataStreamSort shape: total order over
@@ -673,7 +697,12 @@ object Streaming extends QuerySet {
         .agg(count(lit(1)).as("n"))
         .select(col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"), col("user_id"), col("n"))
-      EventStream.runToTable(s, agg, "complete")
+      // local pre-merge (r14, see stream_session_append)
+      graft.operators.PartitionOps.withConf(s,
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+        "true") {
+        EventStream.runToTable(s, agg, "complete")
+      }
     })
   )
 

@@ -71,11 +71,23 @@ object StagingFs {
     buildLedger.asScala.toMap
   }
 
+  // explicit nesting attribution: each in-flight stageOnce build pushes an
+  // accumulator; a child build adds its WALL seconds to its immediate
+  // parent's accumulator, so the parent records exclusive time. Replaces
+  // the r13 global-ledger diff, which misattributed a concurrent unrelated
+  // build on another thread as nested (advisor note) — the stack is
+  // thread-local, so only true same-thread nesting subtracts.
+  private val buildStack = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+  }
+
   /** Record a one-time build that happened OUTSIDE [[stageOnce]] (the
     * streaming replay-quarter copies use their own stamp-invalidated
     * fixed-name staging) so it still lands in the bench's stage ledger. */
   def recordBuild(key: String, seconds: Double): Unit = {
     buildLedger.put(key, seconds)
+    val parent = buildStack.get().peek()
+    if (parent != null) parent(0) += seconds
     System.err.println(f"[stage-build] key=$key $seconds%.2fs")
   }
 
@@ -97,14 +109,18 @@ object StagingFs {
     val thunk = stages.computeIfAbsent(key, _ => {
       lazy val dir: String = {
         val d = newStageDir(spark, prefix)
-        val pre = buildCosts
+        val acc = Array(0.0)
+        buildStack.get().push(acc)
         val t0 = System.nanoTime()
-        build(d)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val nested = buildCosts
-          .filterNot { case (k, v) => pre.get(k).contains(v) }.values.sum
+        val wall = try {
+          build(d)
+          (System.nanoTime() - t0) / 1e9
+        } finally buildStack.get().pop()
+        val nested = acc(0)
         val sec = math.max(0.0, wall - nested)
         buildLedger.put(key, sec)
+        val parent = buildStack.get().peek()
+        if (parent != null) parent(0) += wall
         System.err.println(
           f"[stage-build] key=$key prefix=$prefix ${sec}%.2fs (wall $wall%.2fs, nested $nested%.2fs)")
         d
@@ -112,6 +128,26 @@ object StagingFs {
       () => dir
     })
     thunk()
+  }
+
+  /** Remove graft-named stage dirs/stamps from the LOCAL tmpdir scratch
+    * root (bench comparability hygiene, r14): cross-run named stages
+    * (replay quarters, event-source copies — verbatim fixture copies, not
+    * results) survive JVM restarts keyed on fixture stamps, so a warm
+    * second driver pass would report smaller stage_sec than a cold one.
+    * [[graft.Bench]] clears them at startup so every bench pass builds
+    * from the same cold state. Only `graft-*` entries are touched —
+    * Spark's own scratch (blockmgr-*, spark-*) is left alone. */
+  def cleanLocalScratch(): Unit = {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      x.delete()
+    }
+    val rootDir = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(rootDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("graft-"))
+      .foreach { f => System.err.println(s"[scratch-clean] removing $f"); rm(f) }
   }
 
   /** Committed `.parquet` part files of `srcDir`, in name order. */

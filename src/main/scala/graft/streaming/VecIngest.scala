@@ -118,7 +118,14 @@ object VecIngest {
     val counts = stream
       .select(cellOf(quantize(col("embedding")), seeds).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    EventStream.runToTable(spark, counts, "complete", phase = phase)
+    // ONE state partition (r14): the keyed state is CELLS-bounded (≤ cells
+    // rows at ANY corpus size — the map-side partial count collapses each
+    // scan partition to ≤ cells rows before the exchange), so every extra
+    // state-store instance is pure per-micro-batch open/commit tax with
+    // nothing to shard — the socketCounts argument, sized by state
+    // cardinality rather than volume. Scale-safe by construction.
+    EventStream.runToTable(spark, counts, "complete", statePartitions = 1,
+      phase = phase)
   }
 
   /** Per-cell occupancy after the full 4-batch vector replay: stateless
