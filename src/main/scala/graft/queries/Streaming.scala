@@ -181,7 +181,7 @@ object Streaming extends QuerySet {
         "true") {
         EventStream.runToTable(s, agg, "append",
           statePartitions = EventStream.derivedStatePartitions("session",
-            Tables.load(s, dir, "events").count()))
+            graft.operators.PartitionOps.fixtureRows(s, dir, "events")))
       }
     }),
 
